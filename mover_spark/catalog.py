@@ -1,0 +1,245 @@
+"""Catalog: tables, columns, PKs, FKs, reverse FKs ("reference keys").
+
+Mirrors the reference's introspected-metadata model
+(/root/reference/dialect/dialect.go:23-107): a ``Table`` carries primary keys,
+foreign keys, and the *derived* reverse-FK edge list. The reference introspects
+PostgreSQL's pg_catalog (/root/reference/dialect/postgres/postgres.go:334-403);
+Spark's catalog has no key metadata, so file-backed fixtures get their key
+graph from a JSON sidecar (same shape as FIXTURES.md) while the parquet footer
+supplies column names/types/order.
+
+Unlike the reference — which only ever uses PrimaryKeys[0]
+(dialect/dialect.go:32-34, composite PKs unsupported) — ``Table.primary_keys``
+is a real list and the closure/dedup code handles composites (lineitem).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Key graph for the driver fixture tables (FIXTURES.md "Catalog sidecar").
+STAR_SIDECAR: dict = {
+    "region": {"pk": ["r_regionkey"], "fks": []},
+    "nation": {
+        "pk": ["n_nationkey"],
+        "fks": [{"cols": ["n_regionkey"], "ref": "region", "ref_cols": ["r_regionkey"]}],
+    },
+    "customer": {
+        "pk": ["c_custkey"],
+        "fks": [{"cols": ["c_nationkey"], "ref": "nation", "ref_cols": ["n_nationkey"]}],
+    },
+    "supplier": {
+        "pk": ["s_suppkey"],
+        "fks": [{"cols": ["s_nationkey"], "ref": "nation", "ref_cols": ["n_nationkey"]}],
+    },
+    "part": {"pk": ["p_partkey"], "fks": []},
+    "orders": {
+        "pk": ["o_orderkey"],
+        "fks": [{"cols": ["o_custkey"], "ref": "customer", "ref_cols": ["c_custkey"]}],
+    },
+    "lineitem": {
+        # the fixture's (l_orderkey, l_linenumber) is NOT unique — flag it so
+        # the closure engine never dedups/filters lineitem rows by PK
+        "pk": ["l_orderkey", "l_linenumber"],
+        "pk_unique": False,
+        "fks": [
+            {"cols": ["l_orderkey"], "ref": "orders", "ref_cols": ["o_orderkey"]},
+            {"cols": ["l_partkey"], "ref": "part", "ref_cols": ["p_partkey"]},
+            {"cols": ["l_suppkey"], "ref": "supplier", "ref_cols": ["s_suppkey"]},
+        ],
+    },
+    "events": {"pk": ["event_id"], "fks": []},
+    "documents": {"pk": ["doc_id"], "fks": []},
+    "embeddings": {"pk": ["vec_id"], "fks": []},
+}
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table, normalizing nanosecond timestamps.
+
+    Spark cannot scan INT64 TIMESTAMP(NANOS) parquet columns natively; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` they surface as LongType. We
+    detect ns-timestamp columns from the parquet footer (pyarrow) and convert
+    via integer division to microseconds — matching DuckDB's ns->us
+    truncation so oracle comparisons agree. Integer ``div`` (not float) —
+    epoch-nanos exceed double's 53-bit mantissa.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    try:
+        footer = pq.read_schema(path)
+    except Exception:
+        return df
+    for field in footer:
+        if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+            if dict(df.dtypes).get(field.name) == "bigint":
+                # NTZ to match the µs-precision tables Spark reads natively
+                df = df.withColumn(
+                    field.name,
+                    F.expr(f"timestamp_micros({field.name} div 1000)").cast("timestamp_ntz"),
+                )
+    return df
+
+
+@dataclass
+class ForeignKey:
+    """Edge table.cols -> ref_table.ref_cols (dialect/dialect.go:76-83)."""
+
+    name: str
+    table: str
+    cols: list[str]
+    ref_table: str
+    ref_cols: list[str]
+
+
+@dataclass
+class ReferenceKey:
+    """Reverse FK: which table points at me (dialect/dialect.go:94-99)."""
+
+    name: str
+    child_table: str
+    child_cols: list[str]
+    parent_cols: list[str]
+
+
+@dataclass
+class Table:
+    name: str
+    primary_keys: list[str]
+    foreign_keys: list[ForeignKey] = field(default_factory=list)
+    reference_keys: list[ReferenceKey] = field(default_factory=list)
+    # (name, data_type, nullable) in ordinal order — dialect/dialect.go:55-61
+    columns: list[tuple[str, str, bool]] = field(default_factory=list)
+    #: False when the declared PK does not uniquely identify rows (the
+    #: reference blindly assumes it does, dialect/dialect.go:32-34)
+    pk_unique: bool = True
+
+    @property
+    def primary_key(self) -> str:
+        """Mover-parity accessor: first PK column (dialect/dialect.go:32-34)."""
+        return self.primary_keys[0]
+
+
+class Catalog:
+    """Parquet-fixture catalog: one DataFrame + key metadata per table.
+
+    Registers every table as a temp view so seed queries run via
+    ``spark.sql`` — the Spark-side equivalent of the reference delegating
+    seed SQL to PostgreSQL (etl/extractor.go:158).
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str, sidecar: dict | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.tables: dict[str, Table] = {}
+        self._dfs: dict[str, DataFrame] = {}
+        sidecar = sidecar if sidecar is not None else STAR_SIDECAR
+
+        names = []
+        for fname in sorted(os.listdir(sf_dir)):
+            if fname.endswith(".parquet"):
+                names.append(fname[: -len(".parquet")])
+
+        for name in names:
+            df = read_table(spark, os.path.join(sf_dir, f"{name}.parquet"))
+            self._dfs[name] = df
+            meta = sidecar.get(name, {})
+            fks = [
+                ForeignKey(
+                    name=f"{name}_fk_{'_'.join(fk['cols'])}",
+                    table=name,
+                    cols=list(fk["cols"]),
+                    ref_table=fk["ref"],
+                    ref_cols=list(fk["ref_cols"]),
+                )
+                for fk in meta.get("fks", [])
+            ]
+            self.tables[name] = Table(
+                name=name,
+                primary_keys=list(meta.get("pk", [])) or [df.columns[0]],
+                foreign_keys=fks,
+                columns=[(f.name, f.dataType.simpleString(), f.nullable) for f in df.schema.fields],
+                pk_unique=bool(meta.get("pk_unique", True)),
+            )
+
+        # Derive reverse FKs by inverting the edge list — replaces the
+        # reference's extra pg_constraint query (postgres.go:100-134).
+        for t in self.tables.values():
+            for fk in t.foreign_keys:
+                if fk.ref_table in self.tables:
+                    self.tables[fk.ref_table].reference_keys.append(
+                        ReferenceKey(
+                            name=fk.name,
+                            child_table=fk.table,
+                            child_cols=fk.cols,
+                            parent_cols=fk.ref_cols,
+                        )
+                    )
+
+        for name, df in self._dfs.items():
+            df.createOrReplaceTempView(name)
+
+    @classmethod
+    def from_sidecar_file(cls, spark: SparkSession, sf_dir: str, path: str) -> "Catalog":
+        with open(path) as f:
+            return cls(spark, sf_dir, sidecar=json.load(f))
+
+    def df(self, name: str) -> DataFrame:
+        return self._dfs[name]
+
+    def table(self, name: str) -> Table:
+        return self.tables[name]
+
+    def describe(self, name: str) -> list[dict]:
+        """One dict per column — the `describe` action (etl/engine.go:89-96)."""
+        t = self.tables[name]
+        fk_by_col = {c: fk for fk in t.foreign_keys for c in fk.cols}
+        out = []
+        for pos, (col, dtype, nullable) in enumerate(t.columns, start=1):
+            fk = fk_by_col.get(col)
+            out.append(
+                {
+                    "table_name": name,
+                    "column_name": col,
+                    "data_type": dtype,
+                    "nullable": nullable,
+                    "position": pos,
+                    "is_primary_key": col in t.primary_keys,
+                    "fk_ref": f"{fk.ref_table}.{fk.ref_cols[0]}" if fk else None,
+                }
+            )
+        return out
+
+    def describe_df(self, names: list[str] | None = None) -> DataFrame:
+        """Catalog as a DataFrame (S19-S24 equivalent, one pass, no per-table
+        round trips unlike postgres.go:334-403)."""
+        rows = []
+        for name in sorted(names or self.tables):
+            rows.extend(self.describe(name))
+        from pyspark.sql.types import (
+            BooleanType,
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("table_name", StringType(), False),
+                StructField("column_name", StringType(), False),
+                StructField("data_type", StringType(), False),
+                StructField("nullable", BooleanType(), False),
+                StructField("position", IntegerType(), False),
+                StructField("is_primary_key", BooleanType(), False),
+                StructField("fk_ref", StringType(), True),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema=schema)

@@ -1,0 +1,264 @@
+"""Transitive FK-closure extraction — the reference's flagship operator,
+re-expressed as a semi-naive BFS over DataFrames.
+
+Reference semantics (all in /root/reference/etl/extractor.go):
+- a row is expanded at most once, memoized *before* expansion so FK cycles and
+  self-references terminate (extractor.go:96-103)
+- every non-null FK column dereferences its parent row, recursing at depth+2
+  (extractor.go:106-129)
+- reverse FKs ("reference keys") fan out ONLY from depth-0 rows unless the
+  constraint name is allowlisted in config, in which case any depth; recursion
+  at depth+2 (extractor.go:40-50,52-68)
+- per-schema templated config queries run for every row, `{attr}` substituted
+  from the row, recursing at depth+1 (extractor.go:70-79)
+- PK-dedup of the extracted rows happens downstream in the sanitizer
+  (etl/sanitizer.go:38-64), not here
+
+Spark re-design — KEY-SET semantics, not row-PK memoization. The reference
+assumes every table has a unique single-column PK (dialect/dialect.go:32-34);
+real data (our lineitem fixture) breaks that. Instead we memoize *access
+keys*: for each (table, access-column-tuple) pair we keep a DataFrame of key
+values already fetched; an edge expansion anti-joins its candidate keys
+against that set, then fetches rows by one semi-join per edge per iteration.
+Every fetched row is new by construction (fresh keys only), each key is
+fetched at most once per access path, and termination needs no PK at all.
+This subsumes the reference's query-result cache (extractor.go:146-165) —
+`query+args` memoization IS key-set memoization when queries are generated
+from keys.
+
+Scale: per iteration, one join per edge (Catalyst broadcasts small key sets);
+iteration count is bounded by the FK-graph diameter, not row count. Key sets
+are localCheckpoint'ed periodically to cut the iterative-lineage chain.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+
+#: `{attr}` template var — same regex as the reference (etl/sanitizer.go:15).
+ATTR_RE = re.compile(r"\{(?P<attr>\w+)\}")
+
+#: Config-query shape compiled to a semi-join instead of per-value SQL.
+SIMPLE_EQ_RE = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<col>\w+)\s*=\s*"
+    r"\{(?P<attr>\w+)\}\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class SchemaConfig:
+    """Per-table closure config (config/config.go:39-46)."""
+
+    table_name: str
+    omit_reference_keys: bool = False
+    reference_keys: list[str] = field(default_factory=list)  # allowlisted names
+    queries: list[tuple[str, str]] = field(default_factory=list)  # (table, template)
+
+
+@dataclass
+class _Frontier:
+    table: str
+    df: DataFrame
+    depth: int
+
+
+class _KeySets:
+    """seen[(table, cols)] -> DataFrame of already-fetched key tuples."""
+
+    def __init__(self):
+        self._sets: dict[tuple[str, tuple[str, ...]], DataFrame] = {}
+        self._since_checkpoint = 0
+
+    def novel(self, table: str, cols: list[str], keys: DataFrame) -> DataFrame | None:
+        """Anti-join `keys` against the seen set, record them, return the new
+        ones (None if nothing new). `keys` columns must equal `cols`."""
+        k = (table, tuple(cols))
+        keys = keys.dropDuplicates(cols)
+        seen = self._sets.get(k)
+        if seen is not None:
+            keys = keys.join(seen, on=cols, how="left_anti")
+        keys = keys.persist()
+        if keys.isEmpty():
+            keys.unpersist()
+            return None
+        self._sets[k] = keys if seen is None else seen.unionByName(keys)
+        self._since_checkpoint += 1
+        if self._since_checkpoint >= 20:  # cut iterative lineage
+            self._sets[k] = self._sets[k].localCheckpoint(eager=True)
+            self._since_checkpoint = 0
+        return keys
+
+    def record(self, table: str, cols: list[str], keys: DataFrame) -> None:
+        """Mark keys as seen without fetching (seeds memoize their own PKs,
+        extractor.go:96-103)."""
+        k = (table, tuple(cols))
+        keys = keys.dropDuplicates(cols)
+        seen = self._sets.get(k)
+        self._sets[k] = keys if seen is None else seen.unionByName(keys)
+
+    def filter_rows(self, table: str, cols: list[str], rows: DataFrame) -> DataFrame:
+        """Anti-join full rows against the seen set on `cols` (row-level
+        memoization across DIFFERENT access paths — the mover equivalent is
+        processedRelations keyed by PK, extractor.go:96-103)."""
+        seen = self._sets.get((table, tuple(cols)))
+        return rows if seen is None else rows.join(seen, on=cols, how="left_anti")
+
+
+def extract_closure(
+    spark: SparkSession,
+    catalog: Catalog,
+    seeds: list[tuple[str, DataFrame]],
+    schema_config: dict[str, SchemaConfig] | None = None,
+    max_iterations: int = 200,
+) -> dict[str, DataFrame]:
+    """Compute the row set reachable from `seeds` over the catalog's FK graph.
+
+    Returns {table_name: DataFrame}. Output preserves multiplicity (the
+    reference dedups by PK only in the sanitize pass); rows fetched by the
+    engine itself are duplicate-free per access path by construction.
+    """
+    schema_config = schema_config or {}
+    seen = _KeySets()
+    seen_sql: set[str] = set()  # query-text memoization (extractor.go:146-156)
+    extracted: dict[str, DataFrame] = {}
+    frontiers: list[_Frontier] = []
+
+    for t, df in seeds:
+        pks = catalog.table(t).primary_keys
+        seen.record(t, pks, df.select(*pks))
+        frontiers.append(_Frontier(t, df.persist(), 0))
+        extracted[t] = df
+
+    iteration = 0
+    while frontiers:
+        iteration += 1
+        if iteration > max_iterations:
+            raise RuntimeError(
+                f"closure did not converge in {max_iterations} iterations"
+            )
+
+        # Merge same-(table, depth-class) frontiers to cut join count.
+        merged: dict[tuple[str, bool], _Frontier] = {}
+        for fr in frontiers:
+            key = (fr.table, fr.depth == 0)
+            if key in merged:
+                prev = merged[key]
+                merged[key] = _Frontier(
+                    fr.table, prev.df.unionByName(fr.df), min(prev.depth, fr.depth)
+                )
+            else:
+                merged[key] = fr
+        frontiers = []
+
+        for (table, _is_seed), fr in merged.items():
+            rows = fr.df
+            tmeta = catalog.table(table)
+            cfg = schema_config.get(table, SchemaConfig(table))
+
+            def _fetch(target: str, cols: list[str], keys: DataFrame, depth: int):
+                new_keys = seen.novel(target, cols, keys)
+                if new_keys is None:
+                    return
+                tgt = catalog.table(target)
+                fetched = catalog.df(target).join(new_keys, on=cols, how="left_semi")
+                # Row-level memoization across access paths: a row already
+                # fetched by another key path (e.g. orders by o_custkey, then
+                # again via lineitem's FK by o_orderkey) must not re-enter.
+                # Only valid when the PK is genuinely unique.
+                if tgt.pk_unique and tuple(cols) != tuple(tgt.primary_keys):
+                    fetched = seen.filter_rows(target, tgt.primary_keys, fetched)
+                fetched = fetched.persist()
+                if fetched.isEmpty():
+                    fetched.unpersist()
+                    return
+                if tgt.pk_unique and tuple(cols) != tuple(tgt.primary_keys):
+                    seen.record(target, tgt.primary_keys, fetched.select(*tgt.primary_keys))
+                extracted[target] = (
+                    fetched
+                    if target not in extracted
+                    else extracted[target].unionByName(fetched)
+                )
+                frontiers.append(_Frontier(target, fetched, depth))
+
+            # --- FK dereference (extractor.go:106-129): all non-null FK
+            # values of this batch, one semi-join per edge.
+            for fk in tmeta.foreign_keys:
+                if fk.ref_table not in catalog.tables:
+                    continue
+                cond = F.lit(True)
+                for c in fk.cols:  # nil FK values skipped (extractor.go:107-109)
+                    cond = cond & F.col(c).isNotNull()
+                keys = rows.where(cond).select(
+                    *[F.col(c).alias(rc) for c, rc in zip(fk.cols, fk.ref_cols)]
+                )
+                _fetch(fk.ref_table, fk.ref_cols, keys, fr.depth + 2)
+
+            # --- Reverse-FK fan-out (extractor.go:40-50,52-68): automatic
+            # only for depth-0 rows unless the constraint name is allowlisted.
+            ref_keys = []
+            if fr.depth == 0 and not cfg.omit_reference_keys:
+                ref_keys.extend(tmeta.reference_keys)
+            for name in cfg.reference_keys:
+                for rk in tmeta.reference_keys:
+                    if rk.name == name and rk not in ref_keys:
+                        ref_keys.append(rk)
+            for rk in ref_keys:
+                keys = rows.select(
+                    *[F.col(p).alias(c) for p, c in zip(rk.parent_cols, rk.child_cols)]
+                )
+                _fetch(rk.child_table, rk.child_cols, keys, fr.depth + 2)
+
+            # --- Config queries (extractor.go:70-79): the simple equality
+            # template compiles to a semi-join; arbitrary SQL runs once per
+            # distinct attr tuple (driver loop — the reference runs it once
+            # per ROW, strictly worse).
+            for qtable, template in cfg.queries:
+                m = SIMPLE_EQ_RE.match(template)
+                if m and m.group("table").lower() == qtable.lower():
+                    col, attr = m.group("col"), m.group("attr")
+                    keys = rows.select(F.col(attr).alias(col))
+                    _fetch(qtable, [col], keys, fr.depth + 1)
+                else:
+                    attrs = sorted(set(ATTR_RE.findall(template)) & set(rows.columns))
+                    for vals in rows.select(*attrs).distinct().collect():
+                        sql = template
+                        for a in attrs:
+                            sql = sql.replace("{%s}" % a, _format_value(vals[a]))
+                        if sql in seen_sql:
+                            continue
+                        seen_sql.add(sql)
+                        sub = spark.sql(sql).persist()
+                        if sub.isEmpty():
+                            sub.unpersist()
+                            continue
+                        extracted[qtable] = (
+                            sub
+                            if qtable not in extracted
+                            else extracted[qtable].unionByName(sub)
+                        )
+                        frontiers.append(_Frontier(qtable, sub, fr.depth + 1))
+
+    return extracted
+
+
+def _format_value(v) -> str:
+    """Go-%v-style substitution (etl/sanitizer.go:110-124); SQL-quoted."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def closure_summary(extracted: dict[str, DataFrame]) -> DataFrame:
+    """Per-table row counts of an extract — stable, oracle-checkable shape."""
+    spark = SparkSession.getActiveSession()
+    rows = [(t, extracted[t].count()) for t in sorted(extracted)]
+    return spark.createDataFrame(rows, "table_name string, row_count long")

@@ -1,0 +1,144 @@
+"""PII sanitization compiled to Spark column expressions.
+
+Reference behavior (/root/reference/etl/sanitizer.go):
+- precedence per column: Replace > Fake > Sanitize (sanitizer.go:95-108)
+- Replace: template with `{attr}` substituted from the row (sanitizer.go:110-124)
+- Fake: faker value from {last_name, first_name, email, street_address,
+  phone_number}, locale-aware, 'fr' wired (sanitizer.go:22-24,66-93)
+- Sanitize: NULL-out (sanitizer.go:102-104)
+- Unique: re-roll until unseen via an in-memory seen-set (sanitizer.go:80-90)
+- rows PK-deduped across result sets before transform (sanitizer.go:38-64)
+
+Spark re-design: everything is a vectorized column expression — no UDFs, no
+driver state. Fakes are DETERMINISTIC (pool lookup indexed by pk % pool size)
+where the reference is random per run; determinism makes the transform
+oracle-checkable and idempotent. Uniqueness is by construction (PK suffix)
+instead of the reference's unbounded retry loop — collision-free at any scale
+and embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ATTR_RE = re.compile(r"\{(?P<attr>\w+)\}")
+
+# Deterministic fake pools (public sample names; any list works — the contract
+# is only "plausible fake value", sanitizer.go:66-78).
+FAKE_POOLS: dict[str, list[str]] = {
+    "last_name": ["Martin", "Bernard", "Dubois", "Thomas", "Robert", "Richard", "Petit", "Durand"],
+    "first_name": ["Marie", "Jean", "Luc", "Anna", "Paul", "Claire", "Louis", "Emma"],
+    "email_local": ["alex", "sam", "jo", "max", "kim", "lee", "ray", "pat"],
+    "street": ["rue de la Paix", "avenue Victor Hugo", "boulevard Saint-Michel", "rue du Bac"],
+}
+
+FR_POOLS = FAKE_POOLS  # locale hook: only 'fr' is wired in the reference
+
+
+@dataclass
+class ColumnRule:
+    """config.Column (config/config.go:30-37)."""
+
+    name: str
+    fake: str = ""
+    unique: bool = False
+    replace: str | None = None
+    sanitize: bool = False
+    download: dict | None = None
+
+
+def compile_template(template: str, df: DataFrame) -> Column:
+    """`{attr}` template -> concat() expression (sanitizer.go:110-124).
+
+    Vectorized equivalent of replaceVar: attrs not present in the row pass
+    through verbatim, string values substitute raw, non-strings via CAST to
+    string (Go fmt %d/%v arms).
+    """
+    parts: list[Column] = []
+    pos = 0
+    for m in ATTR_RE.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        attr = m.group("attr")
+        if attr in df.columns:
+            parts.append(F.col(attr).cast("string"))
+        else:
+            parts.append(F.lit(m.group(0)))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    if not parts:
+        return F.lit("")
+    return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+
+def _pool_pick(pool: list[str], pk: Column) -> Column:
+    """Deterministic pool lookup: pool[pk % len] — pure JVM, no UDF."""
+    arr = F.array(*[F.lit(x) for x in pool])
+    idx = (F.pmod(F.abs(pk.cast("long")), F.lit(len(pool))) + 1).cast("int")
+    return F.element_at(arr, idx)
+
+
+def fake_column(kind: str, pk: Column, unique: bool = False, locale: str = "") -> Column:
+    """Deterministic fake value (sanitizer.go:66-93). Uniqueness by
+    construction: suffix the PK instead of the reference's retry loop."""
+    pools = FR_POOLS if locale == "fr" else FAKE_POOLS
+    if kind == "last_name":
+        out = _pool_pick(pools["last_name"], pk)
+    elif kind == "first_name":
+        out = _pool_pick(pools["first_name"], pk)
+    elif kind == "email":
+        out = F.concat(_pool_pick(pools["email_local"], pk), F.lit("@example.org"))
+        if unique:
+            return F.concat(
+                _pool_pick(pools["email_local"], pk),
+                F.lit("-"),
+                pk.cast("string"),
+                F.lit("@example.org"),
+            )
+    elif kind == "street_address":
+        out = F.concat(
+            (F.pmod(F.abs(pk.cast("long")), F.lit(99)) + 1).cast("string"),
+            F.lit(" "),
+            _pool_pick(pools["street"], pk),
+        )
+    elif kind == "phone_number":
+        out = F.concat(F.lit("+33 6 "), F.lpad(F.pmod(F.abs(pk.cast("long")), F.lit(99999999)).cast("string"), 8, "0"))
+    else:  # unknown kind: reference leaves the value untouched
+        return pk  # caller handles passthrough; see sanitize_df
+    if unique and kind != "email":
+        out = F.concat(out, F.lit("-"), pk.cast("string"))
+    return out
+
+
+def sanitize_df(
+    df: DataFrame,
+    rules: list[ColumnRule],
+    primary_keys: list[str],
+    locale: str = "",
+    dedup: bool = True,
+) -> DataFrame:
+    """PK-dedup + column transforms (sanitizer.go:38-64,95-108)."""
+    if dedup:
+        df = df.dropDuplicates(primary_keys)
+    pk = F.col(primary_keys[0])
+    known_fakes = {"last_name", "first_name", "email", "street_address", "phone_number"}
+    for rule in rules:
+        if rule.name not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[rule.name]
+        if rule.replace is not None:  # precedence: Replace first
+            df = df.withColumn(rule.name, compile_template(rule.replace, df))
+        elif rule.fake:
+            if rule.fake in known_fakes:
+                df = df.withColumn(
+                    rule.name, fake_column(rule.fake, pk, unique=rule.unique, locale=locale)
+                )
+            # unknown fake kind: value untouched (sanitizer.go:67-78 switch default)
+        elif rule.sanitize:
+            df = df.withColumn(rule.name, F.lit(None).cast(dtype))
+    return df

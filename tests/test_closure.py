@@ -1,0 +1,162 @@
+"""Closure-engine tests: semantics from /root/reference/etl/extractor.go,
+exercised on the star-schema fixture (the part the reference never tested)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mover_spark.operators.closure import SchemaConfig, extract_closure
+
+from .conftest import SF_DIR
+
+
+def _oracle(sql: str):
+    con = duckdb.connect()
+    for t in [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+    ]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.execute(sql).fetchall()
+
+
+def test_default_depth0_closure(spark, catalog):
+    """Seed customers: FK pulls nation->region; depth-0 reverse FK pulls
+    orders; orders' rows are depth 2, so lineitem is NOT pulled
+    (extractor.go:40-42 gate)."""
+    seed = catalog.df("customer").where(F.col("c_custkey") <= 10)
+    out = extract_closure(spark, catalog, [("customer", seed)])
+
+    assert set(out) == {"customer", "nation", "region", "orders"}
+
+    n_orders = out["orders"].count()
+    (expected,) = _oracle(
+        "SELECT count(*) FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_custkey <= 10)"
+    )[0]
+    assert n_orders == expected
+
+    n_nation = out["nation"].count()
+    (expected_n,) = _oracle(
+        "SELECT count(DISTINCT c_nationkey) FROM customer WHERE c_custkey <= 10"
+    )[0]
+    assert n_nation == expected_n
+
+
+def test_allowlisted_reverse_fk_any_depth(spark, catalog):
+    """Allowlisting lineitem's FK on orders follows it at any depth
+    (extractor.go:44-50), pulling lineitem -> part/supplier -> nation ->
+    region transitively."""
+    seed = catalog.df("customer").where(F.col("c_custkey") <= 5)
+    cfg = {"orders": SchemaConfig("orders", reference_keys=["lineitem_fk_l_orderkey"])}
+    out = extract_closure(spark, catalog, [("customer", seed)], cfg)
+
+    assert set(out) == {
+        "customer",
+        "nation",
+        "region",
+        "orders",
+        "lineitem",
+        "part",
+        "supplier",
+    }
+    (expected_li,) = _oracle(
+        "SELECT count(*) FROM lineitem WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE o_custkey IN "
+        " (SELECT c_custkey FROM customer WHERE c_custkey <= 5))"
+    )[0]
+    assert out["lineitem"].count() == expected_li
+    (expected_p,) = _oracle(
+        "SELECT count(DISTINCT l_partkey) FROM lineitem WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE o_custkey IN "
+        " (SELECT c_custkey FROM customer WHERE c_custkey <= 5))"
+    )[0]
+    assert out["part"].count() == expected_p
+
+
+def test_omit_reference_keys(spark, catalog):
+    """omit_reference_keys suppresses the depth-0 fan-out (extractor.go:40)."""
+    seed = catalog.df("customer").where(F.col("c_custkey") <= 10)
+    cfg = {"customer": SchemaConfig("customer", omit_reference_keys=True)}
+    out = extract_closure(spark, catalog, [("customer", seed)], cfg)
+    assert "orders" not in out
+    assert set(out) == {"customer", "nation", "region"}
+
+
+def test_cycle_termination(spark, catalog):
+    """Self-referential FK terminates via the visited anti-join
+    (mirrors extractor.go:96-103; the reference never tested cycles)."""
+    emp = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, None)], "id long, manager_id long"
+    )
+    emp.write.mode("overwrite").parquet("/tmp/cycle_fixture/employee.parquet")
+    from mover_spark.catalog import Catalog
+
+    cat = Catalog(
+        spark,
+        "/tmp/cycle_fixture",
+        sidecar={
+            "employee": {
+                "pk": ["id"],
+                "fks": [{"cols": ["manager_id"], "ref": "employee", "ref_cols": ["id"]}],
+            }
+        },
+    )
+    seed = cat.df("employee").where(F.col("id") == 1)
+    out = extract_closure(spark, cat, [("employee", seed)])
+    # reaches the whole 1->2->3->1 cycle, not row 4... but depth-0 reverse FK
+    # on employee itself also fans out children of row 1 (row 3 points at 1).
+    ids = {r.id for r in out["employee"].collect()}
+    assert ids == {1, 2, 3}
+
+
+def test_config_query_template(spark, catalog):
+    """Templated config sub-queries ({attr} substitution, extractor.go:70-79)."""
+    seed = catalog.df("nation").where(F.col("n_nationkey") == 3)
+    cfg = {
+        "nation": SchemaConfig(
+            "nation",
+            omit_reference_keys=True,
+            queries=[("supplier", "SELECT * FROM supplier WHERE s_nationkey = {n_nationkey}")],
+        )
+    }
+    out = extract_closure(spark, catalog, [("nation", seed)], cfg)
+    (expected,) = _oracle("SELECT count(*) FROM supplier WHERE s_nationkey = 3")[0]
+    assert expected > 0  # fixture sanity: nation 3 has suppliers
+    assert out["supplier"].count() == expected
+
+
+def test_no_pk_table_keeps_all_rows(spark, catalog):
+    """The fixture's lineitem has NO unique PK ((l_orderkey, l_linenumber)
+    collides); key-set closure must not drop distinct rows — the reference's
+    row-PK memoization (dialect.go:32-34) silently would."""
+    seed = catalog.df("orders").where(F.col("o_orderkey") <= 20)
+    cfg = {"orders": SchemaConfig("orders", reference_keys=["lineitem_fk_l_orderkey"])}
+    out = extract_closure(spark, catalog, [("orders", seed)], cfg)
+    (expected,) = _oracle(
+        "SELECT count(*) FROM lineitem WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE o_orderkey <= 20)"
+    )[0]
+    assert out["lineitem"].count() == expected
+
+
+def test_seed_multiplicity_preserved_then_sanitize_dedups(spark, catalog):
+    """Closure preserves seed multiplicity; PK-dedup is the sanitizer's job
+    (etl/sanitizer.go:38-64)."""
+    from mover_spark.operators.sanitize import sanitize_df
+
+    ord_ = catalog.df("orders").where(F.col("o_orderkey") <= 20)
+    doubled = ord_.unionByName(ord_)
+    out = extract_closure(
+        spark,
+        catalog,
+        [("orders", doubled)],
+        {"orders": SchemaConfig("orders", omit_reference_keys=True)},
+    )
+    assert out["orders"].count() == 2 * ord_.count()
+    assert sanitize_df(out["orders"], [], ["o_orderkey"]).count() == ord_.count()

@@ -1,0 +1,87 @@
+"""Sanitizer tests — ports the reference's only real unit test
+(/root/reference/etl/sanitizer_test.go:10-47) plus the fake/unique family."""
+
+from pyspark.sql import functions as F
+
+from mover_spark.operators.sanitize import ColumnRule, sanitize_df
+
+
+def _user_df(spark):
+    return spark.createDataFrame(
+        [(1, "thoas", "Florent Messa", "florent@secret.com", "hunter2")],
+        "id long, username string, name string, email string, password string",
+    )
+
+
+def test_reference_sanitize_values(spark):
+    """sanitizer_test.go:44-46: name->{username}, email->ulule-{id}@ulule.com,
+    password->NULL."""
+    rules = [
+        ColumnRule("name", replace="{username}"),
+        ColumnRule("email", replace="ulule-{id}@ulule.com"),
+        ColumnRule("password", sanitize=True),
+    ]
+    row = sanitize_df(_user_df(spark), rules, ["id"]).collect()[0]
+    assert row.name == "thoas"
+    assert row.email == "ulule-1@ulule.com"
+    assert row.password is None
+    assert row.username == "thoas"  # untouched
+
+
+def test_replace_precedence_over_fake_and_sanitize(spark):
+    """Precedence Replace > Fake > Sanitize (sanitizer.go:95-108)."""
+    rules = [ColumnRule("email", fake="email", sanitize=True, replace="x-{id}")]
+    row = sanitize_df(_user_df(spark), rules, ["id"]).collect()[0]
+    assert row.email == "x-1"
+
+
+def test_fake_deterministic_and_unique(spark):
+    df = spark.createDataFrame([(i, "e") for i in range(20)], "id long, email string")
+    rules = [ColumnRule("email", fake="email", unique=True)]
+    out = sanitize_df(df, rules, ["id"]).collect()
+    emails = [r.email for r in out]
+    assert len(set(emails)) == 20  # unique by construction
+    # deterministic across runs
+    out2 = sanitize_df(df, rules, ["id"]).collect()
+    assert emails == [r.email for r in out2]
+    assert all("@" in e for e in emails)
+
+
+def test_fake_kinds(spark):
+    df = spark.createDataFrame(
+        [(7, "a", "b", "c", "d")],
+        "id long, ln string, fn string, addr string, phone string",
+    )
+    rules = [
+        ColumnRule("ln", fake="last_name"),
+        ColumnRule("fn", fake="first_name"),
+        ColumnRule("addr", fake="street_address"),
+        ColumnRule("phone", fake="phone_number"),
+    ]
+    row = sanitize_df(df, rules, ["id"]).collect()[0]
+    assert row.ln and row.ln != "a"
+    assert row.fn and row.fn != "b"
+    assert row.addr[0].isdigit()
+    assert row.phone.startswith("+33")
+
+
+def test_unknown_template_attr_passthrough(spark):
+    """Attrs absent from the row stay verbatim (replaceVar only substitutes
+    known keys, sanitizer.go:110-124)."""
+    rules = [ColumnRule("name", replace="{nope}-{id}")]
+    row = sanitize_df(_user_df(spark), rules, ["id"]).collect()[0]
+    assert row.name == "{nope}-1"
+
+
+def test_pk_dedup(spark):
+    df = _user_df(spark)
+    doubled = df.unionByName(df)
+    out = sanitize_df(doubled, [], ["id"])
+    assert out.count() == 1
+
+
+def test_sanitize_null_keeps_dtype(spark):
+    df = spark.createDataFrame([(1, 2.5)], "id long, bal double")
+    out = sanitize_df(df, [ColumnRule("bal", sanitize=True)], ["id"])
+    assert dict(out.dtypes)["bal"] == "double"
+    assert out.collect()[0].bal is None
