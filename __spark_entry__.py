@@ -159,6 +159,71 @@ def _q_describe_catalog(spark, sf_dir):
     return _catalog(spark, sf_dir).describe_df()
 
 
+# --------------------------------------------------------------------------
+# queries — relational analytics (joins/aggs/windows/set-ops; the surface a
+# mover seed query delegates to its DB, SURVEY.md §2.2)
+# --------------------------------------------------------------------------
+
+def _q_pricing_summary(spark, sf_dir):
+    from mover_spark.operators.analytics import pricing_summary
+
+    return pricing_summary(_catalog(spark, sf_dir))
+
+
+def _q_shipping_priority(spark, sf_dir):
+    from mover_spark.operators.analytics import shipping_priority
+
+    return shipping_priority(_catalog(spark, sf_dir))
+
+
+def _q_region_revenue(spark, sf_dir):
+    from mover_spark.operators.analytics import region_revenue
+
+    return region_revenue(_catalog(spark, sf_dir))
+
+
+def _q_topk_window(spark, sf_dir):
+    from mover_spark.operators.analytics import topk_orders_per_customer
+
+    return topk_orders_per_customer(_catalog(spark, sf_dir))
+
+
+def _q_rollup(spark, sf_dir):
+    from mover_spark.operators.analytics import returnflag_rollup
+
+    return returnflag_rollup(_catalog(spark, sf_dir))
+
+
+def _q_except(spark, sf_dir):
+    from mover_spark.operators.analytics import except_semantics
+
+    return except_semantics(_catalog(spark, sf_dir))
+
+
+def _q_tumbling(spark, sf_dir):
+    from mover_spark.operators.events import tumbling_counts
+
+    return tumbling_counts(_catalog(spark, sf_dir))
+
+
+def _q_sliding(spark, sf_dir):
+    from mover_spark.operators.events import sliding_counts
+
+    return sliding_counts(_catalog(spark, sf_dir))
+
+
+def _q_sessionize(spark, sf_dir):
+    from mover_spark.operators.events import session_stats
+
+    return session_stats(_catalog(spark, sf_dir))
+
+
+def _q_json_props(spark, sf_dir):
+    from mover_spark.operators.events import json_prop_stats
+
+    return json_prop_stats(_catalog(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "seed_query_scan": _q_seed_query_scan,
@@ -172,6 +237,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sanitize_fake_unique": _q_sanitize_fake_unique,
         "pk_dedup": _q_pk_dedup,
         "describe_catalog": _q_describe_catalog,
+        "q1_pricing_summary": _q_pricing_summary,
+        "q3_shipping_priority": _q_shipping_priority,
+        "q5_region_revenue": _q_region_revenue,
+        "topk_window": _q_topk_window,
+        "rollup_agg": _q_rollup,
+        "except_set_op": _q_except,
+        "events_tumbling": _q_tumbling,
+        "events_sliding": _q_sliding,
+        "events_sessionize": _q_sessionize,
+        "events_json_props": _q_json_props,
     }
 
 
@@ -326,4 +401,88 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pk_dedup": "SELECT * FROM orders",
         "describe_catalog": _catalog_values_sql(),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price, "
+            "CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS sum_disc_price, "
+            "CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(25,4))) AS DOUBLE) AS sum_charge, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price, "
+            "CAST(SUM(CAST(l_discount AS DECIMAL(25,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01' "
+            "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        "q3_shipping_priority": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "AND l_shipdate > TIMESTAMP '1997-01-01' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "q5_region_revenue": (
+            "SELECT n_name, "
+            "CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS revenue, "
+            "COUNT(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"
+        ),
+        "topk_window": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) "
+            "WHERE rn <= 3"
+        ),
+        "rollup_agg": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS linestatus, "
+            "COUNT(*) AS n_rows, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "except_set_op": (
+            "SELECT o_custkey AS custkey FROM orders "
+            "EXCEPT SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000 "
+            "ORDER BY custkey"
+        ),
+        "events_tumbling": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_sliding": (
+            "WITH w AS ("
+            "SELECT date_trunc('hour', ts) AS window_start FROM events "
+            "UNION ALL "
+            "SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events) "
+            "SELECT window_start, COUNT(*) AS n_events FROM w GROUP BY 1"
+        ),
+        "events_sessionize": (
+            "WITH o AS (SELECT user_id, ts, value, "
+            "CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+            "< INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess FROM events), "
+            "s AS (SELECT user_id, ts, value, "
+            "SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+            "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
+            "FROM s GROUP BY user_id, sid"
+        ),
+        "events_json_props": (
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "SUM(CAST(props->>'k' AS INT)) AS sum_k, "
+            "MIN(CAST(props->>'k' AS INT)) AS min_k, "
+            "MAX(CAST(props->>'k' AS INT)) AS max_k "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
     }
