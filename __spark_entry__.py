@@ -224,6 +224,81 @@ def _q_json_props(spark, sf_dir):
     return json_prop_stats(_catalog(spark, sf_dir))
 
 
+# --------------------------------------------------------------------------
+# queries — dedup / similarity / text analysis (scale extensions)
+# --------------------------------------------------------------------------
+
+def _q_dedup_exact(spark, sf_dir):
+    from mover_spark.operators.dedup import exact_dedup
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    return exact_dedup(docs.unionByName(docs))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    from mover_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_catalog(spark, sf_dir).df("documents"), threshold=0.8)
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from mover_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_catalog(spark, sf_dir).df("documents"), threshold=0.8)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from mover_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_catalog(spark, sf_dir).df("documents"), max_hamming=3)
+
+
+def _q_embedding_cosine_pairs(spark, sf_dir):
+    from mover_spark.operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(_catalog(spark, sf_dir).df("embeddings"), threshold=0.4)
+
+
+def _q_ann_brute_force(spark, sf_dir):
+    from mover_spark.operators.similarity import brute_force_topk
+
+    emb = _catalog(spark, sf_dir).df("embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from mover_spark.operators.similarity import lsh_topk
+
+    emb = _catalog(spark, sf_dir).df("embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=10, probes=1)
+
+
+def _q_lang_id(spark, sf_dir):
+    from mover_spark.operators.text import lang_id
+
+    return lang_id(_catalog(spark, sf_dir).df("documents"))
+
+
+def _q_text_stats(spark, sf_dir):
+    from mover_spark.operators.text import text_stats
+
+    return text_stats(_catalog(spark, sf_dir).df("documents"))
+
+
+def _q_token_counts(spark, sf_dir):
+    from mover_spark.operators.text import token_counts
+
+    return token_counts(_catalog(spark, sf_dir).df("documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from mover_spark.operators.text import fingerprint
+
+    return fingerprint(_catalog(spark, sf_dir).df("documents")).select(
+        "doc_id", "md5_fingerprint"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "seed_query_scan": _q_seed_query_scan,
@@ -247,6 +322,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": _q_sliding,
         "events_sessionize": _q_sessionize,
         "events_json_props": _q_json_props,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "embedding_cosine_pairs": _q_embedding_cosine_pairs,
+        "ann_topk_brute_force": _q_ann_brute_force,
+        "ann_topk_lsh": _q_ann_lsh,
+        "lang_id": _q_lang_id,
+        "text_stats": _q_text_stats,
+        "token_counts": _q_token_counts,
+        "doc_fingerprint": _q_fingerprint,
     }
 
 
@@ -332,9 +418,60 @@ def _catalog_values_sql() -> str:
     )
 
 
+#: shingle CTE shared by the jaccard-pair oracles (word bigrams, distinct)
+_SHINGLE_CTE = (
+    "d AS (SELECT doc_id, CASE WHEN len(string_split(text, ' ')) >= 2 THEN "
+    "list_distinct(list_transform(range(1, len(string_split(text, ' '))), "
+    "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) "
+    "ELSE CAST([] AS VARCHAR[]) END AS sh FROM documents)"
+)
+
+_JACCARD_PAIRS_SQL = (
+    "WITH " + _SHINGLE_CTE + ", "
+    "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard "
+    "FROM d a JOIN d b ON a.doc_id < b.doc_id) "
+    "SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8"
+)
+
+#: quantized-integer cosine (matches dedup.qcosine exactly)
+_QVEC_CTE = (
+    "q AS (SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings)"
+)
+
+
+def _qcos(a: str, b: str) -> str:
+    def dot(x, y):
+        return (
+            f"CAST(list_sum(list_transform(list_zip({x}, {y}), s -> s[1] * s[2])) AS DOUBLE)"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
 def oracle_sql() -> dict[str, str]:
     first_names = _duck_list(_FAKE_FIRST)
     locals_ = _duck_list(_FAKE_LOCAL)
+    en = _duck_list(["the", "and", "of", "to", "a", "in", "is", "it"])
+    markers = {
+        "de": _duck_list(["der", "die", "das", "und", "ist", "ein", "eine", "nicht"]),
+        "en": en,
+        "es": _duck_list(["el", "los", "las", "y", "un", "una", "es", "que"]),
+        "fr": _duck_list(["le", "la", "les", "et", "du", "une", "est", "dans"]),
+        "zh": _duck_list(["的", "了", "是", "我", "在", "有", "他", "这"]),
+    }
+    scores = {
+        lang: f"len(list_filter(string_split(text, ' '), x -> list_contains({lst}, x)))"
+        for lang, lst in markers.items()
+    }
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in sorted(markers)) + ")"
+    lang_case = (
+        "CASE WHEN " + best + " = 0 THEN 'und' "
+        + " ".join(f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in sorted(markers))
+        + " ELSE 'und' END"
+    )
     return {
         "seed_query_scan": (
             "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
@@ -484,5 +621,63 @@ def oracle_sql() -> dict[str, str]:
             "MIN(CAST(props->>'k' AS INT)) AS min_k, "
             "MAX(CAST(props->>'k' AS INT)) AS max_k "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "dedup_exact": (
+            "SELECT MIN(doc_id) AS doc_id, md5(text) AS fingerprint, "
+            "COUNT(*) AS n_copies FROM "
+            "(SELECT * FROM documents UNION ALL SELECT * FROM documents) "
+            "GROUP BY md5(text)"
+        ),
+        "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
+        # LSH recall is ~1 at j >= 0.9 given 12x4 banding, and candidates are
+        # verified with exact Jaccard — so the oracle is the exact pair set.
+        "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
+        # dedup_simhash: xxhash64 not reproducible in DuckDB -> rows-only
+        "embedding_cosine_pairs": (
+            "WITH " + _QVEC_CTE + ", "
+            "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            f"ROUND({_qcos('a.qv', 'b.qv')}, 6) AS cosine "
+            "FROM q a JOIN q b ON a.vec_id < b.vec_id) "
+            "SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4"
+        ),
+        "ann_topk_brute_force": (
+            "WITH " + _QVEC_CTE + ", "
+            "qr AS (SELECT * FROM q WHERE vec_id < 10), "
+            "p AS (SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            f"ROUND({_qcos('qr.qv', 'c.qv')}, 6) AS cosine "
+            "FROM qr JOIN q c ON c.vec_id != qr.vec_id), "
+            "r AS (SELECT query_id, neighbor_id, cosine, "
+            'ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank" '
+            "FROM p) "
+            'SELECT query_id, neighbor_id, "rank", cosine FROM r WHERE "rank" <= 10'
+        ),
+        # ann_topk_lsh: approximate by design -> rows-only
+        "lang_id": (
+            "WITH s AS (SELECT doc_id, "
+            + ", ".join(f"{scores[lang]} AS s_{lang}" for lang in sorted(markers))
+            + " FROM documents) "
+            f"SELECT doc_id, {lang_case} AS pred_lang, {best} AS score FROM s"
+        ),
+        "text_stats": (
+            "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w, "
+            "length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct, "
+            "length(text) AS tl FROM documents) "
+            "SELECT doc_id, len(w) AS n_words, "
+            "ROUND(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 6) AS avg_word_len, "
+            "ROUND(CASE WHEN tl > 0 THEN CAST(punct AS DOUBLE) / tl ELSE 0.0 END, 6) AS punct_ratio, "
+            f"ROUND(CAST(len(list_filter(w, x -> list_contains({en}, x))) AS DOUBLE) / len(w), 6) AS stopword_ratio, "
+            "ROUND((CAST(LEAST(len(w), 100) AS DOUBLE) / 100.0) * "
+            "(1.0 - CASE WHEN tl > 0 THEN CAST(punct AS DOUBLE) / tl ELSE 0.0 END), 6) AS quality_score "
+            "FROM t"
+        ),
+        "token_counts": (
+            "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, "
+            "len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS re_tokens, "
+            "CAST(CEIL(length(text) / 4.0) AS BIGINT) AS approx_tokens "
+            "FROM documents"
+        ),
+        "doc_fingerprint": (
+            "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+            "AS md5_fingerprint FROM documents"
         ),
     }

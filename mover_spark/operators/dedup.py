@@ -1,0 +1,282 @@
+"""Deduplication operators over the `documents` / `embeddings` tables —
+scale extensions beyond the reference surface (BASELINE.json north star;
+the reference's only dedup is PK-dedup, etl/sanitizer.go:38-64).
+
+Five families:
+- exact dedup         hash-groupBy on normalized text (one shuffle)
+- n-gram Jaccard      exact all-pairs word-bigram-shingle similarity
+                      (quadratic baseline; correctness oracle for LSH)
+- MinHash + LSH       shingle -> 48 minhashes -> 12 bands -> bucket join ->
+                      exact-Jaccard verify. THE scale path: candidate
+                      generation is linear in docs, the verify join touches
+                      only bucket-colliding pairs.
+- SimHash             32-bit sign-of-weighted-sum fingerprint, banded
+                      hamming<=k candidate join (per-row, no explode)
+- embedding cosine    near-dup pairs over quantized vectors
+
+Determinism: every hash is Spark's xxhash64 (fixed seed), minhash perms use
+baked constants, and embedding math is integer-quantized (round(x*1000))
+so dot products are exact integers — results are bit-stable across
+partitionings and engines (the DuckDB oracle reproduces Jaccard/cosine
+exactly).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+# 31-bit Mersenne prime: a*x stays under 2^62, so the modular minhash
+# arithmetic never overflows int64 (Spark 4 runs ANSI mode by default)
+MERSENNE_P = (1 << 31) - 1
+N_MINHASH = 48
+LSH_BANDS = 12  # x4 rows/band; P(miss | j=0.9) ~ 3e-6
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, MERSENNE_P) for _ in range(N_MINHASH)]
+MINHASH_B = [_rng.randrange(0, MERSENNE_P) for _ in range(N_MINHASH)]
+
+
+def words_col(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles_col(text: Column | str = "text", n: int = 2) -> Column:
+    """Distinct word n-gram shingles as array<string> (JVM-side transform,
+    no explode). Guarded for docs shorter than n words (Spark's sequence()
+    runs DESCENDING when start > stop)."""
+    w = words_col(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    joined = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)]),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays, integer intersection
+    counts -> deterministic double."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one hash-groupBy shuffle, keeps the
+    smallest id per group. At 100 TB this is the cheapest dedup — map-side
+    partial agg on md5(text), no row data moves except winners."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "fingerprint", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (quadratic baseline)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs exact bigram-shingle Jaccard >= threshold. O(n^2) — the
+    correctness baseline; use minhash_lsh_pairs at scale."""
+    sh = df.select(F.col(id_col), shingles_col(text_col).alias("sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (scale path)
+# ---------------------------------------------------------------------------
+
+def minhash_signature_cols(sh: Column) -> list[Column]:
+    """48 minhash values: min over shingles of (a*xxhash64(s)+b) mod p.
+    Pure array expressions — no explode, no UDF."""
+    h = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
+    sigs = []
+    for i in range(N_MINHASH):
+        a, b = MINHASH_A[i], MINHASH_B[i]
+        sigs.append(
+            F.array_min(
+                F.transform(h, lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P)))
+            ).alias(f"mh_{i}")
+        )
+    return sigs
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    Plan shape at scale: one narrow pass computes signatures, a small
+    explode (LSH_BANDS rows/doc) shuffles by (band, bucket-hash), the
+    self-join touches only colliding candidates, then the verify join
+    fetches the two shingle arrays per candidate. Everything else never
+    leaves the executors. Verified output == exact ngram_jaccard_pairs
+    whenever LSH recall is 1 (P(miss) < 1e-5 at j >= threshold+0.1).
+    """
+    rows_per_band = N_MINHASH // LSH_BANDS
+    sh = df.select(F.col(id_col), shingles_col(text_col).alias("sh")).where(F.size("sh") > 0)
+    sig = sh.select(id_col, "sh", *minhash_signature_cols(F.col("sh"))).persist()
+
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias("bucket"),
+        )
+        for bi in range(LSH_BANDS)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    right = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    candidates = (
+        left.join(right, on=["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sha = sig.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sig.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 16 bits each; pigeonhole: hamming<=3 -> >=1 band equal
+
+
+def simhash_col(text: Column | str = "text") -> Column:
+    """64-bit SimHash: bit i set iff sum over words of ±1 (sign of bit i of
+    xxhash64(word)) is positive. Per-row array math — no shuffle."""
+    w = words_col(text)
+    h = F.transform(w, lambda x: F.xxhash64(x))
+    total = F.size(w)
+    out = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        ones = F.size(F.filter(h, lambda x: F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1))
+        bit = F.when(ones * 2 > total, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        out = out.bitwiseOR(F.shiftleft(bit, i))  # OR, not +: bit 63 is the sign bit
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= max_hamming.
+    Banded candidate join (4x16-bit bands) — exact for max_hamming <= 3 by
+    pigeonhole — then bit_count verification."""
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
+    sh = df.select(F.col(id_col), simhash_col(text_col).alias("simhash")).persist()
+    bands = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = bands.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bucket")
+    right = bands.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bucket")
+    return (
+        left.join(right, on=["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (quantized-exact)
+# ---------------------------------------------------------------------------
+
+def quantized_vec(col: Column | str = "embedding", scale: int = 1000) -> Column:
+    """round(x*scale) as array<long> — integer vector space where dot
+    products are exact and engine-independent."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def qdot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def qcosine(a: Column, b: Column) -> Column:
+    """Deterministic cosine: integer dot / (sqrt(int)*sqrt(int)) — the same
+    doubles on every engine given the same quantized inputs."""
+    return qdot(a, b).cast("double") / (
+        F.sqrt(qdot(a, a).cast("double")) * F.sqrt(qdot(b, b).cast("double"))
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All-pairs quantized-cosine >= threshold. Brute force — correct at any
+    SF but O(n^2); LSH-bucketed ANN (similarity.py) is the scale path."""
+    q = df.select(F.col(id_col), quantized_vec(vec_col).alias("q"))
+    a = q.select(F.col(id_col).alias("vec_a"), F.col("q").alias("qa"))
+    b = q.select(F.col(id_col).alias("vec_b"), F.col("q").alias("qb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(qcosine(F.col("qa"), F.col("qb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -1,0 +1,99 @@
+"""Text analysis over the `documents` table — language ID, quality scoring,
+token counting, fingerprinting. Scale extensions beyond the reference
+surface (its only string op is template substitution, etl/sanitizer.go:110).
+
+Everything is built-in column expressions (split/filter/transform/regexp) —
+JVM-side, whole-stage codegen, zero UDFs — and every formula is reproducible
+in ANSI-ish SQL so the DuckDB oracle checks values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: public stopword markers per language (tiny on purpose: the classifier is
+#: a deterministic n-gram/stopword heuristic, not a model)
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht"],
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "los", "las", "y", "un", "una", "es", "que"],
+    "fr": ["le", "la", "les", "et", "du", "une", "est", "dans"],
+    "zh": ["的", "了", "是", "我", "在", "有", "他", "这"],
+}
+
+PUNCT_RE = "[a-zA-Z0-9 ]"
+TOKEN_RE = r"\w+|[^\w\s]"
+
+
+def _words(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def _marker_hits(w: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID: score = marker hits per language,
+    argmax with alphabetical tie-break, 'und' when no marker hits."""
+    w = _words(text_col)
+    scored = df.select(
+        F.col(id_col),
+        *[_marker_hits(w, LANG_MARKERS[lang]).alias(f"s_{lang}") for lang in sorted(LANG_MARKERS)],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):  # earlier alphabetical wins
+        pred = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.select(F.col(id_col), pred.alias("pred_lang"), best.alias("score"))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality stats: word count, avg word length, punctuation ratio,
+    stopword ratio, composite quality score in [0,1]."""
+    w = _words(text_col)
+    n_words = F.size(w)
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    punct = F.length(F.regexp_replace(F.col(text_col), PUNCT_RE, ""))
+    text_len = F.length(F.col(text_col))
+    stop_hits = _marker_hits(w, LANG_MARKERS["en"])
+    punct_ratio = F.when(text_len > 0, punct.cast("double") / text_len).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(sum_len.cast("double") / n_words, 6).alias("avg_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_hits.cast("double") / n_words, 6).alias("stopword_ratio"),
+        F.round(
+            (F.least(n_words, F.lit(100)).cast("double") / 100.0) * (F.lit(1.0) - punct_ratio),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens
+    (word-chunks + punctuation), and the chars/4 approximation."""
+    return df.select(
+        F.col(id_col),
+        F.size(_words(text_col)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)).alias("re_tokens"),
+        F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).cast("bigint").alias("approx_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (cheap exact-dup key), plus a 64-bit xxhash for compact storage."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("md5_fingerprint"),
+        F.xxhash64(norm).alias("xx64_fingerprint"),
+    )

@@ -1,0 +1,76 @@
+"""Dedup-operator tests (sf0.001 fixtures + constructed cases)."""
+
+from pyspark.sql import functions as F
+
+from mover_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from mover_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_copies for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_matches_exact_jaccard(spark, catalog):
+    """LSH + exact verification must reproduce the exact all-pairs result on
+    the fixture (planted pairs are j>=0.9; banding recall ~1)."""
+    docs = catalog.df("documents")
+    exact = {(r.doc_a, r.doc_b, r.jaccard) for r in ngram_jaccard_pairs(docs, 0.8).collect()}
+    lsh = {(r.doc_a, r.doc_b, r.jaccard) for r in minhash_lsh_pairs(docs, 0.8).collect()}
+    assert exact, "fixture should contain planted near-duplicates"
+    assert lsh == exact
+
+
+def test_simhash_pairs_structure(spark, catalog):
+    docs = catalog.df("documents")
+    rows = simhash_pairs(docs, max_hamming=3).collect()
+    assert all(r.doc_a < r.doc_b for r in rows)
+    assert all(r.hamming <= 3 for r in rows)
+    # deterministic across runs
+    rows2 = simhash_pairs(docs, max_hamming=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_embedding_cosine_pairs_symmetric_threshold(spark, catalog):
+    emb = catalog.df("embeddings")
+    rows = embedding_cosine_pairs(emb, threshold=0.4).collect()
+    assert all(r.vec_a < r.vec_b and r.cosine >= 0.4 for r in rows)
+
+
+def test_brute_force_topk_selfcheck(spark, catalog):
+    emb = catalog.df("embeddings")
+    out = brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_lsh_topk_recall(spark, catalog):
+    """LSH ANN recall@10 vs brute force — deterministic given fixed planes
+    and fixed fixture data."""
+    emb = catalog.df("embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = lsh_topk(emb, queries, k=10, probes=1).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.15, f"recall collapsed: {recall}"
+    assert all(r.rank <= 10 for r in approx)
