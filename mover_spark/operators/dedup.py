@@ -95,14 +95,67 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """All-pairs exact bigram-shingle Jaccard >= threshold. O(n^2) — the
-    correctness baseline; use minhash_lsh_pairs at scale."""
-    sh = df.select(F.col(id_col), shingles_col(text_col).alias("sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    """EXACT bigram-shingle Jaccard >= threshold for all pairs, via prefix
+    filtering (PPJoin-style; Xiao et al., WWW'08 — public algorithm).
+
+    Instead of an O(n^2) nested-loop product, candidates come from an
+    EQUI-join: sort each doc's shingles by ascending global frequency; two
+    docs can reach Jaccard >= t only if their first |A| - ceil(t*|A|) + 1
+    rarest shingles overlap, so exploding only those prefixes and joining on
+    the shingle yields a small, skew-resistant candidate set that is then
+    verified exactly. Lossless — output identical to brute force."""
+    from pyspark.sql.window import Window  # local: avoid cycle at import
+
+    sh = (
+        df.select(F.col(id_col).alias("doc"), shingles_col(text_col).alias("sh"))
+        .where(F.size("sh") > 0)
+        .persist()
+    )
+    tok = sh.select("doc", F.explode("sh").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+
+    # global rare-first order materializes as struct sort keys — no global
+    # row_number (which would single-partition at scale)
+    docs = (
+        tok.join(freq, "tok")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list(F.struct("freq", "tok"))).alias("sorted_sh"))
+        .withColumn("n", F.size("sorted_sh"))
+        .withColumn(
+            "prefix",
+            F.slice(
+                F.col("sorted_sh"),
+                1,
+                (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int"),
+            ),
+        )
+    )
+    pref = docs.select("doc", "n", F.explode("prefix").alias("p")).select(
+        "doc", "n", F.col("p.tok").alias("tok")
+    )
+    a = pref.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "tok")
+    b = pref.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), "tok")
+    candidates = (
+        a.join(b, "tok")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            # size pruning: jaccard <= min/max
+            & (F.col("n_a").cast("double") >= F.col("n_b") * threshold)
+            & (F.col("n_b").cast("double") >= F.col("n_a") * threshold)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify on xxhash64'd shingle arrays — long intersects are several times
+    # cheaper than string intersects; a hash collision altering Jaccard has
+    # probability ~n_sh^2/2^64 per pair (negligible)
+    hsh = sh.select("doc", F.sort_array(F.transform("sh", lambda s: F.xxhash64(s))).alias("hs"))
+    sha = hsh.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
+    shb = hsh.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
+        candidates.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .withColumn("jaccard", F.round(jaccard_col(F.col("hs_a"), F.col("hs_b")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -272,7 +325,8 @@ def embedding_cosine_pairs(
     """All-pairs quantized-cosine >= threshold. Brute force — correct at any
     SF but O(n^2); LSH-bucketed ANN (similarity.py) is the scale path."""
     q = df.select(F.col(id_col), quantized_vec(vec_col).alias("q"))
-    a = q.select(F.col(id_col).alias("vec_a"), F.col("q").alias("qa"))
+    par = df.sparkSession.sparkContext.defaultParallelism * 2
+    a = q.select(F.col(id_col).alias("vec_a"), F.col("q").alias("qa")).repartition(par)
     b = q.select(F.col(id_col).alias("vec_b"), F.col("q").alias("qb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))

@@ -44,7 +44,10 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query vector. Deterministic ranking:
     quantized-integer cosine, ties broken by neighbor id."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qc"))
+    par = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qc")
+    ).repartition(par)  # nested-loop parallelism follows the corpus side
     q = queries.select(F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("qq"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
