@@ -299,6 +299,41 @@ def _q_fingerprint(spark, sf_dir):
     )
 
 
+def _q_asof_join(spark, sf_dir):
+    """As-of join: every event gets the user's most recent prior purchase
+    (kdb-style merge_asof; Spark has no built-in — operators/joins.py)."""
+    from mover_spark.operators.joins import as_of_join
+
+    ev = _catalog(spark, sf_dir).df("events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return as_of_join(
+        ev.select("event_id", "user_id", "ts"), purchases, keys=["user_id"]
+    ).select("event_id", "user_id", "ts", "ts_asof", "value_asof")
+
+
+_VALUE_BUCKETS = [
+    (0.0, 10.0, "tiny"),
+    (10.0, 50.0, "small"),
+    (50.0, 100.0, "medium"),
+    (100.0, 250.0, "large"),
+    (250.0, 500.0, "huge"),
+]
+
+
+def _q_range_join(spark, sf_dir):
+    """Range (interval) join via bucket mapping + residual filter."""
+    from mover_spark.operators.joins import range_join
+
+    ev = _catalog(spark, sf_dir).df("events")
+    buckets = spark.createDataFrame(_VALUE_BUCKETS, "lo double, hi double, label string")
+    return (
+        range_join(ev, F.broadcast(buckets), "value")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("label")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "seed_query_scan": _q_seed_query_scan,
@@ -333,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_fingerprint,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
     }
 
 
@@ -679,5 +716,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
             "AS md5_fingerprint FROM documents"
+        ),
+        "asof_join": (
+            "SELECT e.event_id, e.user_id, e.ts, p.ts AS ts_asof, "
+            "p.value AS value_asof FROM events e ASOF LEFT JOIN "
+            "(SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p "
+            "ON e.user_id = p.user_id AND e.ts >= p.ts"
+        ),
+        "range_join": (
+            "WITH buckets(lo, hi, label) AS (VALUES "
+            + ", ".join(f"({lo}, {hi}, '{lab}')" for lo, hi, lab in _VALUE_BUCKETS)
+            + ") SELECT label, COUNT(*) AS n_events FROM events JOIN buckets "
+            "ON value >= lo AND value < hi GROUP BY label ORDER BY label"
         ),
     }

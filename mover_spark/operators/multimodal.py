@@ -1,0 +1,168 @@
+"""Multimodal (image/audio/video) column handling.
+
+Opaque ``binary`` content + a typed metadata struct, processed with
+Arrow-batched ``mapInPandas`` — the pattern for 100-TB media pipelines:
+content bytes never leave the executors, Python touches them in columnar
+batches, and every transform is schema-stable.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this environment, so the
+decode kernels are import-gated: with the library present they decode for
+real; without it they fall back to a DETERMINISTIC fake derived from the
+content hash (clearly marked), keeping the Spark-side plumbing — schemas,
+batch iteration, partitioning — fully real and testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: canonical media-row schema: opaque bytes + typed metadata
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("content", BinaryType(), True),
+        StructField("format", StringType(), True),       # png|wav|mp4|...
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("aspect_ratio", DoubleType(), True),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("decoder", StringType(), False),  # 'pil' or 'fake'
+    ]
+)
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, float]:
+    """DETERMINISTIC FAKE decoder (no image libs in this container):
+    dimensions/luma derived from the content digest. Replace by PIL when
+    available — the surrounding plumbing is identical."""
+    h = hashlib.md5(content or b"").digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    mean_luma = h[2] / 255.0
+    return width, height, mean_luma
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract images in Arrow batches (mapInPandas)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401
+
+            decoder = "pil"
+        except ImportError:
+            decoder = "fake"
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if decoder == "pil":
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(r["content"]))
+                    w, h = img.size
+                    luma = float(pd.Series(img.convert("L").getdata()).mean()) / 255.0
+                else:
+                    w, h, luma = _fake_decode(r["content"])
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "width": w,
+                        "height": h,
+                        "aspect_ratio": round(w / h, 6),
+                        "mean_luma": round(luma, 6),
+                        "decoder": decoder,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    return media.where(F.col("media_type") == "image").mapInPandas(
+        extract, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize to fit max_side (aspect preserved). Without PIL the content
+    passes through unchanged and only the metadata scales — the stub is
+    explicit in the output (content identical), the batch plumbing real."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                w, h = r["width"], r["height"]
+                if w and h and max(w, h) > max_side:
+                    scale = max_side / max(w, h)
+                    w, h = int(w * scale), int(h * scale)
+                out.append(
+                    {"media_id": r["media_id"], "content": r["content"], "width": w, "height": h}
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return media.where(F.col("media_type") == "image").mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plan: one row per (media_id, frame offset) —
+    pure Spark (sequence+explode), no decode; the downstream decode step
+    would be another mapInPandas over (media_id, offset_ms)."""
+    vids = media.where(F.col("media_type") == "video").where(F.col("duration_ms").isNotNull())
+    return vids.select(
+        "media_id",
+        F.posexplode(
+            F.sequence(F.lit(0).cast("long"), F.col("duration_ms"), F.lit(every_ms).cast("long"))
+        ).alias("frame_idx", "offset_ms"),
+    )
+
+
+def media_fixture_from_documents(docs: DataFrame, n: int = 100) -> DataFrame:
+    """Synthesize a media table from the documents fixture (the driver data
+    has no binary table): content = utf-8 text bytes, type round-robin."""
+    d = docs.where(F.col("doc_id") < n)
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("raw").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )

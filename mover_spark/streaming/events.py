@@ -1,0 +1,131 @@
+"""Structured Streaming ingest over the `events` table.
+
+The reference is strictly batch (single pg connection, single goroutine —
+/root/reference/dialect/postgres/postgres.go:21-35); this module adds the
+streaming surface a scale pipeline needs. The same expressions used by the
+batch operators (operators/events.py) run here under watermarks, so batch
+and stream agree — tests assert exactly that with an availableNow trigger.
+
+Pieces:
+- ``read_events_stream``   file-source stream with the fixture's ns-timestamp
+                           normalization (schema-pinned; streams need an
+                           explicit schema)
+- ``tumbling_stream``      watermarked tumbling-window count/sum
+- ``session_stream``       watermarked session windows (F.session_window)
+- ``running_totals_stream``custom stateful operator via
+                           applyInPandasWithState: per-user cumulative
+                           event count + value sum emitted per micro-batch
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: events parquet physical schema (ts is int64 TIMESTAMP(NANOS) -> LongType
+#: under nanosAsLong; converted right after read)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # glob, not a literal file path: FileStreamSource requires a directory
+    # or pattern (basePath resolves to the parent dir)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(f"{sf_dir}/events.parque*")
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_stream(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling window: late data beyond `watermark` is dropped,
+    state is bounded — the streaming twin of operators.events.tumbling_counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _update_totals(key, pdf_iter, state: GroupState):
+    """Stateful accumulator: fold each micro-batch into (n, total)."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals, one row per user per micro-batch — the pattern for any
+    accumulating state Spark's built-in aggs can't express."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_totals,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drain a stream with availableNow into a memory sink; returns the
+    finished query (caller reads spark.table(name))."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

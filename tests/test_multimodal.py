@@ -1,0 +1,43 @@
+"""Multimodal plumbing tests (decode is stubbed; schemas/batching real)."""
+
+from mover_spark.operators.multimodal import (
+    frame_sample,
+    image_features,
+    media_fixture_from_documents,
+    resize_images,
+)
+
+
+def _media(spark, catalog):
+    return media_fixture_from_documents(catalog.df("documents")).persist()
+
+
+def test_image_features_deterministic(spark, catalog):
+    media = _media(spark, catalog)
+    rows = image_features(media).collect()
+    assert rows, "round-robin fixture must contain images"
+    assert all(r.decoder in ("pil", "fake") for r in rows)
+    assert all(64 <= r.width < 256 and 64 <= r.height < 256 for r in rows)
+    assert all(abs(r.aspect_ratio - round(r.width / r.height, 6)) < 1e-9 for r in rows)
+    again = image_features(media).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_resize_scales_metadata(spark, catalog):
+    media = _media(spark, catalog)
+    feats = image_features(media).select("media_id", "width", "height")
+    enriched = media.drop("width", "height").join(feats, "media_id")
+    out = resize_images(enriched, max_side=100).collect()
+    assert all(max(r.width, r.height) <= 100 for r in out)
+    assert all(r.content is not None for r in out)  # stub passes bytes through
+
+
+def test_frame_sample_plan(spark, catalog):
+    media = _media(spark, catalog)
+    frames = frame_sample(media, every_ms=500)
+    row = frames.groupBy("media_id").count().collect()
+    assert row, "fixture contains videos"
+    got = frames.where("media_id = 2").collect()
+    if got:
+        assert [r.frame_idx for r in got] == list(range(len(got)))
+        assert all(r.offset_ms == i * 500 for i, r in enumerate(sorted(got, key=lambda x: x.frame_idx)))

@@ -1,0 +1,64 @@
+"""Streaming == batch equivalence under availableNow, + stateful op."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from mover_spark.streaming.events import (
+    read_events_stream,
+    run_to_memory,
+    running_totals_stream,
+    session_stream,
+    tumbling_stream,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return read_events_stream(spark, SF_DIR)
+
+
+def test_tumbling_stream_matches_batch(spark, catalog, events_stream):
+    run_to_memory(tumbling_stream(events_stream), "t_tumble", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 3))
+        for r in spark.table("t_tumble").collect()
+    }
+    batch = (
+        catalog.df("events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    want = {(r.w.start, r.event_type): (r.n, round(r.s, 3)) for r in batch}
+    assert got == want
+
+
+def test_session_stream_matches_batch(spark, catalog, events_stream):
+    run_to_memory(session_stream(events_stream), "t_sess", "complete")
+    got = {
+        (r.user_id, r.session_start): r.n_events for r in spark.table("t_sess").collect()
+    }
+    batch = (
+        catalog.df("events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {(r.user_id, r.w.start): r.n for r in batch}
+    assert got == want
+
+
+def test_running_totals_stateful(spark, catalog, events_stream):
+    run_to_memory(running_totals_stream(events_stream), "t_totals", "update")
+    # one batch -> final state per user; compare against batch groupBy
+    got = {r.user_id: (r.n_events, round(r.total_value, 3)) for r in spark.table("t_totals").collect()}
+    batch = (
+        catalog.df("events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    want = {r.user_id: (r.n, round(r.s, 3)) for r in batch}
+    assert got == want
