@@ -200,6 +200,90 @@ def _q_except(spark, sf_dir):
     return except_semantics(_catalog(spark, sf_dir))
 
 
+def _q_scalar_subquery_min(spark, sf_dir):
+    from mover_spark.operators.subqueries import scalar_subquery_min
+
+    return scalar_subquery_min(_catalog(spark, sf_dir))
+
+
+def _q_exists_semijoin(spark, sf_dir):
+    from mover_spark.operators.subqueries import exists_semijoin
+
+    return exists_semijoin(_catalog(spark, sf_dir))
+
+
+def _q_forecast_revenue(spark, sf_dir):
+    from mover_spark.operators.subqueries import forecast_revenue
+
+    return forecast_revenue(_catalog(spark, sf_dir))
+
+
+def _q_volume_shipping(spark, sf_dir):
+    from mover_spark.operators.subqueries import volume_shipping
+
+    return volume_shipping(_catalog(spark, sf_dir))
+
+
+def _q_distinct_count(spark, sf_dir):
+    from mover_spark.operators.subqueries import distinct_count_agg
+
+    return distinct_count_agg(_catalog(spark, sf_dir))
+
+
+def _q_having_filter(spark, sf_dir):
+    from mover_spark.operators.subqueries import having_filter
+
+    return having_filter(_catalog(spark, sf_dir))
+
+
+def _q_anti_join(spark, sf_dir):
+    from mover_spark.operators.subqueries import anti_join_not_exists
+
+    return anti_join_not_exists(_catalog(spark, sf_dir))
+
+
+def _q_rich_idle(spark, sf_dir):
+    from mover_spark.operators.subqueries import rich_idle_customers
+
+    return rich_idle_customers(_catalog(spark, sf_dir))
+
+
+def _q_cube(spark, sf_dir):
+    from mover_spark.operators.subqueries import cube_agg
+
+    return cube_agg(_catalog(spark, sf_dir))
+
+
+def _q_intersect(spark, sf_dir):
+    from mover_spark.operators.subqueries import intersect_set_op
+
+    return intersect_set_op(_catalog(spark, sf_dir))
+
+
+def _q_pivot_events(spark, sf_dir):
+    from mover_spark.operators.subqueries import pivot_events
+
+    return pivot_events(_catalog(spark, sf_dir))
+
+
+def _q_percentile(spark, sf_dir):
+    from mover_spark.operators.subqueries import percentile_agg
+
+    return percentile_agg(_catalog(spark, sf_dir))
+
+
+def _q_stddev(spark, sf_dir):
+    from mover_spark.operators.subqueries import stddev_stats
+
+    return stddev_stats(_catalog(spark, sf_dir))
+
+
+def _q_running_window(spark, sf_dir):
+    from mover_spark.operators.subqueries import running_window
+
+    return running_window(_catalog(spark, sf_dir))
+
+
 def _q_tumbling(spark, sf_dir):
     from mover_spark.operators.events import tumbling_counts
 
@@ -353,6 +437,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_window": _q_topk_window,
         "rollup_agg": _q_rollup,
         "except_set_op": _q_except,
+        "scalar_subquery_min": _q_scalar_subquery_min,
+        "exists_semijoin": _q_exists_semijoin,
+        "q6_forecast_revenue": _q_forecast_revenue,
+        "q7_volume_shipping": _q_volume_shipping,
+        "distinct_count_agg": _q_distinct_count,
+        "having_filter": _q_having_filter,
+        "anti_join_not_exists": _q_anti_join,
+        "rich_idle_customers": _q_rich_idle,
+        "cube_agg": _q_cube,
+        "intersect_set_op": _q_intersect,
+        "pivot_events": _q_pivot_events,
+        "percentile_agg": _q_percentile,
+        "stddev_stats": _q_stddev,
+        "running_window": _q_running_window,
         "events_tumbling": _q_tumbling,
         "events_sliding": _q_sliding,
         "events_sessionize": _q_sessionize,
@@ -627,6 +725,113 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey AS custkey FROM orders "
             "EXCEPT SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000 "
             "ORDER BY custkey"
+        ),
+        "scalar_subquery_min": (
+            "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier s "
+            "WHERE s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2 "
+            "WHERE s2.s_nationkey = s.s_nationkey)"
+        ),
+        "exists_semijoin": (
+            "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders o "
+            "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey "
+            "AND l_shipdate > o.o_orderdate) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "q6_forecast_revenue": (
+            "SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(25,4))) AS DOUBLE) "
+            "AS revenue, COUNT(*) AS n_items FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+        ),
+        "q7_volume_shipping": (
+            "SELECT supp_nation, cust_nation, l_year, "
+            "CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,4))) AS DOUBLE) "
+            "AS revenue FROM ("
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS INTEGER) AS l_year, l_extendedprice, l_discount "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "GROUP BY supp_nation, cust_nation, l_year "
+            "ORDER BY supp_nation, cust_nation, l_year"
+        ),
+        "distinct_count_agg": (
+            "SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY p_brand ORDER BY p_brand"
+        ),
+        "having_filter": (
+            "SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty "
+            "FROM (SELECT l_orderkey, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty "
+            "FROM lineitem GROUP BY l_orderkey "
+            "HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) > 150.0) "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "anti_join_not_exists": (
+            "SELECT * FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c.c_custkey "
+            "AND o_orderpriority = '1-URGENT')"
+        ),
+        "rich_idle_customers": (
+            "WITH ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) "
+            "/ COUNT(*) AS avg_bal FROM customer WHERE c_acctbal > 0.0) "
+            "SELECT c_nationkey, COUNT(*) AS n_cust, "
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS total_bal "
+            "FROM customer c, ab WHERE c_acctbal > ab.avg_bal "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey "
+            "AND o_orderpriority = '1-URGENT') "
+            "GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        "cube_agg": (
+            "SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus, "
+            "COALESCE(o_orderpriority, 'ALL') AS orderpriority, "
+            "COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_price "
+            "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+        ),
+        "intersect_set_op": (
+            "SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F' "
+            "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' "
+            "ORDER BY custkey"
+        ),
+        "pivot_events": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"COUNT(*) FILTER (event_type = '{t}') AS n_{t}"
+                for t in ["click", "error", "purchase", "signup", "view"]
+            )
+            + " FROM events GROUP BY user_id"
+        ),
+        "percentile_agg": (
+            "SELECT o_orderstatus, "
+            "ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50_price, "
+            "ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price, "
+            "COUNT(*) AS n_orders FROM orders "
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ),
+        "stddev_stats": (
+            "WITH t AS (SELECT l_returnflag, COUNT(*) AS n_items, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS s1, "
+            "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS s2 "
+            "FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n_items, ROUND(s1 / n_items, 6) AS mean_price, "
+            "ROUND(sqrt((s2 - s1 * s1 / n_items) / (n_items - 1)), 6) AS stddev_price "
+            "FROM t ORDER BY l_returnflag"
+        ),
+        "running_window": (
+            "SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend, "
+            "LAG(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) AS prev_price FROM orders"
         ),
         "events_tumbling": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

@@ -1,0 +1,274 @@
+"""Subquery, set-op, pivot, and statistical aggregation operators.
+
+Second relational batch (first: analytics.py). The reference delegates all
+of these to PostgreSQL inside user seed queries (SURVEY.md §2.2); a
+replacement engine must evaluate them natively. Each shape is expressed so
+Catalyst picks the scale-correct physical plan:
+
+- scalar/correlated subqueries  -> window-min or broadcast scalar, never a
+  per-row re-scan of the inner table;
+- EXISTS / NOT EXISTS           -> left_semi / left_anti joins (hash-based,
+  null-safe, no row-at-a-time probing);
+- CUBE / pivot                  -> native grouping-sets expansion (one scan,
+  partial aggregation map-side);
+- percentiles / stddev          -> exact `percentile` (JVM-side) and
+  decimal-sum moment formulas so results are partition-order-invariant and
+  oracle hash-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import Catalog
+from .analytics import dsum
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def scalar_subquery_min(cat: Catalog) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2 shape): suppliers whose account
+    balance equals their nation's minimum.
+
+    The correlated `(SELECT MIN(..) WHERE nation = outer.nation)` becomes a
+    window-min over one shuffle by nation — the inner table is scanned once,
+    not once per outer row."""
+    w = Window.partitionBy("s_nationkey")
+    return (
+        cat.df("supplier")
+        .withColumn("min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )
+
+
+def exists_semijoin(cat: Catalog) -> DataFrame:
+    """EXISTS (TPC-H Q4 shape): count orders per priority having at least
+    one line item shipped after the order date — a left_semi join; the
+    multi-match child never duplicates parent rows."""
+    ord_ = cat.df("orders")
+    late = cat.df("lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("l_shipdate")
+    )
+    hit = ord_.join(
+        late,
+        (ord_.o_orderkey == late.o_orderkey) & (late.l_shipdate > ord_.o_orderdate),
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def forecast_revenue(cat: Catalog, year: str = "1997") -> DataFrame:
+    """TPC-H Q6 shape: single filtered scan + global aggregate. The filters
+    push into the parquet scan; one row crosses the final exchange."""
+    li = cat.df("lineitem").where(
+        (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(f"{int(year) + 1}-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def volume_shipping(cat: Catalog, nation_a: str = "NATION_1", nation_b: str = "NATION_2") -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation x customer-nation trade volume by
+    year, both directions. Nation is broadcast twice under different
+    aliases; lineitem⋈orders carries the only large shuffle."""
+    n1 = cat.df("nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = cat.df("nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    df = (
+        cat.df("lineitem")
+        .join(cat.df("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.df("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.df("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+    )
+    return (
+        df.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def distinct_count_agg(cat: Catalog) -> DataFrame:
+    """COUNT(DISTINCT) per group (TPC-H Q16 shape): suppliers per part
+    brand. Catalyst expands distinct-agg into a two-level aggregate —
+    partial distinct map-side, no global set materialization."""
+    return (
+        cat.df("lineitem")
+        .join(F.broadcast(cat.df("part")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy("p_brand")
+    )
+
+
+def having_filter(cat: Catalog, min_qty: float = 150.0) -> DataFrame:
+    """HAVING (TPC-H Q18 shape): orders whose total quantity exceeds a
+    threshold, joined back to the customer. The heavy agg runs first and
+    shrinks the join input to the matching keys only."""
+    big = (
+        cat.df("lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > min_qty)
+    )
+    return (
+        cat.df("orders")
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cat.df("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+def anti_join_not_exists(cat: Catalog, priority: str = "1-URGENT") -> DataFrame:
+    """NOT EXISTS as left_anti: customers who never placed an order of the
+    given priority. The filter lands on the build side before the join."""
+    urgent = cat.df("orders").where(F.col("o_orderpriority") == priority)
+    return cat.df("customer").join(
+        urgent.select(F.col("o_custkey").alias("c_custkey")),
+        on=["c_custkey"],
+        how="left_anti",
+    )
+
+
+def rich_idle_customers(cat: Catalog, priority: str = "1-URGENT") -> DataFrame:
+    """Scalar subquery + NOT EXISTS (TPC-H Q22 shape): per-nation count and
+    balance-sum of customers above the global positive-balance average with
+    no urgent order. The scalar average is computed once and broadcast as a
+    1-row cross join — never re-evaluated per row."""
+    cust = cat.df("customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(25,4)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    urgent = cat.df("orders").where(F.col("o_orderpriority") == priority)
+    idle = cust.join(
+        urgent.select(F.col("o_custkey").alias("c_custkey")),
+        on=["c_custkey"],
+        how="left_anti",
+    )
+    return (
+        idle.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal").alias("total_bal"))
+        .orderBy("c_nationkey")
+    )
+
+
+def cube_agg(cat: Catalog) -> DataFrame:
+    """CUBE grouping sets over orders: all 4 combinations of
+    (status, priority) in one scan, ALL markers made explicit."""
+    return (
+        cat.df("orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+def intersect_set_op(cat: Catalog) -> DataFrame:
+    """INTERSECT: customers holding both a finished and an open order."""
+    f_cust = cat.df("orders").where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = cat.df("orders").where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return (
+        f_cust.intersect(o_cust)
+        .select(F.col("o_custkey").alias("custkey"))
+        .orderBy("custkey")
+    )
+
+
+def pivot_events(cat: Catalog) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type. The value
+    list is pinned (EVENT_TYPES) so the plan is a single grouping pass —
+    no extra distinct-values job, stable schema at any scale."""
+    return (
+        cat.df("events")
+        .groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+        )
+    )
+
+
+def percentile_agg(cat: Catalog) -> DataFrame:
+    """Exact interpolated percentiles (median / p90 of order price per
+    status) — JVM-side `percentile`, one shuffle on the 3-value group key."""
+    return (
+        cat.df("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def stddev_stats(cat: Catalog) -> DataFrame:
+    """Moment statistics with partition-order-invariant math: mean and
+    sample stddev from decimal partial sums (sum, sum of squares) rather
+    than the streaming variance update — bit-identical under any partition
+    count, so the oracle hash matches."""
+    li = cat.df("lineitem")
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("l_extendedprice").cast("decimal(25,4)")).cast("double")
+    # square in double (IEEE-deterministic), then decimal-sum the products —
+    # same engine-portable pattern as dsum over a computed expression
+    s2 = F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(30,4)")).cast(
+        "double"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n.alias("n_items"),
+            F.round(s1 / n, 6).alias("mean_price"),
+            F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).alias("stddev_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def running_window(cat: Catalog) -> DataFrame:
+    """Running aggregation frame: cumulative spend + previous order price
+    per customer in date order (deterministic tie-break on order key)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return cat.df("orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(25,4)")).over(cum).cast("double").alias("cum_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )

@@ -1,0 +1,104 @@
+"""Subquery/set-op/pivot/statistics operators on constructed cases and the
+sf0.001 fixture (the DuckDB oracle at sf0.01 is the authoritative check;
+these pin the semantics that the oracle can't isolate)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from mover_spark.operators.subqueries import (
+    EVENT_TYPES,
+    anti_join_not_exists,
+    cube_agg,
+    percentile_agg,
+    pivot_events,
+    running_window,
+    scalar_subquery_min,
+    stddev_stats,
+)
+
+
+def test_scalar_subquery_min_keeps_all_ties(catalog):
+    out = scalar_subquery_min(catalog)
+    mins = {
+        r.s_nationkey: r.min_bal
+        for r in catalog.df("supplier").groupBy("s_nationkey").agg(F.min("s_acctbal").alias("min_bal")).collect()
+    }
+    rows = out.collect()
+    assert rows and all(r.s_acctbal == mins[r.s_nationkey] for r in rows)
+
+
+def test_anti_join_complements_semi_join(catalog):
+    cust = catalog.df("customer")
+    anti = anti_join_not_exists(catalog)
+    urgent = catalog.df("orders").where(F.col("o_orderpriority") == "1-URGENT")
+    semi = cust.join(
+        urgent.select(F.col("o_custkey").alias("c_custkey")), on=["c_custkey"], how="left_semi"
+    )
+    assert anti.count() + semi.count() == cust.count()
+
+
+def test_cube_contains_all_grouping_sets(catalog):
+    rows = cube_agg(catalog).collect()
+    combos = {(r.orderstatus == "ALL", r.orderpriority == "ALL") for r in rows}
+    assert combos == {(False, False), (False, True), (True, False), (True, True)}
+    grand = [r for r in rows if r.orderstatus == "ALL" and r.orderpriority == "ALL"]
+    assert len(grand) == 1 and grand[0].n_orders == catalog.df("orders").count()
+
+
+def test_pivot_counts_sum_to_total(catalog):
+    out = pivot_events(catalog)
+    total = out.agg(
+        F.sum(sum(F.col(f"n_{t}") for t in EVENT_TYPES)).alias("s")
+    ).collect()[0].s
+    assert total == catalog.df("events").count()
+
+
+def test_percentile_exact_interpolation(spark, catalog):
+    # 4 known values -> p50 is the midpoint interpolation
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0)], "o_orderstatus string, o_totalprice double"
+    )
+
+    class FakeCat:
+        def df(self, name):
+            return df
+
+    row = percentile_agg(FakeCat()).collect()[0]
+    assert row.p50_price == 2.5 and row.n_orders == 4
+
+
+def test_stddev_matches_python(catalog):
+    prices = [r.l_extendedprice for r in catalog.df("lineitem").select("l_extendedprice").collect()]
+    n = len(prices)
+    mean = sum(prices) / n
+    ref = math.sqrt(sum((p - mean) ** 2 for p in prices) / (n - 1))
+    got = {r.l_returnflag: r for r in stddev_stats(catalog).collect()}
+    # per-flag stddevs combine to the global one only approximately; instead
+    # check one flag against a direct recomputation
+    flag = next(iter(got))
+    sub = [
+        r.l_extendedprice
+        for r in catalog.df("lineitem").where(F.col("l_returnflag") == flag).collect()
+    ]
+    m = sum(sub) / len(sub)
+    expect = math.sqrt(sum((p - m) ** 2 for p in sub) / (len(sub) - 1))
+    assert abs(got[flag].stddev_price - expect) < 1e-2
+    assert ref > 0  # sanity: fixture is non-degenerate
+
+
+def test_running_window_is_cumulative(catalog):
+    out = running_window(catalog)
+    one = (
+        out.where(F.col("o_custkey") == out.select("o_custkey").first().o_custkey)
+        .orderBy("o_orderdate", "o_orderkey")
+        .collect()
+    )
+    acc = 0.0
+    for i, r in enumerate(one):
+        acc += r.o_totalprice
+        assert abs(r.cum_spend - acc) < 1e-4
+        if i > 0:
+            assert r.prev_price == one[i - 1].o_totalprice
+        else:
+            assert r.prev_price is None
