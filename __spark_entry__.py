@@ -357,6 +357,33 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=10, probes=1)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    from mover_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_catalog(spark, sf_dir).df("documents"), threshold=0.8)
+
+
+def _q_ann_ivf(spark, sf_dir):
+    from mover_spark.operators.similarity import ivf_topk
+
+    emb = _catalog(spark, sf_dir).df("embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
+def _q_multimodal_manifest(spark, sf_dir):
+    from mover_spark.operators.multimodal import media_fixture_from_documents, media_manifest
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    return media_manifest(media_fixture_from_documents(docs, n=100))
+
+
+def _q_multimodal_image_features(spark, sf_dir):
+    from mover_spark.operators.multimodal import image_features, media_fixture_from_documents
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    return image_features(media_fixture_from_documents(docs, n=100))
+
+
 def _q_lang_id(spark, sf_dir):
     from mover_spark.operators.text import lang_id
 
@@ -462,6 +489,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "ann_topk_brute_force": _q_ann_brute_force,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
+        "dedup_clusters": _q_dedup_clusters,
+        "multimodal_manifest": _q_multimodal_manifest,
+        "multimodal_image_features": _q_multimodal_image_features,
         "lang_id": _q_lang_id,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
@@ -561,13 +592,28 @@ _SHINGLE_CTE = (
     "ELSE CAST([] AS VARCHAR[]) END AS sh FROM documents)"
 )
 
-_JACCARD_PAIRS_SQL = (
-    "WITH " + _SHINGLE_CTE + ", "
+_PAIRS_CTE = (
     "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
     "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
     "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard "
-    "FROM d a JOIN d b ON a.doc_id < b.doc_id) "
+    "FROM d a JOIN d b ON a.doc_id < b.doc_id)"
+)
+
+_JACCARD_PAIRS_SQL = (
+    "WITH " + _SHINGLE_CTE + ", " + _PAIRS_CTE + " "
     "SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8"
+)
+
+#: connected components of the (exact) jaccard>=0.8 pair graph: min doc id
+#: reachable from each node, via a recursive closure over undirected edges
+_DEDUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE " + _SHINGLE_CTE + ", " + _PAIRS_CTE + ", "
+    "pj AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.8), "
+    "e AS (SELECT doc_a AS a, doc_b AS b FROM pj "
+    "UNION SELECT doc_b, doc_a FROM pj), "
+    "reach(n, m) AS (SELECT a, b FROM e "
+    "UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a) "
+    "SELECT n AS doc_id, LEAST(n, MIN(m)) AS cluster_id FROM reach GROUP BY n"
 )
 
 #: quantized-integer cosine (matches dedup.qcosine exactly)
@@ -894,6 +940,48 @@ def oracle_sql() -> dict[str, str]:
             'SELECT query_id, neighbor_id, "rank", cosine FROM r WHERE "rank" <= 10'
         ),
         # ann_topk_lsh: approximate by design -> rows-only
+        "ann_topk_ivf": (
+            "WITH " + _QVEC_CTE + ", "
+            "cent AS (SELECT vec_id AS cid, qv AS qcent FROM q ORDER BY vec_id LIMIT 16), "
+            "assign AS (SELECT vec_id, qv, cid FROM ("
+            "SELECT v.vec_id, v.qv, c.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id "
+            f"ORDER BY {_qcos('v.qv', 'c.qcent')} DESC, c.cid) AS rn "
+            "FROM q v CROSS JOIN cent c) WHERE rn = 1), "
+            "qr AS (SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id < 10), "
+            "probe AS (SELECT query_id, qq, cid FROM ("
+            "SELECT qr.query_id, qr.qq, c.cid, ROW_NUMBER() OVER (PARTITION BY qr.query_id "
+            f"ORDER BY {_qcos('qr.qq', 'c.qcent')} DESC, c.cid) AS rn "
+            "FROM qr CROSS JOIN cent c) WHERE rn <= 4), "
+            "cand AS (SELECT probe.query_id, probe.qq, a.vec_id AS neighbor_id, a.qv "
+            "FROM probe JOIN assign a ON probe.cid = a.cid "
+            "WHERE a.vec_id != probe.query_id), "
+            "r AS (SELECT query_id, neighbor_id, "
+            f"ROUND({_qcos('qq', 'qv')}, 6) AS cosine, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id "
+            f"ORDER BY ROUND({_qcos('qq', 'qv')}, 6) DESC, neighbor_id) AS \"rank\" "
+            "FROM cand) "
+            'SELECT query_id, neighbor_id, "rank", cosine FROM r WHERE "rank" <= 10'
+        ),
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "multimodal_manifest": (
+            "SELECT doc_id AS media_id, "
+            "(['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type, "
+            "CAST(octet_length(encode(text)) AS INTEGER) AS byte_len, "
+            "md5(text) AS content_md5, "
+            "CASE WHEN doc_id % 3 = 2 THEN (n_chars * 10) // 1000 + 1 END AS n_frames "
+            "FROM documents WHERE doc_id < 100"
+        ),
+        "multimodal_image_features": (
+            "WITH m AS (SELECT doc_id AS media_id, md5(text) AS h "
+            "FROM documents WHERE doc_id < 100 AND doc_id % 3 = 0), "
+            "f AS (SELECT media_id, "
+            "64 + CAST(('0x' || substr(h, 1, 2)) AS INTEGER) % 192 AS width, "
+            "64 + CAST(('0x' || substr(h, 3, 2)) AS INTEGER) % 192 AS height, "
+            "CAST(('0x' || substr(h, 5, 2)) AS INTEGER) AS b2 FROM m) "
+            "SELECT media_id, width, height, "
+            "CAST(width AS DOUBLE) / height AS aspect_ratio, "
+            "b2 / 255.0 AS mean_luma, 'fake' AS decoder FROM f"
+        ),
         "lang_id": (
             "WITH s AS (SELECT doc_id, "
             + ", ".join(f"{scores[lang]} AS s_{lang}" for lang in sorted(markers))

@@ -316,6 +316,81 @@ def qcosine(a: Column, b: Column) -> Column:
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Cluster near-dup pairs into components by min-label propagation:
+    every node converges to the smallest doc id reachable from it.
+
+    Driver-side loop of pure DataFrame ops (Spark has no native iteration):
+    per round, each node takes min(own label, min neighbor label); stops
+    when a round changes nothing. Rounds needed = graph diameter — near-dup
+    components are tiny cliques, so 2-3 rounds in practice. For adversarial
+    long-chain graphs at 100 TB, switch to the large-star/small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) which converges in O(log^2 n); the propagation step
+    below is its building block.
+
+    Returns (node, cluster_id) for every node that appears in `pairs`.
+    """
+    cols = pairs.columns[:2]
+    fwd = pairs.select(F.col(cols[0]).alias("src"), F.col(cols[1]).alias("dst"))
+    # localCheckpoint (eager) truncates lineage every round — without it the
+    # plan tree deepens per iteration and overflows the JVM stack near round
+    # ~10; on a real cluster prefer reliable checkpoint() to survive executor
+    # loss during long convergences
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("dst_label")),
+                on=["dst"],
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+        )
+        nxt = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.join(labels.select("node", F.col("label").alias("old")), on=["node"])
+            .where(F.col("label") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidate pairs (exact-
+    Jaccard verified) -> connected components -> (doc_id, cluster_id) with
+    the component minimum as the canonical keeper id."""
+    pairs = minhash_lsh_pairs(df, threshold=threshold, text_col=text_col, id_col=id_col)
+    return (
+        connected_components(pairs.select("doc_a", "doc_b"))
+        .select(F.col("node").alias(id_col), "cluster_id")
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.4,

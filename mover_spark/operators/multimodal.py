@@ -62,7 +62,7 @@ def _fake_decode(content: bytes) -> tuple[int, int, float]:
     h = hashlib.md5(content or b"").digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
-    mean_luma = h[2] / 255.0
+    mean_luma = h[2] / 255.0  # single IEEE division -> engine-exact
     return width, height, mean_luma
 
 
@@ -89,13 +89,15 @@ def image_features(media: DataFrame) -> DataFrame:
                     luma = float(pd.Series(img.convert("L").getdata()).mean()) / 255.0
                 else:
                     w, h, luma = _fake_decode(r["content"])
+                # aspect/luma stay unrounded: single IEEE ops are identical
+                # across engines, while round() tie-breaking is not
                 rows.append(
                     {
                         "media_id": r["media_id"],
                         "width": w,
                         "height": h,
-                        "aspect_ratio": round(w / h, 6),
-                        "mean_luma": round(luma, 6),
+                        "aspect_ratio": w / h,
+                        "mean_luma": luma,
                         "decoder": decoder,
                     }
                 )
@@ -147,6 +149,22 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.posexplode(
             F.sequence(F.lit(0).cast("long"), F.col("duration_ms"), F.lit(every_ms).cast("long"))
         ).alias("frame_idx", "offset_ms"),
+    )
+
+
+def media_manifest(media: DataFrame) -> DataFrame:
+    """Typed manifest over opaque media rows — byte length, content digest,
+    and the frame-plan cardinality for videos. All JVM-side column ops: the
+    binary column is metadata-scanned, its bytes never reach Python."""
+    return media.select(
+        "media_id",
+        "media_type",
+        F.octet_length("content").alias("byte_len"),
+        F.md5("content").alias("content_md5"),
+        F.when(
+            (F.col("media_type") == "video") & F.col("duration_ms").isNotNull(),
+            F.floor(F.col("duration_ms") / 1000) + 1,  # == size of frame_sample plan
+        ).alias("n_frames"),
     )
 
 

@@ -59,6 +59,69 @@ def brute_force_topk(
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _lit_vec(vals: list[int]) -> Column:
+    return F.array(*[F.lit(int(v)) for v in vals])
+
+
+def _nearest_centroids(qv: Column, cents: list[tuple[int, list[int]]]) -> Column:
+    """Array of (cosine, cid) structs vs every literal centroid, sorted
+    best-first (desc cosine, asc cid) — a pure per-row expression."""
+    structs = [
+        F.struct(
+            (-qcosine(qv, _lit_vec(cvec))).alias("neg_cos"), F.lit(cid).cast("long").alias("cid")
+        )
+        for cid, cvec in cents
+    ]
+    return F.array_sort(F.array(*structs))  # struct order: neg_cos asc == cos desc, then cid asc
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    into n_centroids cells; each query exactly re-ranks only its n_probe
+    nearest cells — the classic FAISS-style index expressed as DataFrames.
+
+    The quantizer here is deterministic (the n_centroids smallest-id
+    vectors) rather than k-means, so results are reproducible and oracle-
+    checkable; swapping in trained centroids changes recall, not the plan.
+    Scale shape: centroids are collected once (tiny) and baked into the
+    plan as literals, so cell assignment is a narrow map — the only
+    shuffle is the (cell)-keyed candidate join, touching n_probe/n_centroids
+    of the corpus per query."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qc"))
+    cents = [
+        (r.neighbor_id, r.qc)
+        for r in c.orderBy("neighbor_id").limit(n_centroids).collect()
+    ]
+
+    assigned = c.withColumn("cid", _nearest_centroids(F.col("qc"), cents)[0]["cid"])
+    q = queries.select(F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("qq"))
+    probes = q.withColumn(
+        "cid", F.explode(F.slice(_nearest_centroids(F.col("qq"), cents), 1, n_probe)["cid"])
+    )
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        assigned.join(F.broadcast(probes), on=["cid"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(qcosine(F.col("qq"), F.col("qc")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def _signature(qv: Column) -> Column:
     """16-bit random-hyperplane signature of a quantized vector."""
     sig = F.lit(0).cast("long")

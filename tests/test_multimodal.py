@@ -18,7 +18,7 @@ def test_image_features_deterministic(spark, catalog):
     assert rows, "round-robin fixture must contain images"
     assert all(r.decoder in ("pil", "fake") for r in rows)
     assert all(64 <= r.width < 256 and 64 <= r.height < 256 for r in rows)
-    assert all(abs(r.aspect_ratio - round(r.width / r.height, 6)) < 1e-9 for r in rows)
+    assert all(r.aspect_ratio == r.width / r.height for r in rows)  # exact IEEE division
     again = image_features(media).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
