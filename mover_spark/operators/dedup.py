@@ -399,13 +399,22 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """All-pairs quantized-cosine >= threshold. Brute force — correct at any
     SF but O(n^2); LSH-bucketed ANN (similarity.py) is the scale path."""
-    q = df.select(F.col(id_col), quantized_vec(vec_col).alias("q"))
+    # norms precomputed per side: one interpreted dot-product per pair, not
+    # three (HOF aggregates are not codegen'd — see similarity.ivf_topk)
+    q = df.select(F.col(id_col), quantized_vec(vec_col).alias("q")).withColumn(
+        "nrm", F.sqrt(qdot(F.col("q"), F.col("q")).cast("double"))
+    )
     par = df.sparkSession.sparkContext.defaultParallelism * 2
-    a = q.select(F.col(id_col).alias("vec_a"), F.col("q").alias("qa")).repartition(par)
-    b = q.select(F.col(id_col).alias("vec_b"), F.col("q").alias("qb"))
+    a = q.select(
+        F.col(id_col).alias("vec_a"), F.col("q").alias("qa"), F.col("nrm").alias("na")
+    ).repartition(par)
+    b = q.select(F.col(id_col).alias("vec_b"), F.col("q").alias("qb"), F.col("nrm").alias("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(qcosine(F.col("qa"), F.col("qb")), 6))
+        .withColumn(
+            "cosine",
+            F.round(qdot(F.col("qa"), F.col("qb")).cast("double") / (F.col("na") * F.col("nb")), 6),
+        )
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )

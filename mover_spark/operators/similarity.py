@@ -14,10 +14,10 @@ corpus-side work is embarrassingly parallel; the final top-k is a
 per-query-partition window, k rows per query cross the wire.
 """
 
-from __future__ import annotations
-
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -44,15 +44,28 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query vector. Deterministic ranking:
     quantized-integer cosine, ties broken by neighbor id."""
+    from .dedup import qdot
+
     par = corpus.sparkSession.sparkContext.defaultParallelism * 2
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qc")
-    ).repartition(par)  # nested-loop parallelism follows the corpus side
-    q = queries.select(F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("qq"))
+    # norms precomputed per side: one interpreted dot-product per candidate
+    # pair, not three (see ivf_topk)
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qc"))
+        .withColumn("cnorm", F.sqrt(qdot(F.col("qc"), F.col("qc")).cast("double")))
+        .repartition(par)  # nested-loop parallelism follows the corpus side
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("qq")
+    ).withColumn("qnorm", F.sqrt(qdot(F.col("qq"), F.col("qq")).cast("double")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(qcosine(F.col("qq"), F.col("qc")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                qdot(F.col("qq"), F.col("qc")).cast("double") / (F.col("qnorm") * F.col("cnorm")), 6
+            ),
+        )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
@@ -63,20 +76,32 @@ N_CENTROIDS = 16
 N_PROBE = 4
 
 
-def _lit_vec(vals: list[int]) -> Column:
-    return F.array(*[F.lit(int(v)) for v in vals])
+def _ranked_cells_udf(cents: list[tuple[int, list[int]]]):
+    """Vectorized (Arrow/numpy) centroid scorer: for each input quantized
+    vector, returns every cell id ranked best-first by (cosine desc, cid asc).
 
+    One int64 matmul per batch — exact: quantized entries are <= 1e3, so
+    dot products (< 2^27 per term, < 2^33 summed) never round, making the
+    scores bit-identical to the JVM fold and the DuckDB oracle in ANY
+    summation order. This is the piece that scales to real quantizers:
+    at 4096 centroids a per-row expression tree is untenable, while the
+    (batch x dim) @ (dim x cells) matmul stays a single BLAS call."""
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)  # ascending
+    C = np.array([v for _, v in cents], dtype=np.int64)  # (m, d)
+    cnorms = np.sqrt((C * C).sum(axis=1).astype(np.float64))
 
-def _nearest_centroids(qv: Column, cents: list[tuple[int, list[int]]]) -> Column:
-    """Array of (cosine, cid) structs vs every literal centroid, sorted
-    best-first (desc cosine, asc cid) — a pure per-row expression."""
-    structs = [
-        F.struct(
-            (-qcosine(qv, _lit_vec(cvec))).alias("neg_cos"), F.lit(cid).cast("long").alias("cid")
-        )
-        for cid, cvec in cents
-    ]
-    return F.array_sort(F.array(*structs))  # struct order: neg_cos asc == cos desc, then cid asc
+    @F.pandas_udf("array<long>")
+    def ranked(batch: pd.Series) -> pd.Series:
+        M = np.array(batch.tolist(), dtype=np.int64)  # (n, d)
+        dots = (M @ C.T).astype(np.float64)
+        qn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+        cos = dots / (qn[:, None] * cnorms[None, :])
+        # lexsort: primary -cos asc (== cos desc), secondary index asc ==
+        # cid asc (cids are sorted) — matches the oracle's ROW_NUMBER order
+        order = np.argsort(-cos, axis=1, kind="stable")
+        return pd.Series(list(cids[order]))
+
+    return ranked
 
 
 def ivf_topk(
@@ -95,27 +120,43 @@ def ivf_topk(
     The quantizer here is deterministic (the n_centroids smallest-id
     vectors) rather than k-means, so results are reproducible and oracle-
     checkable; swapping in trained centroids changes recall, not the plan.
-    Scale shape: centroids are collected once (tiny) and baked into the
-    plan as literals, so cell assignment is a narrow map — the only
-    shuffle is the (cell)-keyed candidate join, touching n_probe/n_centroids
-    of the corpus per query."""
+    Scale shape: centroids are collected once (tiny) and shipped inside the
+    Arrow-vectorized scorer closure, so cell assignment is a narrow map —
+    the only shuffle is the (cell)-keyed candidate join, touching
+    n_probe/n_centroids of the corpus per query."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qc"))
     cents = [
         (r.neighbor_id, r.qc)
         for r in c.orderBy("neighbor_id").limit(n_centroids).collect()
     ]
+    ranked = _ranked_cells_udf(cents)
 
-    assigned = c.withColumn("cid", _nearest_centroids(F.col("qc"), cents)[0]["cid"])
+    from .dedup import qdot
+
+    # norms ride along through the join: the per-candidate re-rank then costs
+    # ONE dot-product aggregate instead of three (higher-order functions are
+    # interpreted, not codegen'd — tripling them tripled the hot-path cost)
+    assigned = c.withColumn(
+        "cnorm", F.sqrt(qdot(F.col("qc"), F.col("qc")).cast("double"))
+    ).withColumn("cid", ranked(F.col("qc"))[0])
     q = queries.select(F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("qq"))
     probes = q.withColumn(
-        "cid", F.explode(F.slice(_nearest_centroids(F.col("qq"), cents), 1, n_probe)["cid"])
-    )
+        "qnorm", F.sqrt(qdot(F.col("qq"), F.col("qq")).cast("double"))
+    ).withColumn("cid", F.explode(F.slice(ranked(F.col("qq")), 1, n_probe)))
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         assigned.join(F.broadcast(probes), on=["cid"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(qcosine(F.col("qq"), F.col("qc")), 6))
+        # multiply order matches the oracle: query norm first
+        .withColumn(
+            "cosine",
+            F.round(
+                qdot(F.col("qq"), F.col("qc")).cast("double")
+                / (F.col("qnorm") * F.col("cnorm")),
+                6,
+            ),
+        )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
@@ -149,12 +190,18 @@ def lsh_topk(
     probes=0 searches only the query's own bucket; probes=1 additionally
     searches the 16 hamming-1 buckets (recall up, cost x17 — still linear).
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qc")
-    ).withColumn("bucket", _signature(F.col("qc")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("qq")
-    ).withColumn("sig", _signature(F.col("qq")))
+    from .dedup import qdot
+
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qc"))
+        .withColumn("cnorm", F.sqrt(qdot(F.col("qc"), F.col("qc")).cast("double")))
+        .withColumn("bucket", _signature(F.col("qc")))
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("qq"))
+        .withColumn("qnorm", F.sqrt(qdot(F.col("qq"), F.col("qq")).cast("double")))
+        .withColumn("sig", _signature(F.col("qq")))
+    )
 
     flips = [F.col("sig")]
     if probes >= 1:
@@ -165,9 +212,14 @@ def lsh_topk(
     return (
         c.join(F.broadcast(q), on=["bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qq", "qc")
+        .select("query_id", "neighbor_id", "qq", "qc", "qnorm", "cnorm")
         .dropDuplicates(["query_id", "neighbor_id"])  # multi-probe may re-find
-        .withColumn("cosine", F.round(qcosine(F.col("qq"), F.col("qc")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                qdot(F.col("qq"), F.col("qc")).cast("double") / (F.col("qnorm") * F.col("cnorm")), 6
+            ),
+        )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
