@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -60,6 +62,27 @@ def shingles_col(text: Column | str = "text", n: int = 2) -> Column:
     return F.when(F.size(w) >= n, F.array_distinct(joined)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles_udf(n: int = 2):
+    """Arrow-vectorized shingle builder — same string set as shingles_col
+    (Python str.split(' ') matches Spark split-with-limit=-1 on literal
+    space, including empty tokens; dict.fromkeys == array_distinct). The
+    interpreted concat_ws/element_at HOF chain was the single costliest step
+    of every shingle-based pipeline."""
+
+    @F.pandas_udf("array<string>")
+    def sh(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            w = t.split(" ") if t is not None else []
+            if len(w) >= n:
+                out.append(list(dict.fromkeys(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))))
+            else:
+                out.append([])
+        return pd.Series(out)
+
+    return sh
 
 
 def jaccard_col(a: Column, b: Column) -> Column:
@@ -107,7 +130,7 @@ def ngram_jaccard_pairs(
     from pyspark.sql.window import Window  # local: avoid cycle at import
 
     sh = (
-        df.select(F.col(id_col).alias("doc"), shingles_col(text_col).alias("sh"))
+        df.select(F.col(id_col).alias("doc"), shingles_udf()(F.col(text_col)).alias("sh"))
         .where(F.size("sh") > 0)
         .persist()
     )
@@ -167,7 +190,8 @@ def ngram_jaccard_pairs(
 
 def minhash_signature_cols(sh: Column) -> list[Column]:
     """48 minhash values: min over shingles of (a*xxhash64(s)+b) mod p.
-    Pure array expressions — no explode, no UDF."""
+    Pure array expressions — no explode, no UDF. Kept as the dependency-free
+    reference; the hot path uses minhash_signature_udf (identical values)."""
     h = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
     sigs = []
     for i in range(N_MINHASH):
@@ -178,6 +202,26 @@ def minhash_signature_cols(sh: Column) -> list[Column]:
             ).alias(f"mh_{i}")
         )
     return sigs
+
+
+def minhash_signature_udf():
+    """Arrow-vectorized minhash: one (n_perm x n_shingle) numpy broadcast
+    per row instead of 48 interpreted array traversals. Input: the
+    pmod(xxhash64(shingle), p) array (hashing stays JVM-side so values match
+    minhash_signature_cols bit-for-bit); a*x < 2^31 * 2^31 = 2^62 never
+    overflows int64, and numpy % equals Spark pmod on non-negatives."""
+    A = np.array(MINHASH_A, dtype=np.int64)[:, None]
+    B = np.array(MINHASH_B, dtype=np.int64)[:, None]
+
+    @F.pandas_udf("array<long>")
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            x = np.asarray(h, dtype=np.int64)[None, :]
+            out.append((A * x + B) % MERSENNE_P)
+        return pd.Series([m.min(axis=1) for m in out])
+
+    return sig
 
 
 def minhash_lsh_pairs(
@@ -196,13 +240,20 @@ def minhash_lsh_pairs(
     whenever LSH recall is 1 (P(miss) < 1e-5 at j >= threshold+0.1).
     """
     rows_per_band = N_MINHASH // LSH_BANDS
-    sh = df.select(F.col(id_col), shingles_col(text_col).alias("sh")).where(F.size("sh") > 0)
-    sig = sh.select(id_col, "sh", *minhash_signature_cols(F.col("sh"))).persist()
+    sh = df.select(F.col(id_col), shingles_udf()(F.col(text_col)).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    mh = minhash_signature_udf()
+    sig = sh.select(
+        id_col,
+        "sh",
+        mh(F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))).alias("mhs"),
+    ).persist()
 
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
-            F.xxhash64(*[F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias("bucket"),
+            F.xxhash64(*[F.col("mhs")[bi * rows_per_band + r] for r in range(rows_per_band)]).alias("bucket"),
         )
         for bi in range(LSH_BANDS)
     ]
@@ -240,7 +291,8 @@ SIMHASH_BANDS = 4  # 16 bits each; pigeonhole: hamming<=3 -> >=1 band equal
 
 def simhash_col(text: Column | str = "text") -> Column:
     """64-bit SimHash: bit i set iff sum over words of ±1 (sign of bit i of
-    xxhash64(word)) is positive. Per-row array math — no shuffle."""
+    xxhash64(word)) is positive. Per-row array math — no shuffle. Reference
+    implementation; the hot path uses simhash_udf (identical values)."""
     w = words_col(text)
     h = F.transform(w, lambda x: F.xxhash64(x))
     total = F.size(w)
@@ -250,6 +302,26 @@ def simhash_col(text: Column | str = "text") -> Column:
         bit = F.when(ones * 2 > total, F.lit(1)).otherwise(F.lit(0)).cast("long")
         out = out.bitwiseOR(F.shiftleft(bit, i))  # OR, not +: bit 63 is the sign bit
     return out
+
+
+def simhash_udf():
+    """Arrow-vectorized SimHash over the JVM-computed xxhash64(word) array:
+    one (n_words x 64) bit-unpack + column majority per row, vs 64
+    interpreted filter passes. Matches simhash_col bit-for-bit (Spark's
+    shiftright is arithmetic, but bit i of an int64 is sign-independent)."""
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def sim(hashes: pd.Series) -> pd.Series:
+        out = np.empty(len(hashes), dtype=np.int64)
+        for j, h in enumerate(hashes):
+            x = np.asarray(h, dtype=np.int64).astype(np.uint64)[:, None]
+            bits = (x >> shifts[None, :]) & np.uint64(1)  # (n_words, 64)
+            maj = bits.sum(axis=0) * 2 > len(h)
+            out[j] = maj.astype(np.uint64).dot(np.left_shift(np.uint64(1), shifts)).astype(np.int64)
+        return pd.Series(out)
+
+    return sim
 
 
 def simhash_pairs(
@@ -263,7 +335,11 @@ def simhash_pairs(
     pigeonhole — then bit_count verification."""
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_bits) - 1
-    sh = df.select(F.col(id_col), simhash_col(text_col).alias("simhash")).persist()
+    sim = simhash_udf()
+    sh = df.select(
+        F.col(id_col),
+        sim(F.transform(words_col(text_col), lambda x: F.xxhash64(x))).alias("simhash"),
+    ).persist()
     bands = sh.select(
         id_col,
         "simhash",
@@ -397,24 +473,67 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """All-pairs quantized-cosine >= threshold. Brute force — correct at any
-    SF but O(n^2); LSH-bucketed ANN (similarity.py) is the scale path."""
-    # norms precomputed per side: one interpreted dot-product per pair, not
-    # three (HOF aggregates are not codegen'd — see similarity.ivf_topk)
-    q = df.select(F.col(id_col), quantized_vec(vec_col).alias("q")).withColumn(
-        "nrm", F.sqrt(qdot(F.col("q"), F.col("q")).cast("double"))
+    """All-pairs quantized-cosine >= threshold, as a blocked matmul.
+
+    The n^2 pair space is tiled into B(B+1)/2 block pairs (blk = id mod B,
+    so tiles are equal-sized — no skew); each tile is one int64
+    (rows x dim) @ (dim x rows) BLAS call inside mapInPandas. Compared to a
+    row-pair theta-join this moves each vector B times instead of n times
+    and replaces per-pair interpreted dot products with vectorized math —
+    the classic distributed all-pairs decomposition. Still O(n^2) compute
+    by design (exact baseline); LSH/IVF (similarity.py) is the scale path.
+
+    Determinism: integer dots are exact in any order; the raw cosine is a
+    single IEEE division (commutative norm product), and the half-up
+    round/threshold is applied JVM-side so results match the DuckDB oracle
+    bit-for-bit."""
+    n_blocks = 16
+    q = df.select(F.col(id_col).alias("vid"), quantized_vec(vec_col).alias("qv")).withColumn(
+        "blk", F.pmod(F.col("vid"), F.lit(n_blocks)).cast("int")
     )
-    par = df.sparkSession.sparkContext.defaultParallelism * 2
-    a = q.select(
-        F.col(id_col).alias("vec_a"), F.col("q").alias("qa"), F.col("nrm").alias("na")
-    ).repartition(par)
-    b = q.select(F.col(id_col).alias("vec_b"), F.col("q").alias("qb"), F.col("nrm").alias("nb"))
+    g = q.groupBy("blk").agg(
+        F.sort_array(F.collect_list(F.struct(F.col("vid"), F.col("qv")))).alias("vs")
+    )
+    a = g.select(F.col("blk").alias("blk_a"), F.col("vs").alias("vs_a"))
+    b = g.select(F.col("blk").alias("blk_b"), F.col("vs").alias("vs_b"))
+    tiles = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
+        n_blocks * (n_blocks + 1) // 2
+    )
+    # prefilter margin: keep anything that could half-up-round to >= threshold
+    lo = threshold - 1e-6
+
+    def compute(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                ia = np.array([x["vid"] for x in r["vs_a"]], dtype=np.int64)
+                ib = np.array([x["vid"] for x in r["vs_b"]], dtype=np.int64)
+                if not len(ia) or not len(ib):
+                    continue
+                A = np.array([list(x["qv"]) for x in r["vs_a"]], dtype=np.int64)
+                B = np.array([list(x["qv"]) for x in r["vs_b"]], dtype=np.int64)
+                na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+                nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+                cos = (A @ B.T).astype(np.float64) / (na[:, None] * nb[None, :])
+                # each unordered pair lands in exactly one tile — but a
+                # diagonal tile sees it at both (i,j) and (j,i): keep the
+                # strictly-increasing half there. Off-diagonal tiles see it
+                # once, in either orientation: emit as (min id, max id);
+                # cosine and the norm product are symmetric.
+                if r["blk_a"] == r["blk_b"]:
+                    keep = (cos >= lo) & (ia[:, None] < ib[None, :])
+                else:
+                    keep = (cos >= lo) & (ia[:, None] != ib[None, :])
+                i, j = np.nonzero(keep)
+                if len(i):
+                    va, vb = ia[i], ib[j]
+                    lo_id, hi_id = np.minimum(va, vb), np.maximum(va, vb)
+                    yield pd.DataFrame(
+                        {"vec_a": lo_id, "vec_b": hi_id, "cosine": cos[i, j]}
+                    )
+
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "cosine",
-            F.round(qdot(F.col("qa"), F.col("qb")).cast("double") / (F.col("na") * F.col("nb")), 6),
-        )
+        tiles.mapInPandas(compute, "vec_a long, vec_b long, cosine double")
+        .withColumn("cosine", F.round("cosine", 6))
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
