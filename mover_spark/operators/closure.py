@@ -76,18 +76,17 @@ class _KeySets:
         self._sets: dict[tuple[str, tuple[str, ...]], DataFrame] = {}
         self._since_checkpoint = 0
 
-    def novel(self, table: str, cols: list[str], keys: DataFrame) -> DataFrame | None:
+    def novel(self, table: str, cols: list[str], keys: DataFrame) -> DataFrame:
         """Anti-join `keys` against the seen set, record them, return the new
-        ones (None if nothing new). `keys` columns must equal `cols`."""
+        ones. Lazy on purpose — no action here: the caller's single fetch
+        materialization is the only job per edge (emptiness of the key set
+        surfaces there as an empty fetch)."""
         k = (table, tuple(cols))
         keys = keys.dropDuplicates(cols)
         seen = self._sets.get(k)
         if seen is not None:
             keys = keys.join(seen, on=cols, how="left_anti")
         keys = keys.persist()
-        if keys.isEmpty():
-            keys.unpersist()
-            return None
         self._sets[k] = keys if seen is None else seen.unionByName(keys)
         self._since_checkpoint += 1
         if self._since_checkpoint >= 20:  # cut iterative lineage
@@ -164,8 +163,6 @@ def extract_closure(
 
             def _fetch(target: str, cols: list[str], keys: DataFrame, depth: int):
                 new_keys = seen.novel(target, cols, keys)
-                if new_keys is None:
-                    return
                 tgt = catalog.table(target)
                 fetched = catalog.df(target).join(new_keys, on=cols, how="left_semi")
                 # Row-level memoization across access paths: a row already
@@ -258,7 +255,14 @@ def _format_value(v) -> str:
 
 
 def closure_summary(extracted: dict[str, DataFrame]) -> DataFrame:
-    """Per-table row counts of an extract — stable, oracle-checkable shape."""
-    spark = SparkSession.getActiveSession()
-    rows = [(t, extracted[t].count()) for t in sorted(extracted)]
-    return spark.createDataFrame(rows, "table_name string, row_count long")
+    """Per-table row counts of an extract — stable, oracle-checkable shape.
+    One union-of-counts job instead of one count action per table."""
+    from functools import reduce
+
+    counts = [
+        df.agg(F.count(F.lit(1)).alias("row_count")).select(
+            F.lit(t).alias("table_name"), "row_count"
+        )
+        for t, df in extracted.items()
+    ]
+    return reduce(lambda a, b: a.unionByName(b), counts).orderBy("table_name")
