@@ -284,6 +284,24 @@ def _q_running_window(spark, sf_dir):
     return running_window(_catalog(spark, sf_dir))
 
 
+def _q_string_funcs(spark, sf_dir):
+    from mover_spark.operators.scalar_funcs import string_funcs
+
+    return string_funcs(_catalog(spark, sf_dir))
+
+
+def _q_date_funcs(spark, sf_dir):
+    from mover_spark.operators.scalar_funcs import date_funcs
+
+    return date_funcs(_catalog(spark, sf_dir))
+
+
+def _q_array_funcs(spark, sf_dir):
+    from mover_spark.operators.scalar_funcs import array_funcs
+
+    return array_funcs(_catalog(spark, sf_dir))
+
+
 def _q_tumbling(spark, sf_dir):
     from mover_spark.operators.events import tumbling_counts
 
@@ -300,6 +318,14 @@ def _q_sessionize(spark, sf_dir):
     from mover_spark.operators.events import session_stats
 
     return session_stats(_catalog(spark, sf_dir))
+
+
+def _q_streaming_tumbling(spark, sf_dir):
+    """Structured Streaming path: availableNow ingest -> watermarked window
+    agg -> memory sink; result equals the batch tumbling query exactly."""
+    from mover_spark.streaming.events import tumbling_batch_parity
+
+    return tumbling_batch_parity(spark, sf_dir)
 
 
 def _q_json_props(spark, sf_dir):
@@ -478,10 +504,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_agg": _q_percentile,
         "stddev_stats": _q_stddev,
         "running_window": _q_running_window,
+        "string_funcs": _q_string_funcs,
+        "date_funcs": _q_date_funcs,
+        "array_funcs": _q_array_funcs,
         "events_tumbling": _q_tumbling,
         "events_sliding": _q_sliding,
         "events_sessionize": _q_sessionize,
         "events_json_props": _q_json_props,
+        "streaming_tumbling": _q_streaming_tumbling,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -879,7 +909,39 @@ def oracle_sql() -> dict[str, str]:
             "LAG(o_totalprice) OVER (PARTITION BY o_custkey "
             "ORDER BY o_orderdate, o_orderkey) AS prev_price FROM orders"
         ),
+        "string_funcs": (
+            "SELECT c_custkey, upper(c_name) AS upper_name, "
+            "CAST(length(c_name) AS INTEGER) AS name_len, "
+            "regexp_extract(c_name, '(\\d+)', 1) AS cust_no, "
+            "lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded_key, "
+            "reverse(lower(c_name)) AS rev_name, "
+            "list_aggregate(list_transform(string_split(replace(c_name, '#', ' '), ' '), "
+            "w -> upper(substr(w, 1, 1))), 'string_agg', '') AS initials "
+            "FROM customer"
+        ),
+        "date_funcs": (
+            "SELECT o_orderkey, CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start, "
+            "CAST(year(o_orderdate) AS INTEGER) AS yr, "
+            "CAST(quarter(o_orderdate) AS INTEGER) AS qtr, "
+            "CAST(isodow(o_orderdate) - 1 AS INTEGER) AS dow, "
+            "CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since, "
+            "last_day(o_orderdate) AS month_end FROM orders"
+        ),
+        "array_funcs": (
+            "SELECT l_orderkey, list_sort(list(l_quantity)) AS qty_arr, "
+            "CAST(len(list(l_quantity)) AS INTEGER) AS n_items, "
+            "list_max(list(l_quantity)) AS max_qty, "
+            "list_sort(list(l_quantity))[1:3] AS first3, "
+            "list_contains(list(l_quantity), 20.0) AS has_qty20 "
+            "FROM lineitem GROUP BY l_orderkey"
+        ),
         "events_tumbling": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "streaming_tumbling": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "

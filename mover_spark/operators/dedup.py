@@ -124,11 +124,13 @@ def ngram_jaccard_pairs(
     Instead of an O(n^2) nested-loop product, candidates come from an
     EQUI-join: sort each doc's shingles by ascending global frequency; two
     docs can reach Jaccard >= t only if their first |A| - ceil(t*|A|) + 1
-    rarest shingles overlap, so exploding only those prefixes and joining on
-    the shingle yields a small, skew-resistant candidate set that is then
-    verified exactly. Lossless — output identical to brute force."""
-    from pyspark.sql.window import Window  # local: avoid cycle at import
-
+    rarest shingles overlap (prefix filter), AND a shared prefix token at
+    positions (i, j) bounds the possible overlap by
+    1 + min(|A|-i, |B|-j), which must reach ceil(t/(1+t) * (|A|+|B|))
+    (positional filter). Exploding only prefixes, joining on the shingle,
+    and applying both bounds yields a small, skew-resistant candidate set
+    that is then verified exactly. Lossless — output identical to brute
+    force."""
     sh = (
         df.select(F.col(id_col).alias("doc"), shingles_udf()(F.col(text_col)).alias("sh"))
         .where(F.size("sh") > 0)
@@ -153,11 +155,12 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    pref = docs.select("doc", "n", F.explode("prefix").alias("p")).select(
-        "doc", "n", F.col("p.tok").alias("tok")
-    )
-    a = pref.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "tok")
-    b = pref.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), "tok")
+    pref = docs.select(
+        "doc", "n", F.posexplode("prefix").alias("pos", "p")
+    ).select("doc", "n", (F.col("pos") + 1).alias("pos"), F.col("p.tok").alias("tok"))
+    a = pref.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), F.col("pos").alias("i"), "tok")
+    b = pref.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), F.col("pos").alias("j"), "tok")
+    t_frac = threshold / (1.0 + threshold)
     candidates = (
         a.join(b, "tok")
         .where(
@@ -165,6 +168,12 @@ def ngram_jaccard_pairs(
             # size pruning: jaccard <= min/max
             & (F.col("n_a").cast("double") >= F.col("n_b") * threshold)
             & (F.col("n_b").cast("double") >= F.col("n_a") * threshold)
+            # positional pruning: remaining-suffix overlap bound must reach
+            # the required overlap ceil(t/(1+t) * (n_a + n_b))
+            & (
+                (1 + F.least(F.col("n_a") - F.col("i"), F.col("n_b") - F.col("j"))).cast("double")
+                >= F.ceil(F.lit(t_frac) * (F.col("n_a") + F.col("n_b")) - 1e-9)
+            )
         )
         .select("doc_a", "doc_b")
         .distinct()

@@ -1,0 +1,63 @@
+"""Scalar/array function-surface queries.
+
+The reference delegates every scalar function in a seed query to PostgreSQL
+(SURVEY.md §2.2); these queries pin the engine's own string/date/array
+function behavior against the DuckDB oracle. All JVM-side built-ins —
+whole-stage codegen, no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions import initials_col
+
+
+def string_funcs(cat: Catalog) -> DataFrame:
+    """String surface: case, length, regexp extraction, padding, reversal,
+    initials — one narrow projection over customer."""
+    c = cat.df("customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("cust_no"),
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("padded_key"),
+        F.reverse(F.lower("c_name")).alias("rev_name"),
+        initials_col(F.translate("c_name", "#", " ")).alias("initials"),
+    )
+
+
+def date_funcs(cat: Catalog) -> DataFrame:
+    """Date/time surface: truncation, parts, diffs, month boundaries over
+    orders. weekday is Monday=0 (Spark weekday == DuckDB isodow-1)."""
+    o = cat.df("orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekday("o_orderdate").alias("dow"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
+def array_funcs(cat: Catalog) -> DataFrame:
+    """Array surface: per-order quantity vector with sort/slice/contains/
+    max — collect_list under groupBy, then pure array ops."""
+    li = cat.df("lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_quantity")).alias("qty_arr"))
+        .select(
+            "l_orderkey",
+            "qty_arr",
+            F.size("qty_arr").alias("n_items"),
+            F.element_at("qty_arr", -1).alias("max_qty"),
+            F.slice("qty_arr", 1, 3).alias("first3"),
+            F.array_contains("qty_arr", 20.0).alias("has_qty20"),
+        )
+    )

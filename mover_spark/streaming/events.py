@@ -117,6 +117,38 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_DRAIN_SEQ = [0]
+
+
+def tumbling_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming query with a batch-checkable answer: ingest the
+    events fixture as an availableNow stream, run the watermarked tumbling
+    aggregation with order-invariant decimal sums, drain to a memory sink,
+    and return the result — bit-identical to the batch tumbling query, so
+    the DuckDB oracle applies to the STREAMING path too."""
+    # watermarks require TIMESTAMP (not NTZ); the session runs UTC, so the
+    # final cast of the window start to NTZ is value-preserving
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    _DRAIN_SEQ[0] += 1
+    name = f"streaming_tumbling_{_DRAIN_SEQ[0]}"
+    run_to_memory(agg, name)
+    return spark.table(name)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain a stream with availableNow into a memory sink; returns the
     finished query (caller reads spark.table(name))."""
