@@ -448,6 +448,23 @@ def _q_asof_join(spark, sf_dir):
     ).select("event_id", "user_id", "ts", "ts_asof", "value_asof")
 
 
+def _q_skew_salted_join(spark, sf_dir):
+    """Skew-mitigated fact-dim join: identical result to the plain join,
+    shuffle key salted so a hot orderkey spreads over 8 reducers."""
+    from mover_spark.operators.analytics import dsum
+    from mover_spark.operators.joins import salted_join
+
+    cat = _catalog(spark, sf_dir)
+    li = cat.df("lineitem").select(F.col("l_orderkey").alias("k"), "l_quantity")
+    ords = cat.df("orders").select(F.col("o_orderkey").alias("k"), "o_orderstatus")
+    return (
+        salted_join(li, ords, on=["k"], salts=8)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy("o_orderstatus")
+    )
+
+
 _VALUE_BUCKETS = [
     (0.0, 10.0, "tiny"),
     (10.0, 50.0, "small"),
@@ -529,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "skew_salted_join": _q_skew_salted_join,
     }
 
 
@@ -1077,6 +1095,12 @@ def oracle_sql() -> dict[str, str]:
             "p.value AS value_asof FROM events e ASOF LEFT JOIN "
             "(SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p "
             "ON e.user_id = p.user_id AND e.ts >= p.ts"
+        ),
+        "skew_salted_join": (
+            "SELECT o_orderstatus, COUNT(*) AS n_items, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus"
         ),
         "range_join": (
             "WITH buckets(lo, hi, label) AS (VALUES "

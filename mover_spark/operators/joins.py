@@ -14,6 +14,13 @@ the fixed-width buckets it overlaps and equi-joining on bucket id turns a
 nested-loop theta-join into a hash join + residual filter. Bucket width
 trades replication for selectivity; intervals dims are usually tiny and
 broadcast anyway.
+
+salted_join / salted_agg — explicit skew mitigation for when AQE's runtime
+skew-join split isn't available or sufficient (e.g. a hot key inside one
+fetched shuffle block, or a skewed aggregation): scatter the hot side
+across S salt buckets with a deterministic content hash, replicate the
+other side S times (join) or pre-aggregate per salt (agg). Results are
+identical to the unsalted plan — only the partitioning changes.
 """
 
 from __future__ import annotations
@@ -77,6 +84,59 @@ def as_of_join(
         f"{right_ts}{suffix}",
         *[f"{p}{suffix}" for p in payload],
     )
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where `large` has skewed join keys: the shuffle key becomes
+    (key, salt) so a hot key spreads over `salts` reducers instead of
+    melting one. `small` is replicated `salts` times (explode of a literal
+    range — cheap for the dimension-sized inputs this is meant for).
+
+    Salt is a deterministic hash of the large row's full content, so plans
+    stay reproducible run-to-run (no rand()). Result == large.join(small,
+    on, how) exactly; only the physical partitioning differs."""
+    salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in large.columns])), F.lit(salts))
+    l = large.withColumn("__salt", salt.cast("int"))
+    s = small.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    return l.join(s, on=[*on, "__salt"], how=how).drop("__salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple],
+    salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: partial agg on (keys, salt), final
+    agg on keys. `aggs` maps output column -> (kind, column) with kind in
+    {count, sum, min, max} — the decomposable aggregates where
+    final(partial(x)) == direct(x). A hot group's rows split across `salts`
+    partial groups, so no single task aggregates a whole hot key."""
+    salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(salts))
+    partial_exprs, final_exprs = [], []
+    for out, (kind, col) in aggs.items():
+        if kind == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(f"__{out}"))
+            final_exprs.append(F.sum(f"__{out}").alias(out))
+        elif kind == "sum":
+            partial_exprs.append(F.sum(col).alias(f"__{out}"))
+            final_exprs.append(F.sum(f"__{out}").alias(out))
+        elif kind == "min":
+            partial_exprs.append(F.min(col).alias(f"__{out}"))
+            final_exprs.append(F.min(f"__{out}").alias(out))
+        elif kind == "max":
+            partial_exprs.append(F.max(col).alias(f"__{out}"))
+            final_exprs.append(F.max(f"__{out}").alias(out))
+        else:
+            raise ValueError(f"non-decomposable aggregate kind: {kind}")
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)
 
 
 def range_join(
