@@ -428,6 +428,23 @@ def _q_token_counts(spark, sf_dir):
     return token_counts(_catalog(spark, sf_dir).df("documents"))
 
 
+def _q_word_freq(spark, sf_dir):
+    from mover_spark.operators.text import word_freq_topk
+
+    return word_freq_topk(_catalog(spark, sf_dir).df("documents"), k=100)
+
+
+def _q_embedding_dup_clusters(spark, sf_dir):
+    """Near-dup clustering in embedding space: cosine pairs -> connected
+    components -> canonical (min-id) cluster assignment."""
+    from mover_spark.operators.dedup import connected_components, embedding_cosine_pairs
+
+    pairs = embedding_cosine_pairs(_catalog(spark, sf_dir).df("embeddings"), threshold=0.4)
+    return connected_components(pairs.select("vec_a", "vec_b")).select(
+        F.col("node").alias("vec_id"), "cluster_id"
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     from mover_spark.operators.text import fingerprint
 
@@ -544,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_fingerprint,
+        "word_freq_topk": _q_word_freq,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "skew_salted_join": _q_skew_salted_join,
@@ -1089,6 +1108,21 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
             "AS md5_fingerprint FROM documents"
+        ),
+        "word_freq_topk": (
+            "SELECT word, COUNT(*) AS cnt FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+            "WHERE word != '' GROUP BY word ORDER BY cnt DESC, word LIMIT 100"
+        ),
+        "embedding_dup_clusters": (
+            "WITH RECURSIVE " + _QVEC_CTE + ", "
+            "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM q a JOIN q b "
+            f"ON a.vec_id < b.vec_id WHERE ROUND({_qcos('a.qv', 'b.qv')}, 6) >= 0.4), "
+            "e AS (SELECT vec_a AS a, vec_b AS b FROM p "
+            "UNION SELECT vec_b, vec_a FROM p), "
+            "reach(n, m) AS (SELECT a, b FROM e "
+            "UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a) "
+            "SELECT n AS vec_id, LEAST(n, MIN(m)) AS cluster_id FROM reach GROUP BY n"
         ),
         "asof_join": (
             "SELECT e.event_id, e.user_id, e.ts, p.ts AS ts_asof, "

@@ -88,6 +88,20 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def word_freq_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus-level token frequency, top-k. The canonical wide shuffle:
+    explode -> map-side partial count -> one hash shuffle on the token ->
+    TakeOrdered for the global limit (no single-partition sort)."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(k)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (cheap exact-dup key), plus a 64-bit xxhash for compact storage."""
