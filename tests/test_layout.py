@@ -1,0 +1,61 @@
+"""Physical-layout checks: bucketed joins must not shuffle; partition
+filters must prune at the scan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mover_spark.sources.layout import (
+    assert_no_join_exchange,
+    plan_string,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(spark, catalog, tmp_path, no_broadcast):
+    ords = write_bucketed(
+        catalog.df("orders"), "orders_bkt", ["o_orderkey"], 8, str(tmp_path / "o")
+    )
+    li = write_bucketed(
+        catalog.df("lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_bkt",
+        ["o_orderkey"],
+        8,
+        str(tmp_path / "l"),
+    )
+    joined = li.join(ords, on=["o_orderkey"]).select("o_orderkey", "l_quantity", "o_totalprice")
+    assert_no_join_exchange(joined)
+    # and the result is still correct
+    expect = catalog.df("lineitem").join(
+        catalog.df("orders"), F.col("l_orderkey") == F.col("o_orderkey")
+    ).count()
+    assert joined.count() == expect
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_unbucketed_join_does_exchange(spark, catalog, no_broadcast):
+    # control: the same join over plain parquet shuffles both sides
+    joined = catalog.df("lineitem").join(
+        catalog.df("orders"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    assert "Exchange" in plan_string(joined)
+
+
+def test_partitioned_write_prunes_scan(spark, catalog, tmp_path):
+    ev = catalog.df("events").withColumn("day", F.to_date("ts"))
+    re_read = write_partitioned(ev, str(tmp_path / "ev"), ["day"])
+    one_day = re_read.where(F.col("day") == F.lit("2024-01-05").cast("date"))
+    plan = plan_string(one_day)
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200]
+    # pruned read returns exactly the rows of that day
+    expect = ev.where(F.to_date("ts") == F.lit("2024-01-05").cast("date")).count()
+    assert one_day.count() == expect
