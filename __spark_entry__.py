@@ -278,6 +278,18 @@ def _q_stddev(spark, sf_dir):
     return stddev_stats(_catalog(spark, sf_dir))
 
 
+def _q_cust_order_dist(spark, sf_dir):
+    from mover_spark.operators.subqueries import cust_order_distribution
+
+    return cust_order_distribution(_catalog(spark, sf_dir))
+
+
+def _q_full_outer(spark, sf_dir):
+    from mover_spark.operators.subqueries import full_outer_status_spend
+
+    return full_outer_status_spend(_catalog(spark, sf_dir))
+
+
 def _q_running_window(spark, sf_dir):
     from mover_spark.operators.subqueries import running_window
 
@@ -538,6 +550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_agg": _q_percentile,
         "stddev_stats": _q_stddev,
         "running_window": _q_running_window,
+        "q13_cust_order_dist": _q_cust_order_dist,
+        "full_outer_spend": _q_full_outer,
         "string_funcs": _q_string_funcs,
         "date_funcs": _q_date_funcs,
         "array_funcs": _q_array_funcs,
@@ -945,6 +959,24 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend, "
             "LAG(o_totalprice) OVER (PARTITION BY o_custkey "
             "ORDER BY o_orderdate, o_orderkey) AS prev_price FROM orders"
+        ),
+        "q13_cust_order_dist": (
+            "SELECT c_count, COUNT(*) AS custdist FROM ("
+            "SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+            "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey "
+            "AND o_orderpriority != '1-URGENT' GROUP BY c_custkey) "
+            "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+        ),
+        "full_outer_spend": (
+            "WITH f AS (SELECT o_custkey AS custkey, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS f_spend "
+            "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey), "
+            "o AS (SELECT o_custkey AS custkey, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS o_spend "
+            "FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) "
+            "SELECT COALESCE(f.custkey, o.custkey) AS custkey, "
+            "COALESCE(f_spend, 0.0) AS f_spend, COALESCE(o_spend, 0.0) AS o_spend "
+            "FROM f FULL OUTER JOIN o ON f.custkey = o.custkey ORDER BY custkey"
         ),
         "string_funcs": (
             "SELECT c_custkey, upper(c_name) AS upper_name, "

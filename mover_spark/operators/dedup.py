@@ -417,20 +417,50 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     Returns (node, cluster_id) for every node that appears in `pairs`.
     """
     cols = pairs.columns[:2]
-    fwd = pairs.select(F.col(cols[0]).alias("src"), F.col(cols[1]).alias("dst"))
+    # undirected edge list in ONE pass over `pairs` (a union of fwd+reversed
+    # would evaluate the upstream pair pipeline twice).
     # localCheckpoint (eager) truncates lineage every round — without it the
     # plan tree deepens per iteration and overflows the JVM stack near round
     # ~10; on a real cluster prefer reliable checkpoint() to survive executor
     # loss during long convergences
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    a, b = F.col(cols[0]), F.col(cols[1])
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(a.alias("src"), b.alias("dst")),
+                    F.struct(b.alias("src"), a.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint()
+    )
+    # near-dup graphs are tiny relative to the corpus: size the per-round
+    # shuffles to the edge count instead of inheriting the global
+    # shuffle-partition setting (32 partitions x N rounds of ~KB data is
+    # pure scheduling overhead; at real scale the count grows the width)
+    n_edges = edges.count()
+    parts = max(1, min(int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+                       n_edges // 500_000 + 1))
+    edges = edges.repartition(parts, "dst").localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    spark = edges.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        labels = _propagate(edges, labels, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def _propagate(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -457,7 +487,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         labels = nxt
         if changed == 0:
             break
-    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+    return labels
 
 
 def dedup_clusters(

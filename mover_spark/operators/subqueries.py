@@ -259,6 +259,50 @@ def stddev_stats(cat: Catalog) -> DataFrame:
     )
 
 
+def cust_order_distribution(cat: Catalog, excl_priority: str = "1-URGENT") -> DataFrame:
+    """LEFT OUTER join + null-skipping count (TPC-H Q13 shape): order-count
+    histogram over ALL customers, zero-order customers included. The extra
+    join predicate lives in the join condition (not a post-filter), which is
+    what preserves the unmatched left rows."""
+    c = cat.df("customer")
+    o = cat.df("orders").where(F.col("o_orderpriority") != excl_priority)
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count(col) skips nulls
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def full_outer_status_spend(cat: Catalog) -> DataFrame:
+    """FULL OUTER join of two per-customer aggregates (spend on finished vs
+    open orders) — exercises outer-join null semantics + coalesce."""
+    o = cat.df("orders")
+    f_spend = (
+        o.where(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(dsum("o_totalprice").alias("f_spend"))
+    )
+    o_spend = (
+        o.where(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(dsum("o_totalprice").alias("o_spend"))
+    )
+    return (
+        f_spend.join(o_spend, on=["custkey"], how="full_outer")
+        .select(
+            "custkey",
+            F.coalesce("f_spend", F.lit(0.0)).alias("f_spend"),
+            F.coalesce("o_spend", F.lit(0.0)).alias("o_spend"),
+        )
+        .orderBy("custkey")
+    )
+
+
 def running_window(cat: Catalog) -> DataFrame:
     """Running aggregation frame: cumulative spend + previous order price
     per customer in date order (deterministic tie-break on order key)."""
