@@ -457,6 +457,39 @@ def _q_embedding_dup_clusters(spark, sf_dir):
     )
 
 
+def _q_kmv_distinct(spark, sf_dir):
+    from mover_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(_catalog(spark, sf_dir).df("orders"), ["o_custkey"], k=256)
+
+
+def _q_heavy_hitter_users(spark, sf_dir):
+    from mover_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(_catalog(spark, sf_dir).df("events"), "user_id", min_share=0.005)
+
+
+def _q_bloom_prefilter_join(spark, sf_dir):
+    """Bloom pre-filter composed with the exact semi-join: the sketch prunes
+    the probe scan, the exact join restores exactness — the result equals
+    the plain semi-join, so the oracle is exact SQL."""
+    from mover_spark.operators.analytics import dsum
+    from mover_spark.operators.sketches import bloom_semi_join
+
+    cat = _catalog(spark, sf_dir)
+    li = cat.df("lineitem")
+    hot = cat.df("orders").where(F.col("o_totalprice") > 150000)
+    pre = bloom_semi_join(li, hot, "l_orderkey", "o_orderkey", expected=50000, fpp=0.01)
+    exact = pre.join(
+        hot.select(F.col("o_orderkey").alias("l_orderkey")), on=["l_orderkey"], how="left_semi"
+    )
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_extendedprice").alias("sum_price"))
+        .orderBy("l_returnflag")
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     from mover_spark.operators.text import fingerprint
 
@@ -577,6 +610,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "word_freq_topk": _q_word_freq,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
+        "sketch_kmv_distinct": _q_kmv_distinct,
+        "heavy_hitter_users": _q_heavy_hitter_users,
+        "bloom_prefilter_join": _q_bloom_prefilter_join,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "skew_salted_join": _q_skew_salted_join,
@@ -1140,6 +1176,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
             "AS md5_fingerprint FROM documents"
+        ),
+        # sketch_kmv_distinct: xxhash64 not reproducible in DuckDB -> rows-only
+        "heavy_hitter_users": (
+            "SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id "
+            "HAVING COUNT(*) >= 0.005 * (SELECT COUNT(*) FROM events) "
+            "ORDER BY cnt DESC, user_id"
+        ),
+        "bloom_prefilter_join": (
+            "SELECT l_returnflag, COUNT(*) AS n_items, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_price "
+            "FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders WHERE o_totalprice > 150000) "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "word_freq_topk": (
             "SELECT word, COUNT(*) AS cnt FROM "

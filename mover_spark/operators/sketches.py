@@ -1,0 +1,148 @@
+"""Sketch operators: approximate answers in one narrow pass — the 100-TB
+path for cardinality, heavy hitters, and join pruning where exact answers
+need a shuffle the pipeline can't afford.
+
+- ``kmv_distinct``        K-minimum-values cardinality (Bar-Yossef et al.,
+  RANDOM'02): keep the k smallest normalized hashes; estimate
+  (k-1)/max_kth. Deterministic (xxhash64), mergeable (min-merge), and a
+  pure limit+agg — unlike HLL the state is inspectable.
+- ``heavy_hitters``       frequent items: single-pass candidate generation
+  (Spark's freqItems — Karp/Misra-Gries family, no shuffle), then ONE
+  exact aggregation restricted to the candidates via a broadcast semi-join.
+  Output is exact; the sketch only bounds what gets counted.
+- ``bloom_semi_join``     large⋉large semi-join pre-filter: the filter side
+  collapses to a numpy bit array (xxhash64 double hashing, OR-merged from
+  one bitmap per partition), broadcast to an Arrow-vectorized probe. No
+  shuffle of either side; false positives <= fpp, never false negatives —
+  compose with an exact join when exactness is required.
+
+Estimates are approximate by design -> the driver records rows-only checks
+for them; accuracy bounds are pinned by tests instead.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_SPACE = float(1 << 63)  # xxhash64 |long| magnitude bound
+
+
+def kmv_distinct(df: DataFrame, cols: list[str], k: int = 256) -> DataFrame:
+    """KMV distinct-count estimate of `cols` tuples: one narrow pass + a
+    k-row reduction. Relative error ~ 1/sqrt(k-2) (~6% at k=256)."""
+    h = F.abs(F.xxhash64(*[F.col(c) for c in cols]))
+    kth = (
+        df.select(h.alias("h"))
+        .dropDuplicates(["h"])
+        .orderBy("h")
+        .limit(k)
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_kept"))
+    )
+    return kth.select(
+        F.when(
+            F.col("n_kept") < k, F.col("n_kept").cast("double")  # fewer than k distinct: exact
+        )
+        .otherwise((k - 1) / (F.col("kth") / F.lit(HASH_SPACE)))
+        .alias("distinct_est")
+    )
+
+
+def heavy_hitters(df: DataFrame, col: str, min_share: float = 0.01) -> DataFrame:
+    """Items appearing in more than `min_share` of rows. freqItems generates
+    a superset of candidates in one pass without shuffling the column's full
+    distinct; the exact count then aggregates ONLY candidate rows."""
+    spark = df.sparkSession
+    total = df.count()
+    cand = df.stat.freqItems([col], support=min_share).collect()[0][0]
+    cand_df = spark.createDataFrame([(c,) for c in cand], f"{col} {dict(df.dtypes)[col]}")
+    return (
+        df.join(F.broadcast(cand_df), on=[col], how="left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_share * total)
+        .orderBy(F.desc("cnt"), col)
+    )
+
+
+def _bloom_params(expected: int, fpp: float) -> tuple[int, int]:
+    m = max(64, int(-expected * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 63) // 64 * 64  # whole words
+    k = max(1, round(m / expected * math.log(2)))
+    return m, k
+
+
+def _hash_pair(col: str):
+    """Two independent 64-bit hashes, JVM-side (double hashing: bit index i
+    is (h1 + i*h2) mod m — Kirsch & Mitzenmacher, ESA'06)."""
+    return (
+        F.xxhash64(F.col(col)).alias("__h1"),
+        F.xxhash64(F.col(col), F.lit(0x9E3779B9)).alias("__h2"),
+    )
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, n_hashes: int, m_bits: int) -> np.ndarray:
+    i = np.arange(n_hashes, dtype=np.uint64)[None, :]
+    return (
+        h1.astype(np.uint64)[:, None] + i * h2.astype(np.uint64)[:, None]
+    ) % np.uint64(m_bits)
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    filter_side: DataFrame,
+    probe_col: str,
+    filter_col: str,
+    expected: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Keep probe rows whose key is (probably) present in filter_side.
+
+    Build: one bitmap per partition (mapInPandas), OR-merged on the driver
+    — bits cross the wire, never rows. Probe: the bitmap broadcasts and an
+    Arrow-vectorized predicate tests all n_hashes bits per batch."""
+    m_bits, n_hashes = _bloom_params(expected, fpp)
+    words = m_bits // 64
+
+    def build(batches):
+        bitmap = np.zeros(words, dtype=np.uint64)
+        for pdf in batches:
+            if len(pdf):
+                pos = _positions(
+                    pdf["__h1"].to_numpy(), pdf["__h2"].to_numpy(), n_hashes, m_bits
+                ).ravel()
+                np.bitwise_or.at(
+                    bitmap, (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+        yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
+    parts = filter_side.select(*_hash_pair(filter_col)).mapInPandas(
+        build, "bitmap binary"
+    ).collect()
+    bitmap = np.zeros(words, dtype=np.uint64)
+    for r in parts:
+        bitmap |= np.frombuffer(r.bitmap, dtype=np.uint64)
+    bc = probe.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+
+    @F.pandas_udf("boolean")
+    def might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint64)
+        pos = _positions(h1.to_numpy(), h2.to_numpy(), n_hashes, m_bits)
+        hit = (
+            bm[(pos >> np.uint64(6)).astype(np.int64)]
+            & (np.uint64(1) << (pos & np.uint64(63)))
+        ) != 0
+        return pd.Series(hit.all(axis=1))
+
+    h1, h2 = _hash_pair(probe_col)
+    return (
+        probe.withColumn("__h1", F.xxhash64(F.col(probe_col)))
+        .withColumn("__h2", F.xxhash64(F.col(probe_col), F.lit(0x9E3779B9)))
+        .where(might_contain(F.col("__h1"), F.col("__h2")))
+        .drop("__h1", "__h2")
+    )

@@ -1,0 +1,44 @@
+"""Sketch accuracy/containment bounds — the checks the rows-only driver
+gate can't express."""
+
+from pyspark.sql import functions as F
+
+from mover_spark.operators.sketches import bloom_semi_join, heavy_hitters, kmv_distinct
+
+
+def test_kmv_small_cardinality_is_exact(spark):
+    df = spark.createDataFrame([(i % 37,) for i in range(5000)], "x long")
+    est = kmv_distinct(df, ["x"], k=256).collect()[0].distinct_est
+    assert est == 37.0  # below k -> exact
+
+
+def test_kmv_large_cardinality_within_bound(catalog):
+    ords = catalog.df("orders")
+    exact = ords.select("o_orderkey").distinct().count()
+    est = kmv_distinct(ords, ["o_orderkey"], k=256).collect()[0].distinct_est
+    assert abs(est - exact) / exact < 0.25  # ~4 sigma at k=256
+
+
+def test_heavy_hitters_exact_counts(spark):
+    rows = [("hot",)] * 500 + [("warm",)] * 120 + [(f"cold{i}",) for i in range(380)]
+    df = spark.createDataFrame(rows, "x string")
+    got = {r.x: r.cnt for r in heavy_hitters(df, "x", min_share=0.1).collect()}
+    assert got == {"hot": 500, "warm": 120}
+
+
+def test_bloom_semi_join_superset_of_exact(catalog):
+    li = catalog.df("lineitem")
+    hot = catalog.df("orders").where(F.col("o_totalprice") > 150000)
+    exact = li.join(
+        hot.select(F.col("o_orderkey").alias("l_orderkey")), on=["l_orderkey"], how="left_semi"
+    )
+    approx = bloom_semi_join(li, hot, "l_orderkey", "o_orderkey", expected=20000, fpp=0.01)
+    n_exact, n_approx, n_li = exact.count(), approx.count(), li.count()
+    assert n_approx >= n_exact  # never drops a true match
+    # false-positive mass stays near fpp of the non-matching rows
+    assert n_approx - n_exact <= 0.05 * (n_li - n_exact) + 10
+    # and composing with the exact join recovers exactness
+    recovered = approx.join(
+        hot.select(F.col("o_orderkey").alias("l_orderkey")), on=["l_orderkey"], how="left_semi"
+    ).count()
+    assert recovered == n_exact
