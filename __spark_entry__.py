@@ -278,6 +278,30 @@ def _q_stddev(spark, sf_dir):
     return stddev_stats(_catalog(spark, sf_dir))
 
 
+def _q_promo_ratio(spark, sf_dir):
+    from mover_spark.operators.subqueries import promo_revenue_ratio
+
+    return promo_revenue_ratio(_catalog(spark, sf_dir))
+
+
+def _q_small_qty(spark, sf_dir):
+    from mover_spark.operators.subqueries import small_quantity_orders
+
+    return small_quantity_orders(_catalog(spark, sf_dir))
+
+
+def _q_disjunctive(spark, sf_dir):
+    from mover_spark.operators.subqueries import disjunctive_revenue
+
+    return disjunctive_revenue(_catalog(spark, sf_dir))
+
+
+def _q_grouping_sets(spark, sf_dir):
+    from mover_spark.operators.subqueries import grouping_sets_agg
+
+    return grouping_sets_agg(_catalog(spark, sf_dir))
+
+
 def _q_cust_order_dist(spark, sf_dir):
     from mover_spark.operators.subqueries import cust_order_distribution
 
@@ -584,6 +608,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stddev_stats": _q_stddev,
         "running_window": _q_running_window,
         "q13_cust_order_dist": _q_cust_order_dist,
+        "q14_promo_ratio": _q_promo_ratio,
+        "q17_small_qty": _q_small_qty,
+        "q19_disjunctive": _q_disjunctive,
+        "grouping_sets_agg": _q_grouping_sets,
         "full_outer_spend": _q_full_outer,
         "string_funcs": _q_string_funcs,
         "date_funcs": _q_date_funcs,
@@ -995,6 +1023,39 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend, "
             "LAG(o_totalprice) OVER (PARTITION BY o_custkey "
             "ORDER BY o_orderdate, o_orderkey) AS prev_price FROM orders"
+        ),
+        "q14_promo_ratio": (
+            "SELECT ROUND(100.0 * "
+            "CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(25,4))) AS DOUBLE) / "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE), 6) "
+            "AS promo_pct, COUNT(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01'"
+        ),
+        "q17_small_qty": (
+            "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) "
+            "AS total_price, COUNT(*) AS n_items FROM lineitem l1 WHERE l_quantity < "
+            "0.5 * (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) "
+            "FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)"
+        ),
+        "q19_disjunctive": (
+            "SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) "
+            "AS DOUBLE) AS revenue, COUNT(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE "
+            "(p_brand = 'Brand#1' AND p_size <= 5 AND l_quantity BETWEEN 1 AND 11) OR "
+            "(p_brand = 'Brand#2' AND p_size <= 10 AND l_quantity BETWEEN 10 AND 20) OR "
+            "(p_brand = 'Brand#3' AND p_size <= 15 AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        "grouping_sets_agg": (
+            "SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus, "
+            "COALESCE(o_orderpriority, 'ALL') AS orderpriority, "
+            "COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_price "
+            "FROM orders "
+            "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
+            "ORDER BY orderstatus, orderpriority"
         ),
         "q13_cust_order_dist": (
             "SELECT c_count, COUNT(*) AS custdist FROM ("

@@ -303,6 +303,81 @@ def full_outer_status_spend(cat: Catalog) -> DataFrame:
     )
 
 
+def promo_revenue_ratio(cat: Catalog, year: str = "1997") -> DataFrame:
+    """Conditional aggregation (TPC-H Q14 shape): CASE inside the aggregate
+    — the % of revenue from 'PROMO%' parts, one scan, no extra join for the
+    numerator."""
+    li = cat.df("lineitem").where(
+        (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(f"{int(year) + 1}-01-01").cast("timestamp_ntz"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(cat.df("part")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * dsum(promo) / dsum(rev), 6).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def small_quantity_orders(cat: Catalog, frac: float = 0.5) -> DataFrame:
+    """Per-group scalar subquery filter (TPC-H Q17 shape): line items whose
+    quantity is below `frac` x their part's average quantity. The correlated
+    AVG becomes one aggregate joined back — the part table is scanned once,
+    not per row."""
+    li = cat.df("lineitem")
+    avg_q = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(F.col("l_quantity").cast("decimal(25,4)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.join(avg_q, li.l_partkey == avg_q.pk)
+        .where(F.col("l_quantity") < frac * F.col("avg_qty"))
+        .agg(
+            dsum("l_extendedprice").alias("total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def disjunctive_revenue(cat: Catalog) -> DataFrame:
+    """OR-of-ANDs predicates (TPC-H Q19 shape): three disjoint brand/size/
+    quantity bands in one scan — Catalyst splits the disjunction into
+    per-conjunct parquet pushdown instead of a post-scan filter."""
+    li = cat.df("lineitem")
+    p = cat.df("part")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.where(band).agg(
+        dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+def grouping_sets_agg(cat: Catalog) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube): totals by
+    (status), by (priority), and grand total in one scan via SQL grouping
+    sets, with GROUPING() markers."""
+    spark = cat.spark
+    cat.df("orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        "SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus, "
+        "COALESCE(o_orderpriority, 'ALL') AS orderpriority, "
+        "COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_price "
+        "FROM __orders_gs "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
+        "ORDER BY orderstatus, orderpriority"
+    )
+
+
 def running_window(cat: Catalog) -> DataFrame:
     """Running aggregation frame: cumulative spend + previous order price
     per customer in date order (deterministic tie-break on order key)."""
