@@ -530,13 +530,25 @@ def embedding_cosine_pairs(
     q = df.select(F.col(id_col).alias("vid"), quantized_vec(vec_col).alias("qv")).withColumn(
         "blk", F.pmod(F.col("vid"), F.lit(n_blocks)).cast("int")
     )
-    g = q.groupBy("blk").agg(
-        F.sort_array(F.collect_list(F.struct(F.col("vid"), F.col("qv")))).alias("vs")
+    # primitive array columns (ids + flattened vectors), not struct lists:
+    # Arrow moves them zero-copy and numpy reshapes them without touching
+    # per-element Python objects
+    g = (
+        q.groupBy("blk")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col("vid"), F.col("qv")))).alias("vs"))
+        .select(
+            "blk",
+            F.transform("vs", lambda x: x["vid"]).alias("ids"),
+            F.flatten(F.transform("vs", lambda x: x["qv"])).alias("flat"),
+        )
     )
-    a = g.select(F.col("blk").alias("blk_a"), F.col("vs").alias("vs_a"))
-    b = g.select(F.col("blk").alias("blk_b"), F.col("vs").alias("vs_b"))
+    a = g.select(F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("flat").alias("flat_a"))
+    b = g.select(F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("flat").alias("flat_b"))
+    n_tiles = n_blocks * (n_blocks + 1) // 2
+    # a few tiles per task, not one: each mapInPandas call then amortizes
+    # the Python-worker round trip over its whole batch
     tiles = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
-        n_blocks * (n_blocks + 1) // 2
+        min(df.sparkSession.sparkContext.defaultParallelism, n_tiles)
     )
     # prefilter margin: keep anything that could half-up-round to >= threshold
     lo = threshold - 1e-6
@@ -544,12 +556,12 @@ def embedding_cosine_pairs(
     def compute(batches):
         for pdf in batches:
             for _, r in pdf.iterrows():
-                ia = np.array([x["vid"] for x in r["vs_a"]], dtype=np.int64)
-                ib = np.array([x["vid"] for x in r["vs_b"]], dtype=np.int64)
+                ia = np.asarray(r["ids_a"], dtype=np.int64)
+                ib = np.asarray(r["ids_b"], dtype=np.int64)
                 if not len(ia) or not len(ib):
                     continue
-                A = np.array([list(x["qv"]) for x in r["vs_a"]], dtype=np.int64)
-                B = np.array([list(x["qv"]) for x in r["vs_b"]], dtype=np.int64)
+                A = np.asarray(r["flat_a"], dtype=np.int64).reshape(len(ia), -1)
+                B = np.asarray(r["flat_b"], dtype=np.int64).reshape(len(ib), -1)
                 na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
                 nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
                 cos = (A @ B.T).astype(np.float64) / (na[:, None] * nb[None, :])
