@@ -364,6 +364,28 @@ def _q_streaming_tumbling(spark, sf_dir):
     return tumbling_batch_parity(spark, sf_dir)
 
 
+def _q_streaming_running_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals drained with availableNow; final state per user equals
+    the batch aggregate. Float state folds in arrival order -> rows-only."""
+    from mover_spark.streaming.events import read_events_stream, run_to_memory, running_totals_stream
+
+    totals = running_totals_stream(read_events_stream(spark, sf_dir))
+    name = "streaming_running_totals_out"
+    run_to_memory(totals, name, output_mode="update")
+    out = spark.table(name)
+    # update mode emits one row per user per micro-batch; keep the final
+    # (cumulative-max) state
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def _q_json_props(spark, sf_dir):
     from mover_spark.operators.events import json_prop_stats
 
@@ -621,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_sessionize,
         "events_json_props": _q_json_props,
         "streaming_tumbling": _q_streaming_tumbling,
+        "streaming_running_totals": _q_streaming_running_totals,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,

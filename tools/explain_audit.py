@@ -21,11 +21,17 @@ AUDIT = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q7_volume_shipping",
+    "q13_cust_order_dist",
     "seed_query_scan",
     "fk_semijoin",
     "events_tumbling",
     "dedup_minhash_lsh",
     "topk_window",
+    "skew_salted_join",
+    "word_freq_topk",
+    "ann_topk_ivf",
+    "bloom_prefilter_join",
 ]
 
 
