@@ -364,6 +364,12 @@ def _q_streaming_tumbling(spark, sf_dir):
     return tumbling_batch_parity(spark, sf_dir)
 
 
+def _q_gapfill(spark, sf_dir):
+    from mover_spark.operators.events import gapfill_hourly
+
+    return gapfill_hourly(_catalog(spark, sf_dir))
+
+
 def _q_streaming_running_totals(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     running totals drained with availableNow; final state per user equals
@@ -642,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": _q_sliding,
         "events_sessionize": _q_sessionize,
         "events_json_props": _q_json_props,
+        "events_gapfill": _q_gapfill,
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_running_totals": _q_streaming_running_totals,
         "dedup_exact": _q_dedup_exact,
@@ -1129,6 +1136,19 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_gapfill": (
+            "WITH e AS (SELECT * FROM events WHERE event_type = 'purchase'), "
+            "b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, "
+            "date_trunc('hour', MAX(ts)) AS hi FROM e), "
+            "spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) "
+            "AS bucket FROM b), "
+            "c AS (SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
+            "FROM e GROUP BY 1) "
+            "SELECT spine.bucket, COALESCE(n_events, 0) AS n_events, "
+            "COALESCE(sum_value, 0.0) AS sum_value "
+            "FROM spine LEFT JOIN c ON spine.bucket = c.bucket ORDER BY spine.bucket"
         ),
         "streaming_tumbling": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

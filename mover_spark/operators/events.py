@@ -58,6 +58,34 @@ def session_stats(cat: Catalog, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def gapfill_hourly(cat: Catalog, event_type: str = "purchase") -> DataFrame:
+    """Time-series gap-fill: a dense hourly series per event type with
+    zero-filled missing buckets. The bucket spine is generated with
+    sequence+explode from the GLOBAL min/max (one tiny agg, broadcast as a
+    1-row cross join) — no driver-side range materialization; the fill is a
+    left join + coalesce. The pattern behind resampling/ffill pipelines."""
+    ev = cat.df("events").where(F.col("event_type") == event_type)
+    counts = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    return (
+        spine.join(counts, on=["bucket"], how="left")
+        .select(
+            F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def json_prop_stats(cat: Catalog) -> DataFrame:
     """JSON prop extraction + aggregation (mover passes jsonb through
     opaquely; we query into it with get_json_object — JVM-side, codegen)."""
