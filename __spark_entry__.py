@@ -370,6 +370,12 @@ def _q_gapfill(spark, sf_dir):
     return gapfill_hourly(_catalog(spark, sf_dir))
 
 
+def _q_user_trend(spark, sf_dir):
+    from mover_spark.operators.events import user_value_trend
+
+    return user_value_trend(_catalog(spark, sf_dir))
+
+
 def _q_streaming_running_totals(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     running totals drained with availableNow; final state per user equals
@@ -649,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_sessionize,
         "events_json_props": _q_json_props,
         "events_gapfill": _q_gapfill,
+        "user_value_trend": _q_user_trend,
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_running_totals": _q_streaming_running_totals,
         "dedup_exact": _q_dedup_exact,
@@ -1136,6 +1143,18 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "user_value_trend": (
+            "WITH e AS (SELECT user_id, "
+            "datediff('second', MIN(ts) OVER (PARTITION BY user_id), ts) AS x, "
+            "CAST(round(value * 10000) AS BIGINT) AS y FROM events), "
+            "s AS (SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+            "SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM e GROUP BY user_id) "
+            "SELECT user_id, n AS n_events, "
+            "CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE "
+            "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "CAST(n * sxx - sx * sx AS DOUBLE) / 10000.0 * 3600.0, 6) END "
+            "AS slope_per_hour FROM s"
         ),
         "events_gapfill": (
             "WITH e AS (SELECT * FROM events WHERE event_type = 'purchase'), "

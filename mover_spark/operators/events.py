@@ -86,6 +86,41 @@ def gapfill_hourly(cat: Catalog, event_type: str = "purchase") -> DataFrame:
     )
 
 
+def user_value_trend(cat: Catalog) -> DataFrame:
+    """Per-user value trend (least-squares slope, units/hour) via grouped-map
+    applyInPandas — the canonical custom per-group kernel.
+
+    Determinism without sorting: the discrete slope formula
+    (n*Σxy - Σx*Σy) / (n*Σxx - Σx*Σx) is computed from INTEGER sums
+    (x = seconds since the user's first event, y = round(value*1e4)), which
+    are exact in any accumulation order — so the result is bit-identical to
+    the DuckDB oracle evaluating the same formula, shuffle order and all."""
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pdf["ts"].astype("int64") // 1_000_000_000  # epoch seconds
+        x = (ts - ts.min()).tolist()
+        y = [int(v) for v in pdf["y"].tolist()]
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx = sum(a * a for a in x)
+        denom = n * sxx - sx * sx
+        slope = (
+            round((n * sxy - sx * sy) / denom / 10000.0 * 3600.0, 6) if denom else None
+        )
+        return pd.DataFrame(
+            {"user_id": [int(pdf["user_id"].iloc[0])], "n_events": [n], "slope_per_hour": [slope]}
+        )
+
+    ev = cat.df("events").select(
+        "user_id", "ts", F.round(F.col("value") * 10000).cast("long").alias("y")
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        fit, "user_id long, n_events long, slope_per_hour double"
+    )
+
+
 def json_prop_stats(cat: Catalog) -> DataFrame:
     """JSON prop extraction + aggregation (mover passes jsonb through
     opaquely; we query into it with get_json_object — JVM-side, codegen)."""
