@@ -98,13 +98,16 @@ def user_value_trend(cat: Catalog) -> DataFrame:
     import pandas as pd
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        ts = pdf["ts"].astype("int64") // 1_000_000_000  # epoch seconds
-        x = (ts - ts.min()).tolist()
-        y = [int(v) for v in pdf["y"].tolist()]
+        import numpy as np
+
+        ts = pdf["ts"].astype("int64").to_numpy() // 1_000_000_000  # epoch seconds
+        x = ts - ts.min()  # centering keeps x*y ~ span*1e4*|v|: int64-safe up
+        y = pdf["y"].to_numpy()  # to ~1e14 rows-per-group at a 1-year span
         n = len(x)
-        sx, sy = sum(x), sum(y)
-        sxy = sum(a * b for a, b in zip(x, y))
-        sxx = sum(a * a for a in x)
+        # sums vectorized in int64 (exact); the n*s products can exceed
+        # int64, so finish in Python ints
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx = int((x * y).sum()), int((x * x).sum())
         denom = n * sxx - sx * sx
         slope = (
             round((n * sxy - sx * sy) / denom / 10000.0 * 3600.0, 6) if denom else None
