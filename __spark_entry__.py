@@ -314,6 +314,18 @@ def _q_full_outer(spark, sf_dir):
     return full_outer_status_spend(_catalog(spark, sf_dir))
 
 
+def _q_corr_stats(spark, sf_dir):
+    from mover_spark.operators.subqueries import corr_stats
+
+    return corr_stats(_catalog(spark, sf_dir))
+
+
+def _q_rank_functions(spark, sf_dir):
+    from mover_spark.operators.subqueries import rank_functions
+
+    return rank_functions(_catalog(spark, sf_dir))
+
+
 def _q_running_window(spark, sf_dir):
     from mover_spark.operators.subqueries import running_window
 
@@ -641,6 +653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_agg": _q_percentile,
         "stddev_stats": _q_stddev,
         "running_window": _q_running_window,
+        "rank_functions": _q_rank_functions,
+        "corr_stats": _q_corr_stats,
         "q13_cust_order_dist": _q_cust_order_dist,
         "q14_promo_ratio": _q_promo_ratio,
         "q17_small_qty": _q_small_qty,
@@ -1060,6 +1074,26 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend, "
             "LAG(o_totalprice) OVER (PARTITION BY o_custkey "
             "ORDER BY o_orderdate, o_orderkey) AS prev_price FROM orders"
+        ),
+        "corr_stats": (
+            "WITH t AS (SELECT l_returnflag, COUNT(*) AS n, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sx, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sy, "
+            "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxx, "
+            "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS syy, "
+            "CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxy "
+            "FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n AS n_items, "
+            "ROUND((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) "
+            "AS price_qty_corr FROM t ORDER BY l_returnflag"
+        ),
+        "rank_functions": (
+            "SELECT o_orderkey, o_orderstatus, o_totalprice, "
+            "DENSE_RANK() OVER w AS drank, "
+            "ROUND(PERCENT_RANK() OVER w, 6) AS prank, "
+            "NTILE(4) OVER w AS quartile FROM orders "
+            "WINDOW w AS (PARTITION BY o_orderstatus "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC)"
         ),
         "q14_promo_ratio": (
             "SELECT ROUND(100.0 * "

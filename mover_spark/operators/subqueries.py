@@ -378,6 +378,44 @@ def grouping_sets_agg(cat: Catalog) -> DataFrame:
     )
 
 
+def corr_stats(cat: Catalog) -> DataFrame:
+    """Pearson correlation (price vs quantity per return flag) from exact
+    decimal moment sums — the order-invariant formulation of corr(), same
+    technique as stddev_stats (the streaming corr update is partition-order
+    dependent and would not hash-match an oracle)."""
+    li = cat.df("lineitem")
+    n = F.count(F.lit(1))
+    dx = F.col("l_extendedprice")
+    dy = F.col("l_quantity")
+    sx = F.sum(dx.cast("decimal(25,4)")).cast("double")
+    sy = F.sum(dy.cast("decimal(25,4)")).cast("double")
+    sxx = F.sum((dx * dx).cast("decimal(30,4)")).cast("double")
+    syy = F.sum((dy * dy).cast("decimal(30,4)")).cast("double")
+    sxy = F.sum((dx * dy).cast("decimal(30,4)")).cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(n.alias("n_items"), F.round(corr, 6).alias("price_qty_corr"))
+        .orderBy("l_returnflag")
+    )
+
+
+def rank_functions(cat: Catalog) -> DataFrame:
+    """Ranking-window surface: dense_rank / percent_rank / ntile in one
+    pass over a single (status)-partitioned sort."""
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return cat.df("orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def running_window(cat: Catalog) -> DataFrame:
     """Running aggregation frame: cumulative spend + previous order price
     per customer in date order (deterministic tie-break on order key)."""
