@@ -560,6 +560,18 @@ def _q_bloom_prefilter_join(spark, sf_dir):
     )
 
 
+def _q_doc_chunking(spark, sf_dir):
+    from mover_spark.operators.text import chunk_documents
+
+    return chunk_documents(_catalog(spark, sf_dir).df("documents"))
+
+
+def _q_token_packing(spark, sf_dir):
+    from mover_spark.operators.text import pack_by_token_budget
+
+    return pack_by_token_budget(_catalog(spark, sf_dir).df("documents"), budget=1000)
+
+
 def _q_fingerprint(spark, sf_dir):
     from mover_spark.operators.text import fingerprint
 
@@ -688,6 +700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_fingerprint,
         "word_freq_topk": _q_word_freq,
+        "doc_chunking": _q_doc_chunking,
+        "token_packing": _q_token_packing,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "sketch_kmv_distinct": _q_kmv_distinct,
         "heavy_hitter_users": _q_heavy_hitter_users,
@@ -1351,6 +1365,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, COUNT(*) AS cnt FROM "
             "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
             "WHERE word != '' GROUP BY word ORDER BY cnt DESC, word LIMIT 100"
+        ),
+        "doc_chunking": (
+            "SELECT doc_id, CAST((s - 1) // 150 AS INT) AS chunk_idx, "
+            "substr(text, CAST(s AS INT), 200) AS chunk FROM "
+            "(SELECT doc_id, text, "
+            "unnest(generate_series(1, greatest(length(text), 1), 150)) AS s "
+            "FROM documents)"
+        ),
+        "token_packing": (
+            "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_after FROM t) "
+            "SELECT CAST(FLOOR(CAST(cum_after - n_tokens AS DOUBLE) / 1000) AS BIGINT) "
+            "AS bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens, "
+            "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
+            "FROM c GROUP BY 1 ORDER BY bin"
         ),
         "embedding_dup_clusters": (
             "WITH RECURSIVE " + _QVEC_CTE + ", "

@@ -102,6 +102,88 @@ def word_freq_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataF
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-width document chunks (context-window prep): one
+    row per (doc, chunk) via sequence+explode+substring — pure JVM column
+    ops, linear in output size, no Python in the path. stride < chunk_chars
+    gives chunk_chars-stride characters of overlap."""
+    starts = F.sequence(F.lit(1), F.greatest(F.length(text_col), F.lit(1)), F.lit(stride))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+        F.length(text_col).alias("n_chars"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.substring(F.col(text_col), F.col("start"), chunk_chars).alias("chunk"),
+    )
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    budget: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-split sequence packing (LLM-pretraining style): docs in
+    id order fill a running token budget; bin = floor(cum_tokens_before /
+    budget) over the global prefix sum of token counts.
+
+    The prefix sum is the scalable two-pass formulation — a naive global
+    Window.orderBy would funnel every row through ONE task. Instead: range-
+    partition by id, cumsum within each partition in parallel, then add the
+    (tiny, driver-collected, broadcast) per-partition offsets. The result
+    is identical whatever boundaries the range sampler picks."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    toks = F.size(F.split(F.col(text_col), " "))
+    local = (
+        df.select(F.col(id_col), toks.alias("n_tokens"))
+        .repartitionByRange(n_parts, F.col(id_col))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wp = (
+        Window.partitionBy("pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = local.withColumn("local_cum", F.sum("n_tokens").over(wp)).persist()
+    totals = {
+        r.pid: r.pt
+        for r in local.groupBy("pid").agg(F.sum("n_tokens").alias("pt")).collect()
+    }
+    off, offsets = 0, {}
+    for p in sorted(totals):
+        offsets[p] = off
+        off += totals[p]
+    off_df = spark.createDataFrame(list(offsets.items()), "pid int, off long")
+    per_doc = local.join(F.broadcast(off_df), on=["pid"]).withColumn(
+        "cum_after", F.col("off") + F.col("local_cum")
+    )
+    return (
+        per_doc.withColumn(
+            "bin", F.floor((F.col("cum_after") - F.col("n_tokens")) / budget)
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+        .orderBy("bin")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (cheap exact-dup key), plus a 64-bit xxhash for compact storage."""
