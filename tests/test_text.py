@@ -45,3 +45,41 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     fp = {r.doc_id: r.md5_fingerprint for r in rows}
     assert fp[0] == fp[1]
     assert fp[0] != fp[2]
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    from mover_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a" * 500), (2, "xy"), (3, "")], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, chunk_chars=200, stride=150).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk))
+    # 500 chars, stride 150 -> starts 1,151,301,451 = 4 chunks
+    assert len(by_doc[1]) == 4
+    c = dict(by_doc[1])
+    assert len(c[0]) == 200 and len(c[3]) == 50
+    assert c[0][-50:] == c[1][:50]  # 50-char overlap between neighbors
+    assert by_doc[2] == [(0, "xy")]  # shorter than one chunk
+    assert by_doc[3] == [(0, "")]   # empty doc still yields one (empty) chunk
+
+
+def test_token_packing_spans_and_conserves(spark):
+    from pyspark.sql import functions as F
+
+    from mover_spark.operators.text import pack_by_token_budget
+
+    docs = [(i, " ".join(["w"] * n)) for i, n in enumerate([400, 900, 50, 700, 1200, 10])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pack_by_token_budget(df, budget=1000).collect()
+    # total tokens conserved across bins
+    assert sum(r.bin_tokens for r in out) == sum(n for _, n in [(i, n) for i, n in enumerate([400, 900, 50, 700, 1200, 10])])
+    # bins assigned by cumulative position: doc0(400)->bin0, doc1(900 at cum 400)->bin0, ...
+    first = {r.bin: r.first_doc for r in out}
+    assert first[0] == 0
+    # cum-before per doc: 0,400,1300,1350,2050,3250 -> bins 0,0,1,1,2,3; the
+    # 1200-token doc lands in bin 2 even though it exceeds the budget
+    bins = {r.bin: r.n_docs for r in out}
+    assert bins == {0: 2, 1: 2, 2: 1, 3: 1}
