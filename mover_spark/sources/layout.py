@@ -56,6 +56,29 @@ def write_partitioned(
     return df.sparkSession.read.parquet(out_path)
 
 
+def compact_parquet(
+    spark: SparkSession, in_path: str, out_path: str, target_mb: int = 128
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_mb) files. Small files are the silent killer
+    of large scans (one task + one open per file); compaction is the
+    standing maintenance job of any long-lived 100-TB dataset. Returns the
+    output file count. Uses coalesce (no shuffle) — the rows only combine,
+    never redistribute."""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(in_path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    spark.read.parquet(in_path).coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
 def plan_string(df: DataFrame) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):

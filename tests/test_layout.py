@@ -59,3 +59,21 @@ def test_partitioned_write_prunes_scan(spark, catalog, tmp_path):
     # pruned read returns exactly the rows of that day
     expect = ev.where(F.to_date("ts") == F.lit("2024-01-05").cast("date")).count()
     assert one_day.count() == expect
+
+
+def test_compact_parquet_reduces_file_count(spark, catalog, tmp_path):
+    import os
+
+    from mover_spark.sources.layout import compact_parquet
+
+    frag = str(tmp_path / "frag")
+    catalog.df("orders").repartition(64).write.parquet(frag)
+    n_in = sum(1 for f in os.listdir(frag) if f.endswith(".parquet"))
+    assert n_in >= 32  # genuinely fragmented input
+
+    out = str(tmp_path / "compact")
+    n_out = compact_parquet(spark, frag, out, target_mb=128)
+    n_files = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n_files == n_out < n_in
+    # content preserved exactly
+    assert spark.read.parquet(out).count() == catalog.df("orders").count()
