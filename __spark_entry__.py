@@ -560,6 +560,20 @@ def _q_bloom_prefilter_join(spark, sf_dir):
     )
 
 
+def _q_train_val_split(spark, sf_dir):
+    """Deterministic train/val/test split + per-split stats; stable across
+    runs/engines (arithmetic hash, no rand())."""
+    from mover_spark.operators.sampling import hash_split
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
 def _q_doc_chunking(spark, sf_dir):
     from mover_spark.operators.text import chunk_documents
 
@@ -701,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "word_freq_topk": _q_word_freq,
         "doc_chunking": _q_doc_chunking,
+        "train_val_split": _q_train_val_split,
         "token_packing": _q_token_packing,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "sketch_kmv_distinct": _q_kmv_distinct,
@@ -1365,6 +1380,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, COUNT(*) AS cnt FROM "
             "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
             "WHERE word != '' GROUP BY word ORDER BY cnt DESC, word LIMIT 100"
+        ),
+        "train_val_split": (
+            "WITH b AS (SELECT doc_id, n_chars, "
+            "((doc_id * 2654435761) % 4294967296) % 10000 AS bkt FROM documents) "
+            "SELECT CASE WHEN bkt < 9000 THEN 'train' "
+            "WHEN bkt < 9500 THEN 'val' ELSE 'test' END AS split, "
+            "COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
+            "FROM b GROUP BY 1 ORDER BY split"
         ),
         "doc_chunking": (
             "SELECT doc_id, CAST((s - 1) // 150 AS INT) AS chunk_idx, "
