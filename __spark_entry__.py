@@ -560,6 +560,33 @@ def _q_bloom_prefilter_join(spark, sf_dir):
     )
 
 
+def _q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation: quality filter + language filter -> exact dedup
+    -> deterministic split — the composition story for a training-data
+    pipeline, all existing operators chained."""
+    from mover_spark.operators.dedup import exact_dedup
+    from mover_spark.operators.sampling import hash_split
+    from mover_spark.operators.text import lang_id, text_stats
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    ts = text_stats(docs).select("doc_id", "quality_score")
+    li = lang_id(docs).select("doc_id", "pred_lang")
+    keep = (
+        docs.join(ts, "doc_id")
+        .join(li, "doc_id")
+        .where((F.col("quality_score") >= 0.3) & (F.col("pred_lang") != "und"))
+    )
+    canon = keep.join(
+        exact_dedup(keep).select("doc_id"), on=["doc_id"], how="left_semi"
+    )
+    return (
+        hash_split(canon, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
 def _q_train_val_split(spark, sf_dir):
     """Deterministic train/val/test split + per-split stats; stable across
     runs/engines (arithmetic hash, no rand())."""
@@ -716,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_freq_topk": _q_word_freq,
         "doc_chunking": _q_doc_chunking,
         "train_val_split": _q_train_val_split,
+        "curation_pipeline": _q_curation_pipeline,
         "token_packing": _q_token_packing,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "sketch_kmv_distinct": _q_kmv_distinct,
@@ -1380,6 +1408,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, COUNT(*) AS cnt FROM "
             "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
             "WHERE word != '' GROUP BY word ORDER BY cnt DESC, word LIMIT 100"
+        ),
+        "curation_pipeline": (
+            "WITH s AS (SELECT doc_id, "
+            + ", ".join(f"{scores[lang]} AS s_{lang}" for lang in sorted(markers))
+            + " FROM documents), "
+            f"l AS (SELECT doc_id, {lang_case} AS pred_lang FROM s), "
+            "t AS (SELECT doc_id, ROUND((CAST(LEAST(len(string_split(text, ' ')), 100) "
+            "AS DOUBLE) / 100.0) * (1.0 - CASE WHEN length(text) > 0 THEN "
+            "CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) "
+            "/ length(text) ELSE 0.0 END), 6) AS q FROM documents), "
+            "keep AS (SELECT d.doc_id, d.text, d.n_chars FROM documents d "
+            "JOIN l USING (doc_id) JOIN t USING (doc_id) "
+            "WHERE t.q >= 0.3 AND l.pred_lang != 'und'), "
+            "dd AS (SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY md5(text)), "
+            "c AS (SELECT k.doc_id, k.n_chars FROM keep k JOIN dd USING (doc_id)), "
+            "b AS (SELECT doc_id, n_chars, "
+            "((doc_id * 2654435761) % 4294967296) % 10000 AS bkt FROM c) "
+            "SELECT CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' "
+            "ELSE 'test' END AS split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
+            "FROM b GROUP BY 1 ORDER BY split"
         ),
         "train_val_split": (
             "WITH b AS (SELECT doc_id, n_chars, "
