@@ -1424,14 +1424,14 @@ def oracle_sql() -> dict[str, str]:
             "dd AS (SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY md5(text)), "
             "c AS (SELECT k.doc_id, k.n_chars FROM keep k JOIN dd USING (doc_id)), "
             "b AS (SELECT doc_id, n_chars, "
-            "((doc_id * 2654435761) % 4294967296) % 10000 AS bkt FROM c) "
+            "(((doc_id % 2147483647) * 506952114) % 2147483647) % 10000 AS bkt FROM c) "
             "SELECT CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' "
             "ELSE 'test' END AS split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
             "FROM b GROUP BY 1 ORDER BY split"
         ),
         "train_val_split": (
             "WITH b AS (SELECT doc_id, n_chars, "
-            "((doc_id * 2654435761) % 4294967296) % 10000 AS bkt FROM documents) "
+            "(((doc_id % 2147483647) * 506952114) % 2147483647) % 10000 AS bkt FROM documents) "
             "SELECT CASE WHEN bkt < 9000 THEN 'train' "
             "WHEN bkt < 9500 THEN 'val' ELSE 'test' END AS split, "
             "COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "

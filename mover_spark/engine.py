@@ -58,7 +58,7 @@ class Engine:
         )
 
         results: dict[str, DataFrame] = {}
-        media: list[str] = []
+        media_dfs: list[DataFrame] = []
         for tname, df in extracted.items():
             rules = self.config.column_rules(tname)
             pks = self.catalog.table(tname).primary_keys
@@ -66,40 +66,63 @@ class Engine:
                                 dedup=self.catalog.table(tname).pk_unique)
             results[tname] = clean
             jsonio.write_envelope(clean, tname, out_dir, partitioned=partitioned)
-            media.extend(self._media_paths(tname, clean, rules))
-        if media:
-            with open(os.path.join(out_dir, "_media_manifest.txt"), "w") as f:
-                f.write("\n".join(media) + "\n")
+            udf = self._media_urls_df(clean, rules)
+            if udf is not None:
+                media_dfs.append(udf)
+        if media_dfs:
+            urls = media_dfs[0]
+            for extra in media_dfs[1:]:
+                urls = urls.unionByName(extra)
+            self._write_media_manifest(urls, out_dir)
             if download_media:
-                self._download_media(media, out_dir)
+                self._download_media(urls, out_dir)
         return results
 
-    def _media_paths(self, table: str, df: DataFrame, rules) -> list[str]:
-        """S14 filename collection (etl/util.go:48-72): values of
-        Download-configured columns become base_url+path URLs."""
-        urls: list[str] = []
+    def _media_urls_df(self, df: DataFrame, rules) -> DataFrame | None:
+        """S14 filename collection (etl/util.go:48-72) as a DataFrame of
+        base_url+path URLs — stays distributed; nothing is collected."""
+        parts = []
         for rule in rules:
             if not rule.download:
                 continue
             base = (rule.download.get("http") or {}).get("base_url", "")
-            vals = [
-                r[rule.name]
-                for r in df.select(rule.name).where(F.col(rule.name).isNotNull()).collect()
-            ]
-            urls.extend(base + v for v in vals)
-        return urls
+            parts.append(
+                df.where(F.col(rule.name).isNotNull())
+                .select(F.concat(F.lit(base), F.col(rule.name)).alias("url"))
+            )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
-    def _download_media(self, urls: list[str], out_dir: str) -> None:
-        """S14 downloads, executor-parallel (the reference serialized them by
-        accident — g.Wait() inside the loop, etl/util.go:110). Network is
-        environment-gated."""
+    def _write_media_manifest(self, urls: DataFrame, out_dir: str) -> None:
+        """Executor-parallel manifest write (scale path: `_media_manifest/`
+        text dir), plus the reference's single `_media_manifest.txt` assembled
+        by streaming the part files — file-level I/O only, no row collect."""
+        manifest_dir = os.path.join(out_dir, "_media_manifest")
+        urls.write.mode("overwrite").text(manifest_dir)
+        with open(os.path.join(out_dir, "_media_manifest.txt"), "w") as dst:
+            for name in sorted(os.listdir(manifest_dir)):
+                if not name.startswith("part-"):
+                    continue
+                with open(os.path.join(manifest_dir, name)) as src:
+                    for line in src:
+                        dst.write(line)
+
+    def _download_media(self, urls: DataFrame, out_dir: str) -> None:
+        """S14 downloads, executor-parallel straight off the URL DataFrame
+        (the reference serialized them by accident — g.Wait() inside the
+        loop, etl/util.go:110). Network is environment-gated."""
         media_dir = os.path.join(out_dir, "media")
 
         def fetch(it):
             import urllib.parse
             import urllib.request
 
-            for url in it:
+            for row in it:
+                url = row["url"]
                 rel = urllib.parse.urlparse(url).path.lstrip("/")
                 dest = os.path.join(media_dir, rel)
                 os.makedirs(os.path.dirname(dest), exist_ok=True)
@@ -108,7 +131,7 @@ class Engine:
                 except Exception:
                     pass  # parity: reference logs and continues
 
-        self.spark.sparkContext.parallelize(urls, max(1, len(urls) // 10)).foreachPartition(fetch)
+        urls.foreachPartition(fetch)
 
     # -- load ------------------------------------------------------------
 
@@ -117,13 +140,20 @@ class Engine:
         in_dir: str,
         target_dir: str | None = None,
         dsn: str | None = None,
+        connection_factory=None,
+        partition_writer=None,
     ) -> dict[str, DataFrame]:
         """Idempotent load of envelope files (loader.go:25-76).
 
         File target: anti-join on PK against existing rows == ON CONFLICT
-        DO NOTHING, then append parquet. DB target: psycopg2 upsert sink.
+        DO NOTHING, then append parquet. DB target: psycopg2 upsert sink,
+        bracketed by trigger disable/enable and followed by sequence resync
+        exactly like the reference (postgres.go:64-97,483-523);
+        `connection_factory` lets tests inject a stub connection.
+        Either way the incoming batch is PK-deduped first — the reference's
+        per-row ON CONFLICT DO NOTHING also ignores duplicates WITHIN a file.
         Load order is alphabetical like the reference's directory walk —
-        survivable because constraints are not enforced on files (the
+        survivable because constraints are not enforced during the write (the
         reference disables triggers for the same reason)."""
         payloads = jsonio.read_envelopes(self.spark, in_dir)
         out: dict[str, DataFrame] = {}
@@ -131,21 +161,23 @@ class Engine:
             df = payloads[tname]
             if tname in self.catalog.tables:
                 df = jsonio.coerce_to_schema(df, self.catalog.df(tname))
+                pks = self.catalog.table(tname).primary_keys
+            else:
+                # reference dispatches purely on the embedded table_name;
+                # unknown tables fall back to the first column as the key
+                pks = [df.columns[0]]
+            df = df.dropDuplicates(pks)
             out[tname] = df
             if dsn is not None:
                 from .sources.jdbc import bulk_upsert
 
-                pk = self.catalog.table(tname).primary_key
-                bulk_upsert(df, dsn, tname, pk)
+                bulk_upsert(df, dsn, tname, pks[0],
+                            connection_factory=connection_factory,
+                            partition_writer=partition_writer)
             elif target_dir is not None:
                 dest = os.path.join(target_dir, f"{tname}.parquet")
                 if os.path.exists(dest):
                     existing = self.spark.read.parquet(dest)
-                    pks = (
-                        self.catalog.table(tname).primary_keys
-                        if tname in self.catalog.tables
-                        else [df.columns[0]]
-                    )
                     fresh = df.join(existing, on=pks, how="left_anti")
                     fresh.write.mode("append").parquet(dest)
                 else:

@@ -66,9 +66,17 @@ def as_of_join(
     ).select(*[c for c in l_tagged.columns])
 
     unioned = l_tagged.unionByName(r_tagged)
+    # payload columns as the final tie-break: two right rows with identical
+    # (key, ts) would otherwise leave last(ignorenulls) partition-order
+    # dependent; ordering by the payload itself makes the winner (the max
+    # payload tuple) deterministic run-to-run
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__src").asc())
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__src").asc(),
+            *[F.col(f"__p_{p}").asc_nulls_first() for p in payload],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

@@ -14,14 +14,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 KNUTH = 2654435761  # 2^32 / golden ratio
-M32 = 1 << 32
+MERSENNE = (1 << 31) - 1  # 2^31 - 1, prime
+A = KNUTH % MERSENNE  # 506952114 — nonzero multiplier => bijection mod p
 
 
 def hash_bucket(id_col: Column | str, buckets: int = 10_000) -> Column:
-    """Uniform stable bucket in [0, buckets) from an integer id — Knuth
-    multiplicative hashing in plain bigint math (portable to any engine)."""
+    """Uniform stable bucket in [0, buckets) from an integer id — multiplicative
+    hashing mod the Mersenne prime 2^31-1 in plain bigint math (portable to any
+    engine). Every intermediate fits in 61 bits: the id is reduced mod p BEFORE
+    multiplying, so (p-1)*A ~= 1.09e18 < 2^63-1 — no overflow for any int64 id
+    (a raw `id * KNUTH` overflows for ids above ~3.46e9 and would error under
+    Spark's ANSI mode / DuckDB BIGINT math). `a*x mod p` with prime p and a != 0
+    permutes [0, p), so buckets stay uniform.
+
+    SQL mirror (nonnegative ids): ((id % 2147483647) * 506952114) % 2147483647
+    % buckets."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.pmod(F.pmod(c * F.lit(KNUTH), F.lit(M32)), F.lit(buckets))
+    p = F.lit(MERSENNE)
+    return F.pmod(F.pmod(F.pmod(c, p) * F.lit(A), p), F.lit(buckets))
 
 
 def hash_split(

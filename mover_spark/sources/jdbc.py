@@ -129,8 +129,50 @@ def upsert_partition_writer(dsn: str, table: str, columns: list[str], pk: str, b
     return write
 
 
-def bulk_upsert(df: DataFrame, dsn: str, table: str, pk: str) -> None:
-    """S17: distributed idempotent load. Trigger toggles + sequence resync
-    (S18) are driver-side statements bracketing the job — they require a
-    live connection, hence also psycopg2-gated."""
-    df.foreachPartition(upsert_partition_writer(dsn, table, df.columns, pk))
+def _psycopg2_connect(dsn: str):
+    try:
+        import psycopg2
+    except ImportError as exc:  # pragma: no cover - env has no driver
+        raise RuntimeError(
+            "JDBC/postgres load path requires psycopg2 on the driver"
+        ) from exc
+    return psycopg2.connect(dsn)
+
+
+def bulk_upsert(
+    df: DataFrame,
+    dsn: str,
+    table: str,
+    pk: str,
+    connection_factory=None,
+    partition_writer=None,
+) -> None:
+    """S17+S18: distributed idempotent load with the reference's bracket
+    (postgres.go:64-97): triggers disabled before the insert, re-enabled
+    after, then sequence resync (postgres.go:499-523). The reference does all
+    of it in ONE transaction; a distributed writer cannot, so the toggles are
+    driver-side statements committed around the job (documented isolation
+    divergence). Triggers are re-enabled even if the distributed write fails.
+
+    `connection_factory(dsn)` defaults to psycopg2.connect; tests inject a
+    stub to assert the exact statement sequence (no DB in this environment).
+    `partition_writer` is injectable for the same reason."""
+    connect = connection_factory or _psycopg2_connect
+    make_writer = partition_writer or upsert_partition_writer
+    conn = connect(dsn)
+    try:
+        with conn.cursor() as cur:
+            cur.execute(disable_triggers_sql(table))
+        conn.commit()
+        try:
+            df.foreachPartition(make_writer(dsn, table, df.columns, pk))
+        finally:
+            with conn.cursor() as cur:
+                cur.execute(enable_triggers_sql(table))
+            conn.commit()
+        with conn.cursor() as cur:
+            for stmt in reset_sequence_sql(table, pk):
+                cur.execute(stmt)
+        conn.commit()
+    finally:
+        conn.close()

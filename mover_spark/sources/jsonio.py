@@ -15,6 +15,7 @@ parallel by every executor. ``read_envelopes`` consumes both layouts.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
@@ -43,7 +44,11 @@ def write_envelope(
     if partitioned:
         path = os.path.join(out_dir, table_name)
         df.write.mode("overwrite").json(path)
-        n = df.count()
+        # count what was WRITTEN, not a recompute of df's plan — for a
+        # non-deterministic upstream (e.g. dropDuplicates) a second run of
+        # the plan could disagree with the files on disk
+        parts = glob.glob(os.path.join(path, "part-*"))
+        n = df.sparkSession.read.json(parts).count() if parts else 0
         with open(os.path.join(path, ENVELOPE_MANIFEST), "w") as f:
             json.dump({"table_name": table_name, "count": n}, f, indent="\t")
         return path

@@ -114,3 +114,136 @@ def test_media_manifest(spark, catalog, tmp_path):
     eng.extract(out, "SELECT * FROM customer WHERE c_custkey = 1")
     manifest = open(os.path.join(out, "_media_manifest.txt")).read().strip().splitlines()
     assert manifest and all(u.startswith("http://cdn/") for u in manifest)
+
+
+class _StubCursor:
+    def __init__(self, log):
+        self.log = log
+
+    def execute(self, sql):
+        self.log.append(sql)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class _StubConn:
+    def __init__(self, log):
+        self.log = log
+        self.closed = False
+
+    def cursor(self):
+        return _StubCursor(self.log)
+
+    def commit(self):
+        self.log.append("COMMIT")
+
+    def close(self):
+        self.closed = True
+
+
+def test_bulk_upsert_trigger_bracket(spark):
+    """S17+S18 wiring: the load path brackets the distributed write with
+    trigger disable/enable and resyncs the sequence afterwards, in the
+    reference's order (postgres.go:64-97,483-523). Stubbed connection —
+    no DB in this environment."""
+    from mover_spark.sources import jdbc
+
+    log = []
+    conn = _StubConn(log)
+    df = spark.range(3).selectExpr("id")
+
+    def noop_writer(dsn, table, columns, pk):
+        def write(rows):
+            for _ in rows:
+                pass
+        return write
+
+    jdbc.bulk_upsert(
+        df, "dsn://stub", "user", "id",
+        connection_factory=lambda dsn: conn, partition_writer=noop_writer,
+    )
+    assert log == [
+        'ALTER TABLE "user" DISABLE TRIGGER ALL',
+        "COMMIT",
+        'ALTER TABLE "user" ENABLE TRIGGER ALL',
+        "COMMIT",
+        jdbc.reset_sequence_sql("user", "id")[0],
+        "COMMIT",
+    ]
+    assert conn.closed
+
+
+def test_bulk_upsert_reenables_triggers_on_failure(spark):
+    """A failing distributed write must still re-enable triggers (and must
+    NOT resync the sequence)."""
+    from mover_spark.sources import jdbc
+
+    log = []
+    conn = _StubConn(log)
+    df = spark.range(3).selectExpr("id")
+
+    def bad_writer(dsn, table, columns, pk):
+        def write(rows):
+            raise ValueError("boom")
+        return write
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        jdbc.bulk_upsert(
+            df, "dsn://stub", "user", "id",
+            connection_factory=lambda dsn: conn, partition_writer=bad_writer,
+        )
+    assert 'ALTER TABLE "user" ENABLE TRIGGER ALL' in log
+    assert not any("setval" in s for s in log)
+    assert conn.closed
+
+
+def test_load_dsn_path_dedups_and_brackets(spark, catalog, tmp_path):
+    """Engine.load with a DSN target: batch is PK-deduped before the upsert
+    and the trigger/sequence bracket runs once per table."""
+    dup = catalog.df("region").unionByName(catalog.df("region"))
+    jsonio.write_envelope(dup, "region", str(tmp_path))
+
+    log = []
+
+    def noop_writer(dsn, table, columns, pk):
+        def write(rows):
+            for _ in rows:
+                pass
+        return write
+
+    eng = Engine(spark, catalog, MoverConfig())
+    out = eng.load(
+        str(tmp_path), dsn="dsn://stub",
+        connection_factory=lambda dsn: _StubConn(log),
+        partition_writer=noop_writer,
+    )
+    assert log[0] == 'ALTER TABLE "region" DISABLE TRIGGER ALL'
+    assert any("setval" in s for s in log)
+    # incoming batch deduped on PK before the upsert: 10 envelope rows -> 5
+    assert out["region"].count() == 5
+
+
+def test_load_dsn_unknown_table_falls_back(spark, catalog, tmp_path):
+    """A DSN load of a table absent from the catalog must not KeyError —
+    the reference dispatches purely on the embedded table_name."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["some_id", "val"])
+    jsonio.write_envelope(df, "mystery_table", str(tmp_path))
+
+    def noop_writer(dsn, table, columns, pk):
+        def write(rows):
+            for _ in rows:
+                pass
+        return write
+
+    eng = Engine(spark, catalog, MoverConfig())
+    out = eng.load(
+        str(tmp_path), dsn="dsn://stub",
+        connection_factory=lambda dsn: _StubConn([]),
+        partition_writer=noop_writer,
+    )
+    assert out["mystery_table"].count() == 2
