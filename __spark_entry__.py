@@ -388,10 +388,21 @@ def _q_user_trend(spark, sf_dir):
     return user_value_trend(_catalog(spark, sf_dir))
 
 
+def _q_user_trend_pandas(spark, sf_dir):
+    """Same slope as user_value_trend, but via the grouped-map applyInPandas
+    kernel — the custom-UDF escape-hatch demo, hash-checked against the
+    identical oracle."""
+    from mover_spark.operators.events import user_value_trend_pandas
+
+    return user_value_trend_pandas(_catalog(spark, sf_dir))
+
+
 def _q_streaming_running_totals(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     running totals drained with availableNow; final state per user equals
-    the batch aggregate. Float state folds in arrival order -> rows-only."""
+    the batch aggregate. State accumulates an int64 fixed-point sum
+    (round(value*1e4)), so the total is exact in any arrival order and the
+    query hash-checks against a batch DuckDB oracle."""
     from mover_spark.streaming.events import read_events_stream, run_to_memory, running_totals_stream
 
     totals = running_totals_stream(read_events_stream(spark, sf_dir))
@@ -723,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": _q_json_props,
         "events_gapfill": _q_gapfill,
         "user_value_trend": _q_user_trend,
+        "user_value_trend_pandas": _q_user_trend_pandas,
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_running_totals": _q_streaming_running_totals,
         "dedup_exact": _q_dedup_exact,
@@ -1247,6 +1259,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n * sxx - sx * sx AS DOUBLE) / 10000.0 * 3600.0, 6) END "
             "AS slope_per_hour FROM s"
         ),
+        "user_value_trend_pandas": (
+            # identical spec to user_value_trend — the pandas kernel must
+            # produce the same bits as the built-in-aggregate plan
+            "WITH e AS (SELECT user_id, "
+            "datediff('second', MIN(ts) OVER (PARTITION BY user_id), ts) AS x, "
+            "CAST(round(value * 10000) AS BIGINT) AS y FROM events), "
+            "s AS (SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+            "SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM e GROUP BY user_id) "
+            "SELECT user_id, n AS n_events, "
+            "CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE "
+            "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "CAST(n * sxx - sx * sx AS DOUBLE) / 10000.0 * 3600.0, 6) END "
+            "AS slope_per_hour FROM s"
+        ),
         "events_gapfill": (
             "WITH e AS (SELECT * FROM events WHERE event_type = 'purchase'), "
             "b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, "
@@ -1265,6 +1291,15 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "streaming_running_totals": (
+            # mirrors the stateful kernel's fixed-point arithmetic exactly:
+            # per-row round-half-away(value*1e4) as BIGINT, int sum (exact in
+            # any order), one final division
+            "SELECT user_id, COUNT(*) AS n_events, "
+            "SUM(CAST(FLOOR(ABS(value) * 10000 + 0.5) * SIGN(value) AS BIGINT)) "
+            "/ 10000.0 AS total_value "
+            "FROM events GROUP BY user_id ORDER BY user_id"
         ),
         "events_sliding": (
             "WITH w AS ("

@@ -44,12 +44,43 @@ from ..catalog import Catalog
 #: `{attr}` template var — same regex as the reference (etl/sanitizer.go:15).
 ATTR_RE = re.compile(r"\{(?P<attr>\w+)\}")
 
-#: Config-query shape compiled to a semi-join instead of per-value SQL.
-SIMPLE_EQ_RE = re.compile(
-    r"^\s*SELECT\s+\*\s+FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<col>\w+)\s*=\s*"
-    r"\{(?P<attr>\w+)\}\s*;?\s*$",
+#: Config-query shapes compiled to ONE semi-join instead of per-value SQL:
+#: `SELECT * FROM t WHERE c1 = {a1} AND c2 = {a2} AND c3 IN ({a3}) ...`.
+#: (`IN ({attr})` == `= {attr}` — mover substitutes a single value per row.)
+_SELECT_WHERE_RE = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<preds>.+?)\s*;?\s*$",
     re.IGNORECASE,
 )
+_EQ_PRED_RE = re.compile(
+    r"^\s*(?P<col>\w+)\s*(?:=\s*\{(?P<attr>\w+)\}"
+    r"|IN\s*\(\s*\{(?P<attr2>\w+)\}\s*\))\s*$",
+    re.IGNORECASE,
+)
+
+#: Safety valve for the driver-loop fallback: a template with OR / ranges /
+#: arbitrary SQL runs once per distinct attr tuple; beyond this many tuples
+#: it is a driver bottleneck by construction and we fail loudly instead.
+CONFIG_QUERY_FALLBACK_CAP = 1000
+
+
+def compile_config_query(template: str) -> tuple[str, list[tuple[str, str]]] | None:
+    """Parse a conjunctive-equality config template into
+    (table, [(column, attr), ...]) — or None if the SQL is anything richer
+    (OR, parens, ranges, literals), which falls back to the capped driver
+    loop. Compiled templates run as ONE multi-column semi-join per frontier
+    batch: fully distributed, no row values ever reach the driver."""
+    m = _SELECT_WHERE_RE.match(template)
+    if not m:
+        return None
+    pairs: list[tuple[str, str]] = []
+    for pred in re.split(r"\s+AND\s+", m.group("preds"), flags=re.IGNORECASE):
+        pm = _EQ_PRED_RE.match(pred)
+        if not pm:
+            return None
+        pairs.append((pm.group("col"), pm.group("attr") or pm.group("attr2")))
+    if len({c for c, _ in pairs}) != len(pairs):
+        return None  # `c = {a1} AND c = {a2}` can't be one equi-join key
+    return m.group("table"), pairs
 
 
 @dataclass
@@ -212,19 +243,39 @@ def extract_closure(
                 )
                 _fetch(rk.child_table, rk.child_cols, keys, fr.depth + 2)
 
-            # --- Config queries (extractor.go:70-79): the simple equality
-            # template compiles to a semi-join; arbitrary SQL runs once per
-            # distinct attr tuple (driver loop — the reference runs it once
-            # per ROW, strictly worse).
+            # --- Config queries (extractor.go:70-79): any conjunction of
+            # equality/IN templates compiles to ONE multi-column semi-join;
+            # only genuinely arbitrary SQL (OR, ranges, literals) falls back
+            # to a cardinality-capped driver loop (the reference runs every
+            # template once per ROW, strictly worse).
             for qtable, template in cfg.queries:
-                m = SIMPLE_EQ_RE.match(template)
-                if m and m.group("table").lower() == qtable.lower():
-                    col, attr = m.group("col"), m.group("attr")
-                    keys = rows.select(F.col(attr).alias(col))
-                    _fetch(qtable, [col], keys, fr.depth + 1)
+                compiled = compile_config_query(template)
+                if (
+                    compiled
+                    and compiled[0].lower() == qtable.lower()
+                    and all(attr in rows.columns for _, attr in compiled[1])
+                ):
+                    pairs = compiled[1]
+                    cols = [c for c, _ in pairs]
+                    keys = rows.select(*[F.col(a).alias(c) for c, a in pairs])
+                    _fetch(qtable, cols, keys, fr.depth + 1)
                 else:
                     attrs = sorted(set(ATTR_RE.findall(template)) & set(rows.columns))
-                    for vals in rows.select(*attrs).distinct().collect():
+                    tuples = (
+                        rows.select(*attrs)
+                        .distinct()
+                        .limit(CONFIG_QUERY_FALLBACK_CAP + 1)
+                        .collect()
+                    )
+                    if len(tuples) > CONFIG_QUERY_FALLBACK_CAP:
+                        raise RuntimeError(
+                            f"config query for {qtable!r} is not compilable to a "
+                            f"semi-join and its attr tuple cardinality exceeds "
+                            f"{CONFIG_QUERY_FALLBACK_CAP}; rewrite the template as "
+                            f"conjunctive equality predicates or reduce the "
+                            f"frontier: {template!r}"
+                        )
+                    for vals in tuples:
                         sql = template
                         for a in attrs:
                             sql = sql.replace("{%s}" % a, _format_value(vals[a]))

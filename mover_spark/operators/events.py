@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import Catalog
 from .analytics import dsum
@@ -87,8 +88,56 @@ def gapfill_hourly(cat: Catalog, event_type: str = "purchase") -> DataFrame:
 
 
 def user_value_trend(cat: Catalog) -> DataFrame:
+    """Per-user value trend (least-squares slope, units/hour) entirely in
+    built-in aggregates — the slope is pure decomposable sums, so there is
+    no reason to leave the JVM: x = seconds since the user's first event
+    (window-min), y = round(value*1e4) as int, then one groupBy computing
+    n/Σx/Σy/Σxy/Σxx with map-side partial aggregation and whole-stage
+    codegen. Sums accumulate in decimal(38,0) so they cannot overflow int64
+    even for year-long spans * millions of events per user.
+
+    Determinism: integer/decimal sums are exact in any accumulation order;
+    the only float ops are the final two divisions + round, identical on any
+    engine — hash-matches the DuckDB oracle bit-for-bit.
+    (user_value_trend_pandas is the same computation as a grouped-map
+    applyInPandas kernel, kept as the custom-kernel demo.)"""
+    ev = cat.df("events").select(
+        "user_id",
+        # ts is TIMESTAMP_NTZ (no direct long cast); session runs UTC so the
+        # hop through TIMESTAMP is value-preserving -> epoch seconds
+        F.col("ts").cast("timestamp").cast("long").alias("tsec"),
+        F.round(F.col("value") * 10000).cast("long").alias("y"),
+    )
+    w = Window.partitionBy("user_id")
+    e = ev.select(
+        "user_id",
+        (F.col("tsec") - F.min("tsec").over(w)).alias("x"),
+        "y",
+    )
+    dec = "decimal(38,0)"
+    s = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("y"))).alias("sxy"),
+        F.sum((F.col("x").cast(dec) * F.col("x"))).alias("sxx"),
+    )
+    numer = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denom = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.when(denom == 0, F.lit(None)).otherwise(
+            F.round(numer / denom / 10000.0 * 3600.0, 6)
+        ).alias("slope_per_hour"),
+    )
+
+
+def user_value_trend_pandas(cat: Catalog) -> DataFrame:
     """Per-user value trend (least-squares slope, units/hour) via grouped-map
-    applyInPandas — the canonical custom per-group kernel.
+    applyInPandas — the canonical custom per-group kernel (the built-in
+    formulation above is the fast path; this demonstrates the escape hatch
+    for logic aggregates genuinely can't express).
 
     Determinism without sorting: the discrete slope formula
     (n*Σxy - Σx*Σy) / (n*Σxx - Σx*Σx) is computed from INTEGER sums

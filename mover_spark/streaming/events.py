@@ -77,7 +77,7 @@ def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = 
 
 
 _STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("total", DoubleType())]
+    [StructField("n", LongType()), StructField("total_q", LongType())]
 )
 _OUT_SCHEMA = StructType(
     [
@@ -87,16 +87,36 @@ _OUT_SCHEMA = StructType(
     ]
 )
 
+#: fixed-point scale for the stateful sum: values are quantized to 1e-4
+#: BEFORE accumulating, so the state is an int64 and the total is exact in
+#: ANY accumulation order — micro-batch boundaries and row order can't
+#: change the answer, which is what makes the query hash-checkable against
+#: a batch oracle (a raw float fold would be order-dependent)
+QUANT = 10_000
+
+
+def _quantize(values) -> int:
+    """round-half-away-from-zero(value * QUANT) summed as int64 — mirrors
+    FLOOR(ABS(v)*QUANT + 0.5)*SIGN(v) exactly (numpy's own round() is
+    half-even; Spark/DuckDB round half away from zero)."""
+    import numpy as np
+
+    v = values.to_numpy(dtype="float64")
+    q = np.floor(np.abs(v) * QUANT + 0.5) * np.sign(v)
+    return int(q.astype("int64").sum())
+
 
 def _update_totals(key, pdf_iter, state: GroupState):
-    """Stateful accumulator: fold each micro-batch into (n, total)."""
-    n, total = state.get if state.exists else (0, 0.0)
+    """Stateful accumulator: fold each micro-batch into (n, total_q)."""
+    n, total_q = state.get if state.exists else (0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        total_q += _quantize(pdf["value"])
+    state.update((n, total_q))
+    # one IEEE division at emit time is engine-exact (same double on any
+    # engine computing total_q / QUANT)
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total_q / QUANT]}
     )
 
 

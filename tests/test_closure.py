@@ -160,3 +160,80 @@ def test_seed_multiplicity_preserved_then_sanitize_dedups(spark, catalog):
     )
     assert out["orders"].count() == 2 * ord_.count()
     assert sanitize_df(out["orders"], [], ["o_orderkey"]).count() == ord_.count()
+
+
+def test_compile_config_query_shapes():
+    """Conjunctive equality/IN templates compile to join pairs; anything
+    richer (OR, literals, repeated columns) falls back."""
+    from mover_spark.operators.closure import compile_config_query as cc
+
+    assert cc("SELECT * FROM orders WHERE o_custkey = {c_custkey}") == (
+        "orders", [("o_custkey", "c_custkey")]
+    )
+    assert cc(
+        "select * from orders where o_custkey = {c_custkey} "
+        "AND o_orderstatus IN ({status_lit});"
+    ) == ("orders", [("o_custkey", "c_custkey"), ("o_orderstatus", "status_lit")])
+    # OR is not an equi-join
+    assert cc("SELECT * FROM orders WHERE o_custkey = {a} OR o_clerk = {b}") is None
+    # literal predicates are not compiled (would need source-side filtering)
+    assert cc("SELECT * FROM orders WHERE o_custkey = {a} AND o_totalprice > 5") is None
+    # repeated column can't be one join key
+    assert cc("SELECT * FROM orders WHERE o_custkey = {a} AND o_custkey = {b}") is None
+    # projections other than * are arbitrary SQL
+    assert cc("SELECT o_orderkey FROM orders WHERE o_custkey = {a}") is None
+
+
+def test_config_query_conjunctive_semijoin(spark, catalog):
+    """A two-predicate template runs as ONE distributed semi-join (no driver
+    loop), matching the per-row oracle semantics."""
+    seed = catalog.df("customer").where(F.col("c_custkey") <= 20).withColumn(
+        "status_lit", F.lit("F")
+    )
+    cfg = {
+        "customer": SchemaConfig(
+            "customer",
+            omit_reference_keys=True,
+            queries=[(
+                "orders",
+                "SELECT * FROM orders WHERE o_custkey = {c_custkey} "
+                "AND o_orderstatus = {status_lit}",
+            )],
+        )
+    }
+    out = extract_closure(spark, catalog, [("customer", seed)], cfg)
+    (expected,) = _oracle(
+        "SELECT count(*) FROM orders WHERE o_orderstatus = 'F' AND o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_custkey <= 20)"
+    )[0]
+    assert expected > 0
+    assert out["orders"].count() == expected
+
+
+def test_config_query_fallback_cap(spark, catalog, monkeypatch):
+    """Non-compilable templates (OR) still work at low cardinality but fail
+    loudly past the cap instead of melting the driver."""
+    from mover_spark.operators import closure as closure_mod
+
+    cfg = {
+        "nation": SchemaConfig(
+            "nation",
+            omit_reference_keys=True,
+            queries=[(
+                "supplier",
+                "SELECT * FROM supplier WHERE s_nationkey = {n_nationkey} "
+                "OR s_suppkey = {n_nationkey}",
+            )],
+        )
+    }
+    seed = catalog.df("nation").where(F.col("n_nationkey") == 3)
+    out = extract_closure(spark, catalog, [("nation", seed)], cfg)
+    (expected,) = _oracle(
+        "SELECT count(*) FROM supplier WHERE s_nationkey = 3 OR s_suppkey = 3"
+    )[0]
+    assert out["supplier"].count() == expected
+
+    monkeypatch.setattr(closure_mod, "CONFIG_QUERY_FALLBACK_CAP", 2)
+    seed_many = catalog.df("nation").where(F.col("n_nationkey") <= 10)
+    with pytest.raises(RuntimeError, match="cardinality"):
+        extract_closure(spark, catalog, [("nation", seed_many)], cfg)
