@@ -35,6 +35,22 @@ def _catalog(spark: SparkSession, sf_dir: str) -> Catalog:
     return _CATALOGS[key]
 
 
+_STRICT_CATALOGS: dict = {}
+
+
+def _strict_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Strict-numeric catalog (SURVEY §1.2): numeric columns as
+    DecimalType(38,18) instead of the mover-lossy double. register_views=False
+    so it never clobbers the lossy catalog's temp views."""
+    key = (id(spark), sf_dir)
+    if key not in _STRICT_CATALOGS:
+        _CATALOGS.get(key) or _catalog(spark, sf_dir)  # ensure tuned session
+        _STRICT_CATALOGS[key] = Catalog(
+            spark, sf_dir, numeric_mode="strict", register_views=False
+        )
+    return _STRICT_CATALOGS[key]
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -571,6 +587,26 @@ def _q_bloom_prefilter_join(spark, sf_dir):
     )
 
 
+def _q_numeric_strict(spark, sf_dir):
+    """Strict `numeric` mode (SURVEY §1.2): the lossy path mirrors mover's
+    numeric->float64 degradation (dialect/postgres/util.go:177-183); this
+    query reads the same tables through a DecimalType(38,18) catalog and
+    aggregates with EXACT decimal arithmetic — no float rounding anywhere,
+    so sums are exact to 18 places in any accumulation order."""
+    li = _strict_catalog(spark, sf_dir).df("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_price"),
+            F.min("l_discount").alias("min_disc"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def _q_curation_pipeline(spark, sf_dir):
     """End-to-end curation: quality filter + language filter -> exact dedup
     -> deterministic split — the composition story for a training-data
@@ -698,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_dedup": _q_pk_dedup,
         "describe_catalog": _q_describe_catalog,
         "q1_pricing_summary": _q_pricing_summary,
+        "numeric_strict": _q_numeric_strict,
         "q3_shipping_priority": _q_shipping_priority,
         "q5_region_revenue": _q_region_revenue,
         "topk_window": _q_topk_window,
@@ -996,6 +1033,19 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS count_order "
             "FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01' "
             "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        "numeric_strict": (
+            # the VARCHAR hop recovers the decimal the double renders as
+            # (shortest repr) — the same semantics as Spark's double->decimal
+            # cast; a direct double cast would expand the binary fraction
+            "WITH s AS (SELECT l_returnflag, "
+            "CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(38,18)) AS q, "
+            "CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(38,18)) AS p, "
+            "CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(38,18)) AS d "
+            "FROM lineitem) "
+            "SELECT l_returnflag, COUNT(*) AS n_items, SUM(q) AS sum_qty, "
+            "SUM(p) AS sum_price, MIN(d) AS min_disc, MAX(p) AS max_price "
+            "FROM s GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "q3_shipping_priority": (
             "SELECT l_orderkey, o_orderdate, o_orderpriority, "

@@ -24,7 +24,14 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: Strict-mode decimal type for `numeric` columns (SURVEY §1.2): the
+#: reference degrades Postgres numeric to float64
+#: (dialect/postgres/util.go:177-183); our strict mode keeps exact decimals.
+NUMERIC_STRICT_TYPE = "decimal(38,18)"
+
 #: Key graph for the driver fixture tables (FIXTURES.md "Catalog sidecar").
+#: "numeric" lists the columns that are `numeric` in the source schema
+#: (TPC-H money/rate columns) — doubles in lossy mode, DecimalType in strict.
 STAR_SIDECAR: dict = {
     "region": {"pk": ["r_regionkey"], "fks": []},
     "nation": {
@@ -34,15 +41,18 @@ STAR_SIDECAR: dict = {
     "customer": {
         "pk": ["c_custkey"],
         "fks": [{"cols": ["c_nationkey"], "ref": "nation", "ref_cols": ["n_nationkey"]}],
+        "numeric": ["c_acctbal"],
     },
     "supplier": {
         "pk": ["s_suppkey"],
         "fks": [{"cols": ["s_nationkey"], "ref": "nation", "ref_cols": ["n_nationkey"]}],
+        "numeric": ["s_acctbal"],
     },
-    "part": {"pk": ["p_partkey"], "fks": []},
+    "part": {"pk": ["p_partkey"], "fks": [], "numeric": ["p_retailprice"]},
     "orders": {
         "pk": ["o_orderkey"],
         "fks": [{"cols": ["o_custkey"], "ref": "customer", "ref_cols": ["c_custkey"]}],
+        "numeric": ["o_totalprice"],
     },
     "lineitem": {
         # the fixture's (l_orderkey, l_linenumber) is NOT unique — flag it so
@@ -54,6 +64,7 @@ STAR_SIDECAR: dict = {
             {"cols": ["l_partkey"], "ref": "part", "ref_cols": ["p_partkey"]},
             {"cols": ["l_suppkey"], "ref": "supplier", "ref_cols": ["s_suppkey"]},
         ],
+        "numeric": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     },
     "events": {"pk": ["event_id"], "fks": []},
     "documents": {"pk": ["doc_id"], "fks": []},
@@ -135,9 +146,26 @@ class Catalog:
     seed SQL to PostgreSQL (etl/extractor.go:158).
     """
 
-    def __init__(self, spark: SparkSession, sf_dir: str, sidecar: dict | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        sidecar: dict | None = None,
+        numeric_mode: str = "lossy",
+        register_views: bool = True,
+    ):
+        """`numeric_mode`: "lossy" keeps the reference's numeric->float64
+        degradation (dialect/postgres/util.go:177-183); "strict" surfaces the
+        sidecar's `numeric` columns as DecimalType(38,18). The strict cast
+        goes through the double's shortest decimal rendering (Spark's
+        double->decimal semantics), i.e. it recovers the decimal the double
+        was displaying — matching CAST(CAST(x AS VARCHAR) AS DECIMAL) in
+        DuckDB, NOT the binary expansion of the double."""
+        if numeric_mode not in ("lossy", "strict"):
+            raise ValueError(f"numeric_mode must be lossy|strict, got {numeric_mode!r}")
         self.spark = spark
         self.sf_dir = sf_dir
+        self.numeric_mode = numeric_mode
         self.tables: dict[str, Table] = {}
         self._dfs: dict[str, DataFrame] = {}
         sidecar = sidecar if sidecar is not None else STAR_SIDECAR
@@ -149,6 +177,10 @@ class Catalog:
 
         for name in names:
             df = read_table(spark, os.path.join(sf_dir, f"{name}.parquet"))
+            if numeric_mode == "strict":
+                for col in sidecar.get(name, {}).get("numeric", []):
+                    if col in df.columns:
+                        df = df.withColumn(col, F.col(col).cast(NUMERIC_STRICT_TYPE))
             self._dfs[name] = df
             meta = sidecar.get(name, {})
             fks = [
@@ -183,8 +215,11 @@ class Catalog:
                         )
                     )
 
-        for name, df in self._dfs.items():
-            df.createOrReplaceTempView(name)
+        # register_views=False lets a second catalog (e.g. a strict-numeric
+        # one) coexist without clobbering the session's temp views
+        if register_views:
+            for name, df in self._dfs.items():
+                df.createOrReplaceTempView(name)
 
     @classmethod
     def from_sidecar_file(cls, spark: SparkSession, sf_dir: str, path: str) -> "Catalog":

@@ -247,3 +247,27 @@ def test_load_dsn_unknown_table_falls_back(spark, catalog, tmp_path):
         partition_writer=noop_writer,
     )
     assert out["mystery_table"].count() == 2
+
+
+def test_numeric_strict_mode(spark):
+    """SURVEY §1.2: strict mode surfaces `numeric` columns as
+    DecimalType(38,18) (the lossy default mirrors mover's numeric->float64,
+    dialect/postgres/util.go:177-183)."""
+    from decimal import Decimal
+
+    from mover_spark.catalog import Catalog
+    from .conftest import SF_DIR
+
+    cat = Catalog(spark, SF_DIR, numeric_mode="strict", register_views=False)
+    dt = dict(cat.df("lineitem").dtypes)
+    assert dt["l_extendedprice"] == "decimal(38,18)"
+    assert dt["l_quantity"] == "decimal(38,18)"
+    desc = {r["column_name"]: r["data_type"] for r in cat.describe("orders")}
+    assert desc["o_totalprice"] == "decimal(38,18)"
+    # decimal arithmetic is exact: a value like 0.1 that is inexact in
+    # binary sums without float noise
+    row = cat.df("lineitem").selectExpr(
+        "sum(l_discount) AS s", "count(*) AS n"
+    ).collect()[0]
+    assert isinstance(row.s, Decimal)
+    assert row.s == row.s.quantize(Decimal("0.01"))  # tenths/hundredths only
