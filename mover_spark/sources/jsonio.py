@@ -91,12 +91,37 @@ def read_envelopes(spark: SparkSession, path: str) -> dict[str, DataFrame]:
 def coerce_to_schema(df: DataFrame, target: DataFrame) -> DataFrame:
     """Schema-directed coercion of JSON-decoded rows to a target table's
     types — the Spark equivalent of valuesToPairs consulting the
-    introspected column DataType (postgres/util.go:29-107)."""
+    introspected column DataType (postgres/util.go:29-107).
+
+    Per-type fidelity table (reference file:line -> here):
+    - ``jsonb`` (util.go:36-42,91-96): the reference re-encodes the decoded
+      map back to JSON text; a JSON-inferred struct/map/array coercing to a
+      StringType target goes through ``to_json`` (a bare cast would render
+      Spark's non-JSON struct syntax).
+    - ``smallint[]/integer[]`` (util.go:47-66): JSON numbers infer as
+      array<bigint>; element-wise cast to the target array element type.
+    - ``varchar[]`` (util.go:141-149) / ``timestamp[]`` (util.go:150-158):
+      RFC3339 strings cast element-wise to the target array type.
+    - ``timestamp`` (util.go:77-90): RFC3339 text -> TimestampType cast.
+    - ``inet`` / ``int4range`` (util.go:132-141): strings on both sides —
+      identity.
+    - ``numeric`` (util.go:177-183): double in lossy mode; a DecimalType
+      target (strict catalog) casts exactly.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StringType, StructType
+
     cols = []
+    src_fields = {f.name: f for f in df.schema.fields}
     tgt_fields = {f.name: f for f in target.schema.fields}
     for name, field in tgt_fields.items():
         if name in df.columns:
-            cols.append(F.col(name).cast(field.dataType).alias(name))
+            c = F.col(name)
+            src_t = src_fields[name].dataType
+            if isinstance(field.dataType, StringType) and isinstance(
+                src_t, (StructType, MapType, ArrayType)
+            ):
+                c = F.to_json(c)  # jsonb parity: map -> JSON text, not cast
+            cols.append(c.cast(field.dataType).alias(name))
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(name))
     return df.select(*cols)

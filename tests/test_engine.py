@@ -271,3 +271,68 @@ def test_numeric_strict_mode(spark):
     ).collect()[0]
     assert isinstance(row.s, Decimal)
     assert row.s == row.s.quantize(Decimal("0.01"))  # tenths/hundredths only
+
+
+def test_coerce_to_schema_type_fidelity(spark, tmp_path):
+    """Write-path per-type coercion parity with valuesToPairs
+    (postgres/util.go:29-107): arrays, jsonb-as-text, inet/range strings,
+    RFC3339 timestamps — envelope -> read -> coerce must round-trip."""
+    import datetime
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    target_schema = StructType([
+        StructField("id", LongType()),
+        StructField("small_arr", ArrayType(ShortType())),      # smallint[]
+        StructField("int_arr", ArrayType(IntegerType())),      # integer[]
+        StructField("str_arr", ArrayType(StringType())),       # varchar[]
+        StructField("ts_arr", ArrayType(TimestampType())),     # timestamp[]
+        StructField("ts", TimestampType()),                    # timestamp
+        StructField("props", StringType()),                    # jsonb -> text
+        StructField("addr", StringType()),                     # inet
+        StructField("rng", StringType()),                      # int4range
+    ])
+    t0 = datetime.datetime(2021, 3, 4, 5, 6, 7)
+    rows = [(
+        1, [1, 2], [30, 40], ["a", "b"], [t0, t0], t0,
+        '{"k": 1, "s": "x"}', "10.0.0.1/32", "[1,5)",
+    )]
+    original = spark.createDataFrame(rows, schema=target_schema)
+    jsonio.write_envelope(original, "typed", str(tmp_path))
+
+    back = jsonio.read_envelopes(spark, str(tmp_path))["typed"]
+    # JSON inference degrades types (bigint arrays, string timestamps,
+    # struct for the jsonb object if it were embedded as an object)
+    coerced = jsonio.coerce_to_schema(back, original)
+    assert coerced.schema == target_schema
+    got = coerced.collect()[0]
+    assert got.small_arr == [1, 2] and got.int_arr == [30, 40]
+    assert got.str_arr == ["a", "b"]
+    assert got.ts == t0 and got.ts_arr == [t0, t0]
+    assert json.loads(got.props) == {"k": 1, "s": "x"}
+    assert got.addr == "10.0.0.1/32" and got.rng == "[1,5)"
+
+
+def test_coerce_jsonb_object_to_text(spark):
+    """A reference-produced envelope embeds jsonb as a real JSON OBJECT; the
+    load path must re-encode it to text (util.go:36-42,91-96), not render a
+    Spark struct literal."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = spark.read.json(
+        spark.sparkContext.parallelize(['{"id": 1, "props": {"k": 1, "s": "x"}}'])
+    )
+    target = spark.createDataFrame(
+        [], StructType([StructField("id", LongType()), StructField("props", StringType())])
+    )
+    out = jsonio.coerce_to_schema(src, target).collect()[0]
+    assert json.loads(out.props) == {"k": 1, "s": "x"}
