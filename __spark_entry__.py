@@ -498,6 +498,18 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(_catalog(spark, sf_dir).df("documents"), threshold=0.8)
 
 
+def _q_dedup_clusters_star(spark, sf_dir):
+    """Same clustering through the large-star/small-star CC (Kiveris et al.,
+    SoCC'14) — O(log^2 n) rounds independent of component diameter, the
+    scale-safe path for adversarial chain-shaped dup graphs. Checked against
+    the identical recursive-CTE oracle as dedup_clusters."""
+    from mover_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(
+        _catalog(spark, sf_dir).df("documents"), threshold=0.8, method="star"
+    )
+
+
 def _q_ann_ivf(spark, sf_dir):
     from mover_spark.operators.similarity import ivf_topk
 
@@ -783,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
         "multimodal_manifest": _q_multimodal_manifest,
         "multimodal_image_features": _q_multimodal_image_features,
         "lang_id": _q_lang_id,
@@ -1429,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
             'SELECT query_id, neighbor_id, "rank", cosine FROM r WHERE "rank" <= 10'
         ),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "dedup_clusters_star": _DEDUP_CLUSTERS_SQL,
         "multimodal_manifest": (
             "SELECT doc_id AS media_id, "
             "(['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type, "

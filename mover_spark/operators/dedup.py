@@ -490,18 +490,125 @@ def _propagate(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
     return labels
 
 
+def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components by large-star/small-star alternation (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm, re-derived here in DataFrame ops). Same output contract as
+    ``connected_components``: (node, cluster_id=component minimum) for every
+    node appearing in `pairs`.
+
+    Why a second implementation: min-label propagation needs O(diameter)
+    rounds — fine for near-dup cliques, quadratic-feeling on adversarial
+    long chains. The star alternation converges in O(log^2 n) rounds
+    REGARDLESS of diameter:
+    - large-star(u): attach every neighbor v > u to m = min(N(u) ∪ {u})
+    - small-star(u): over edges directed larger->smaller, attach u and all
+      its smaller neighbors to m
+    Each step strictly preserves connectivity (every emitted edge links two
+    nodes already connected through u) and monotonically lowers labels, so
+    the fixpoint is a forest of stars rooted at component minima.
+
+    Scale notes: each round is two groupBy-min + joins on the CURRENT edge
+    set (which shrinks toward one edge per node); localCheckpoint per round
+    truncates iterative lineage exactly like the propagation loop.
+    """
+    cols = pairs.columns[:2]
+    e = (
+        pairs.select(F.col(cols[0]).alias("u"), F.col(cols[1]).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if e.isEmpty():
+        # self-pairs only: every node is its own cluster
+        return (
+            pairs.select(F.col(cols[0]).alias("node"))
+            .distinct()
+            .withColumn("cluster_id", F.col("node"))
+        )
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        bidir = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            bidir.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        return (
+            bidir.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        d = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        attached = d.join(mins, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edges = mins.select("u", F.col("m").alias("v"))
+        return (
+            attached.unionAll(self_edges)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        nxt = small_star(large_star(e)).localCheckpoint()
+        same_size = nxt.count() == e.count()
+        if same_size and nxt.exceptAll(e).isEmpty():
+            e = nxt
+            break
+        e = nxt
+    else:
+        raise RuntimeError(
+            f"star connected-components did not converge in {max_iter} rounds"
+        )
+
+    # converged: a forest of stars child->root; roots label themselves
+    labeled = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+        .unionAll(e.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")))
+        .distinct()
+    )
+    # nodes appearing ONLY in self-pairs were dropped with the self-edges;
+    # they are their own singleton clusters (contract parity with the
+    # propagation implementation)
+    all_nodes = (
+        pairs.select(F.col(cols[0]).alias("node"))
+        .unionAll(pairs.select(F.col(cols[1]).alias("node")))
+        .distinct()
+    )
+    singletons = all_nodes.join(labeled, "node", "left_anti").withColumn(
+        "cluster_id", F.col("node")
+    )
+    return labeled.unionAll(singletons)
+
+
 def dedup_clusters(
     df: DataFrame,
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    method: str = "propagation",
 ) -> DataFrame:
     """End-to-end near-dup clustering: MinHash-LSH candidate pairs (exact-
     Jaccard verified) -> connected components -> (doc_id, cluster_id) with
-    the component minimum as the canonical keeper id."""
+    the component minimum as the canonical keeper id.
+
+    `method`: "propagation" (min-label, O(diameter) rounds — optimal for the
+    tiny cliques near-dup graphs form) or "star" (large-star/small-star,
+    O(log^2 n) rounds — the safe choice when component shape is unknown)."""
     pairs = minhash_lsh_pairs(df, threshold=threshold, text_col=text_col, id_col=id_col)
+    cc = connected_components_star if method == "star" else connected_components
     return (
-        connected_components(pairs.select("doc_a", "doc_b"))
+        cc(pairs.select("doc_a", "doc_b"))
         .select(F.col("node").alias(id_col), "cluster_id")
     )
 

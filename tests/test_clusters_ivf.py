@@ -66,3 +66,56 @@ def test_ivf_probe_all_cells_is_exact(catalog):
         for r in ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=8).collect()
     )
     assert exact == full
+
+
+def test_star_cc_matches_propagation_on_shapes(spark):
+    """Large-star/small-star (Kiveris et al.) must produce identical labels
+    to min-label propagation on chains, cycles, islands, self-loops."""
+    from mover_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21), (30, 30)],
+        "doc_a long, doc_b long",
+    )
+    want = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    got = {r.node: r.cluster_id for r in connected_components_star(pairs).collect()}
+    assert got == want
+    assert got[30] == 30  # self-loop-only node is a singleton cluster
+
+
+def test_star_cc_long_chain_bounded_rounds(spark):
+    """The adversarial case: a 200-node chain has diameter 200, but the star
+    alternation must converge in O(log^2 n) — well under 15 rounds (plain
+    propagation would need ~200)."""
+    from mover_spark.operators.dedup import connected_components_star
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    got = connected_components_star(pairs, max_iter=15).collect()
+    assert {r.cluster_id for r in got} == {0}
+    assert len(got) == n + 1
+
+
+def test_star_cc_random_graphs_property(spark):
+    """Property check on deterministic pseudo-random graphs: star labels ==
+    propagation labels (the two independent implementations agree)."""
+    from mover_spark.operators.dedup import connected_components_star
+
+    # LCG-generated edges: deterministic, seedable, no RNG state in tests
+    def lcg(seed):
+        while True:
+            seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            yield seed
+
+    for seed, n_nodes, n_edges in [(7, 40, 30), (11, 60, 80), (13, 25, 12)]:
+        g = lcg(seed)
+        edges = [(next(g) % n_nodes, next(g) % n_nodes) for _ in range(n_edges)]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        want = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+        got = {
+            r.node: r.cluster_id
+            for r in connected_components_star(pairs).collect()
+        }
+        assert got == want, f"seed={seed}"
