@@ -14,6 +14,7 @@ corpus-side work is embarrassingly parallel; the final top-k is a
 per-query-partition window, k rows per query cross the wire.
 """
 
+import math
 import random
 
 import numpy as np
@@ -28,11 +29,54 @@ EMB_DIM = 64
 # 6 planes -> 64 buckets: sized so buckets stay populated at the test SFs;
 # at cluster scale raise toward log2(n_vectors / target_bucket_size)
 N_PLANES = 6
-_rng = random.Random(7)
-#: baked ±1 hyperplanes (deterministic across runs/engines)
-HYPERPLANES: list[list[int]] = [
-    [_rng.choice((-1, 1)) for _ in range(EMB_DIM)] for _ in range(N_PLANES)
-]
+
+
+def hyperplanes_for(n_planes: int, dim: int = EMB_DIM, seed: int = 7) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes — same bits for a given (n, dim, seed)
+    on every run/engine, so signatures are reproducible at any size."""
+    rng = random.Random(seed)
+    return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_planes)]
+
+
+#: baked default planes (back-compat with the oracle-checked queries)
+HYPERPLANES: list[list[int]] = hyperplanes_for(N_PLANES)
+
+
+def auto_ivf_params(n_vectors: int, target_probe_fraction: float = 0.25) -> tuple[int, int]:
+    """Data-sized IVF knobs: n_centroids ~ sqrt(n) (the classic IVF sizing —
+    cells of ~sqrt(n) vectors balance assignment cost against probe cost),
+    n_probe sized so ~target_probe_fraction of the corpus is re-ranked per
+    query. Returns (n_centroids, n_probe)."""
+    n_centroids = max(1, min(4096, int(math.sqrt(max(n_vectors, 1)))))
+    n_probe = max(1, min(n_centroids, int(round(n_centroids * target_probe_fraction))))
+    return n_centroids, n_probe
+
+
+def auto_lsh_planes(n_vectors: int, target_bucket: int = 32) -> int:
+    """Data-sized hyperplane count: log2(n / target_bucket) planes puts
+    ~target_bucket vectors in each of the 2^planes buckets."""
+    return max(2, min(24, int(round(math.log2(max(n_vectors, 1) / max(target_bucket, 1) + 1)))))
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> list[tuple[int, list[float]]]:
+    """K-means coarse quantizer (pyspark.ml, distributed Lloyd iterations) —
+    the real-recall upgrade over the deterministic first-n quantizer; the
+    fixed seed keeps runs reproducible. Returns [(cell_id, centroid)], cell
+    ids 0..k-1, ready to pass to ``ivf_topk(centroids=...)``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
 
 
 def brute_force_topk(
@@ -87,12 +131,18 @@ def _ranked_cells_udf(cents: list[tuple[int, list[int]]]):
     at 4096 centroids a per-row expression tree is untenable, while the
     (batch x dim) @ (dim x cells) matmul stays a single BLAS call."""
     cids = np.array([cid for cid, _ in cents], dtype=np.int64)  # ascending
-    C = np.array([v for _, v in cents], dtype=np.int64)  # (m, d)
+    all_int = all(
+        all(float(x).is_integer() for x in v) for _, v in cents
+    )
+    # int64 for the oracle-exact deterministic quantizer; float64 for trained
+    # (k-means) centroids, where only assignment CONSISTENCY matters — corpus
+    # and queries score cells through this same closure
+    C = np.array([v for _, v in cents], dtype=np.int64 if all_int else np.float64)
     cnorms = np.sqrt((C * C).sum(axis=1).astype(np.float64))
 
     @F.pandas_udf("array<long>")
     def ranked(batch: pd.Series) -> pd.Series:
-        M = np.array(batch.tolist(), dtype=np.int64)  # (n, d)
+        M = np.array(batch.tolist(), dtype=C.dtype)  # (n, d)
         dots = (M @ C.T).astype(np.float64)
         qn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
         cos = dots / (qn[:, None] * cnorms[None, :])
@@ -108,27 +158,45 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_centroids: int = N_CENTROIDS,
-    n_probe: int = N_PROBE,
+    n_centroids: int | None = N_CENTROIDS,
+    n_probe: int | None = N_PROBE,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[tuple[int, list]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
     into n_centroids cells; each query exactly re-ranks only its n_probe
-    nearest cells — the classic FAISS-style index expressed as DataFrames.
+    nearest cells (the multiprobe knob) — the classic FAISS-style index
+    expressed as DataFrames.
 
-    The quantizer here is deterministic (the n_centroids smallest-id
-    vectors) rather than k-means, so results are reproducible and oracle-
-    checkable; swapping in trained centroids changes recall, not the plan.
+    Quantizer modes:
+    - default: deterministic (the n_centroids smallest-id vectors), so
+      results are reproducible and oracle-checkable;
+    - ``centroids=train_ivf_centroids(corpus, k)``: k-means cells for real
+      recall — same plan, better cell geometry (recall-tested, not
+      hash-checked: k-means output depends on the ml library's iteration
+      details, which no SQL oracle can mirror);
+    - ``n_centroids=None``/``n_probe=None``: data-sized via
+      ``auto_ivf_params`` (sqrt(n) cells) instead of the test-SF constants.
     Scale shape: centroids are collected once (tiny) and shipped inside the
     Arrow-vectorized scorer closure, so cell assignment is a narrow map —
     the only shuffle is the (cell)-keyed candidate join, touching
     n_probe/n_centroids of the corpus per query."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qc"))
-    cents = [
-        (r.neighbor_id, r.qc)
-        for r in c.orderBy("neighbor_id").limit(n_centroids).collect()
-    ]
+    if n_centroids is None or n_probe is None:
+        auto_c, auto_p = auto_ivf_params(corpus.count())
+        n_centroids = n_centroids if n_centroids is not None else auto_c
+        n_probe = n_probe if n_probe is not None else auto_p
+    if centroids is not None:
+        # trained centroids are in RAW embedding space; scale to the same
+        # quantized space as the vectors they score (quantized_vec = x*1000)
+        cents = [(cid, [x * 1000.0 for x in v]) for cid, v in centroids]
+        n_probe = min(n_probe, len(cents))
+    else:
+        cents = [
+            (r.neighbor_id, r.qc)
+            for r in c.orderBy("neighbor_id").limit(n_centroids).collect()
+        ]
     ranked = _ranked_cells_udf(cents)
 
     from .dedup import qdot
@@ -163,10 +231,11 @@ def ivf_topk(
     )
 
 
-def _signature(qv: Column) -> Column:
-    """16-bit random-hyperplane signature of a quantized vector."""
+def _signature(qv: Column, planes: list[list[int]] | None = None) -> Column:
+    """Random-hyperplane signature of a quantized vector (one bit per plane)."""
+    planes = planes if planes is not None else HYPERPLANES
     sig = F.lit(0).cast("long")
-    for j, plane in enumerate(HYPERPLANES):
+    for j, plane in enumerate(planes):
         arr = F.array(*[F.lit(v) for v in plane])
         dot = F.aggregate(
             F.zip_with(qv, arr, lambda x, p: x * p),
@@ -184,28 +253,38 @@ def lsh_topk(
     probes: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket join + exact re-rank.
 
     probes=0 searches only the query's own bucket; probes=1 additionally
-    searches the 16 hamming-1 buckets (recall up, cost x17 — still linear).
+    searches the n_planes hamming-1 buckets (recall up, cost x(n+1) — still
+    linear). `n_planes` defaults to the baked 6-plane/64-bucket setting (the
+    oracle-checked test-SF configuration); pass
+    ``auto_lsh_planes(corpus_size)`` to size buckets to the data instead.
     """
     from .dedup import qdot
+
+    if n_planes is None:
+        planes = HYPERPLANES
+    else:
+        planes = hyperplanes_for(n_planes)
+    n_pl = len(planes)
 
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qc"))
         .withColumn("cnorm", F.sqrt(qdot(F.col("qc"), F.col("qc")).cast("double")))
-        .withColumn("bucket", _signature(F.col("qc")))
+        .withColumn("bucket", _signature(F.col("qc"), planes))
     )
     q = (
         queries.select(F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("qq"))
         .withColumn("qnorm", F.sqrt(qdot(F.col("qq"), F.col("qq")).cast("double")))
-        .withColumn("sig", _signature(F.col("qq")))
+        .withColumn("sig", _signature(F.col("qq"), planes))
     )
 
     flips = [F.col("sig")]
     if probes >= 1:
-        flips += [F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)]
+        flips += [F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_pl)]
     q = q.withColumn("bucket", F.explode(F.array(*flips)))
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
