@@ -31,11 +31,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    # JVM/codegen warmup on the smallest fixture
-    try:
-        qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").count()
-    except Exception:
-        pass
+    # Fixed warm-up protocol at the smallest fixture: one query per
+    # execution mode (whole-stage codegen agg, Arrow pandas-UDF, Structured
+    # Streaming micro-batch) so first-use JIT/interpreter startup lands here
+    # instead of inflating whichever suite query runs that mode first.
+    for warm in (
+        "q1_pricing_summary",      # whole-stage codegen agg
+        "dedup_minhash_lsh",       # Arrow pandas-UDF kernels
+        "embedding_cosine_pairs",  # blocked-matmul mapInPandas tiles
+        "streaming_tumbling",      # Structured Streaming micro-batch
+    ):
+        try:
+            qs[warm](spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -48,17 +57,18 @@ def main() -> None:
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+        }
     )
+    # the machine-parsable result is the LAST stdout line, flushed, with
+    # console progress disabled session-wide so nothing trails it
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,7 @@ def get_spark(app_name: str = "mover-spark", cpus: str | None = None) -> SparkSe
         .appName(app_name)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", "128MB")
     )
     for k, v in RUNTIME_CONF.items():
