@@ -660,6 +660,50 @@ def _q_train_val_split(spark, sf_dir):
     )
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition signals (top-word share,
+    duplicate-word fraction, duplicate-2-gram fraction) — the quality rules
+    repetitive low-value documents fail."""
+    from mover_spark.operators.text import repetition_stats
+
+    return repetition_stats(_catalog(spark, sf_dir).df("documents"))
+
+
+def _q_quota_sample(spark, sf_dir):
+    """Deterministic per-key quota sampling: at most 10 docs per source,
+    picked by stable hash order — no source dominates the mixture and the
+    kept set is identical on every run/engine/partitioning."""
+    from mover_spark.operators.sampling import cap_per_key
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    return cap_per_key(docs, "source", 10, "doc_id").select(
+        "doc_id", "source", "n_chars"
+    ).orderBy("doc_id")
+
+
+def _q_streaming_dedup(spark, sf_dir):
+    """Streaming dedup (dropDuplicatesWithinWatermark): the fixture is
+    ingested TWICE (two unioned file streams — an at-least-once delivery
+    simulation); the dedup state keeps first-seen event_ids within the
+    watermark, so the drained output aggregates to exactly the batch answer
+    over unique events."""
+    from mover_spark.streaming.events import dedup_stream, read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, sf_dir)
+    dup = ev.unionByName(read_events_stream(spark, sf_dir))
+    name = "streaming_dedup_out"
+    run_to_memory(dedup_stream(dup), name, output_mode="append")
+    out = spark.table(name)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_doc_chunking(spark, sf_dir):
     from mover_spark.operators.text import chunk_documents
 
@@ -804,6 +848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "word_freq_topk": _q_word_freq,
         "doc_chunking": _q_doc_chunking,
+        "repetition_stats": _q_repetition_stats,
+        "quota_sample_per_source": _q_quota_sample,
+        "streaming_dedup": _q_streaming_dedup,
         "train_val_split": _q_train_val_split,
         "curation_pipeline": _q_curation_pipeline,
         "token_packing": _q_token_packing,
@@ -1527,6 +1574,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' "
             "ELSE 'test' END AS split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
             "FROM b GROUP BY 1 ORDER BY split"
+        ),
+        "repetition_stats": (
+            "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents), "
+            "wf AS (SELECT doc_id, w, COUNT(*) AS c FROM words WHERE w != '' "
+            "GROUP BY doc_id, w), "
+            "pd AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_c, "
+            "COUNT(*) AS n_distinct FROM wf GROUP BY doc_id), "
+            "g AS (SELECT doc_id, unnest(list_transform("
+            "range(1, len(string_split(text, ' '))), "
+            "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]"
+            ")) AS g FROM documents), "
+            "gf AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g), "
+            "pg AS (SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct_g "
+            "FROM gf GROUP BY doc_id) "
+            "SELECT pd.doc_id, pd.n_words, "
+            "ROUND(CAST(top_c AS DOUBLE) / n_words, 6) AS top_word_frac, "
+            "ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac, "
+            "CASE WHEN n_grams IS NOT NULL THEN "
+            "ROUND(1.0 - CAST(n_distinct_g AS DOUBLE) / n_grams, 6) END "
+            "AS dup_2gram_frac "
+            "FROM pd LEFT JOIN pg ON pd.doc_id = pg.doc_id"
+        ),
+        "quota_sample_per_source": (
+            # same mersenne-prime hash order as sampling.hash_bucket
+            "WITH r AS (SELECT doc_id, source, n_chars, ROW_NUMBER() OVER ("
+            "PARTITION BY source ORDER BY "
+            "(((doc_id % 2147483647) * 506952114) % 2147483647) % 10000 ASC, "
+            "doc_id ASC) AS rn FROM documents) "
+            "SELECT doc_id, source, n_chars FROM r WHERE rn <= 10 ORDER BY doc_id"
+        ),
+        "streaming_dedup": (
+            # ingesting the fixture twice then deduping on event_id must
+            # aggregate to exactly the batch answer over unique events
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "train_val_split": (
             "WITH b AS (SELECT doc_id, n_chars, "

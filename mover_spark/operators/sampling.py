@@ -58,3 +58,27 @@ def hash_split(
 def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     """Stable `fraction` sample by id hash — same rows every run."""
     return df.where(hash_bucket(id_col) < int(fraction * 10_000))
+
+
+def cap_per_key(
+    df: DataFrame, key_col: str, n: int, id_col: str
+) -> DataFrame:
+    """Quota sampling: keep at most `n` rows per key, chosen
+    DETERMINISTICALLY — rows are ranked inside each key by (hash_bucket(id),
+    id), i.e. a stable pseudo-random order, so the kept set never changes
+    across runs, partitionings, or engines. The training-data use: cap
+    documents per domain/source/language so no key dominates the mixture.
+
+    Scale shape: one window ranked within the key partition — a single
+    shuffle on key_col; skewed keys are bounded by the cap itself on output
+    (input skew can be pre-salted upstream if one key carries the corpus)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        hash_bucket(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -193,3 +193,67 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(norm).alias("md5_fingerprint"),
         F.xxhash64(norm).alias("xx64_fingerprint"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText-style
+    quality rules from Rae et al. 2021, "Scaling Language Models" §A1.1 —
+    public paper): heavily repetitive documents are low-quality training
+    data even when their surface stats look fine.
+
+    Per document:
+    - ``top_word_frac``   most frequent word's share of all words
+    - ``dup_word_frac``   fraction of word occurrences beyond first use
+                          (1 - distinct/total)
+    - ``dup_2gram_frac``  same for word 2-grams
+    Scale shape: one explode -> two-level aggregation (map-side partial
+    counts, then per-doc max/sum) — no per-row Python, no window over the
+    whole corpus; cost is O(total tokens), shuffled on (doc_id, word).
+    """
+    words = (
+        df.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
+        .where(F.col("w") != "")
+    )
+    wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_c"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    # 2-grams: zip words with their right-shifted selves; the zip pads the
+    # short side with null, so pair as structs and DROP null partners before
+    # concatenating (concat_ws would silently swallow the null and emit a
+    # bogus trailing 1-gram)
+    w = _words(text_col)
+    pairs = F.zip_with(
+        w, F.slice(w, 2, 1_000_000), lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+    )
+    gram_arr = F.transform(
+        F.filter(
+            pairs,
+            lambda p: p["b"].isNotNull() & (p["a"] != "") & (p["b"] != ""),
+        ),
+        lambda p: F.concat_ws(" ", p["a"], p["b"]),
+    )
+    grams = df.select(F.col(id_col), F.explode(gram_arr).alias("g"))
+    gc = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc_g = gc.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"), F.count(F.lit(1)).alias("n_distinct_g")
+    )
+    return (
+        per_doc.join(per_doc_g, on=[id_col], how="left")
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            F.round(F.col("top_c").cast("double") / F.col("n_words"), 6).alias("top_word_frac"),
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words"), 6
+            ).alias("dup_word_frac"),
+            F.when(
+                F.col("n_grams").isNotNull(),
+                F.round(
+                    F.lit(1.0) - F.col("n_distinct_g").cast("double") / F.col("n_grams"), 6
+                ),
+            ).alias("dup_2gram_frac"),
+        )
+    )

@@ -181,3 +181,16 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.awaitTermination()
     return q
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming deduplication via ``dropDuplicatesWithinWatermark``: the
+    ingest-path twin of batch exact-dedup — duplicate events (same
+    event_id) arriving within the watermark horizon are dropped with
+    BOUNDED state (old keys age out with the watermark; a plain
+    dropDuplicates on a stream would hold every key forever). This is the
+    operator a training-data ingest runs in front of everything else:
+    at-least-once sources (Kafka, file landing zones) re-deliver."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -83,3 +83,42 @@ def test_token_packing_spans_and_conserves(spark):
     # 1200-token doc lands in bin 2 even though it exceeds the budget
     bins = {r.bin: r.n_docs for r in out}
     assert bins == {0: 2, 1: 2, 2: 1, 3: 1}
+
+
+def test_repetition_stats_constructed(spark):
+    """Hand-computable repetition signals: 'a a a b' -> top word 3/4,
+    dup words 1 - 2/4, 2-grams [aa,aa,ab] -> 1 - 2/3; single-word doc has
+    no 2-grams (null)."""
+    from mover_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[1].n_words == 4
+    assert got[1].top_word_frac == 0.75
+    assert got[1].dup_word_frac == 0.5
+    assert got[1].dup_2gram_frac == round(1 - 2 / 3, 6)
+    assert got[2].n_words == 1 and got[2].top_word_frac == 1.0
+    assert got[2].dup_2gram_frac is None
+
+
+def test_cap_per_key_deterministic_and_capped(spark, catalog):
+    """Quota sampling keeps <= n per key and the SAME rows regardless of
+    physical partitioning."""
+    from mover_spark.operators.sampling import cap_per_key
+
+    docs = catalog.df("documents")
+    a = {r.doc_id for r in cap_per_key(docs, "source", 5, "doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in cap_per_key(docs.repartition(13), "source", 5, "doc_id").collect()
+    }
+    assert a == b
+    per_src = (
+        cap_per_key(docs, "source", 5, "doc_id")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 5 for r in per_src)
