@@ -32,6 +32,10 @@ AUDIT = [
     "word_freq_topk",
     "ann_topk_ivf",
     "bloom_prefilter_join",
+    "user_value_trend",
+    "numeric_strict",
+    "repetition_stats",
+    "quota_sample_per_source",
 ]
 
 
