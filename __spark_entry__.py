@@ -531,6 +531,27 @@ def _q_multimodal_image_features(spark, sf_dir):
     return image_features(media_fixture_from_documents(docs, n=100))
 
 
+def _q_multimodal_audio_features(spark, sf_dir):
+    """Audio modality of the media pipeline (duration / sample rate / RMS),
+    import-gated decode with the deterministic digest fake — same contract
+    as image_features."""
+    from mover_spark.operators.multimodal import audio_features, media_fixture_from_documents
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    return audio_features(media_fixture_from_documents(docs, n=100))
+
+
+def _q_multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan: one row per (video, offset) — pure
+    sequence+explode, the shape a decode stage consumes downstream."""
+    from mover_spark.operators.multimodal import frame_sample, media_fixture_from_documents
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    return frame_sample(media_fixture_from_documents(docs, n=100)).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     from mover_spark.operators.text import lang_id
 
@@ -842,6 +863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": _q_dedup_clusters_star,
         "multimodal_manifest": _q_multimodal_manifest,
         "multimodal_image_features": _q_multimodal_image_features,
+        "multimodal_audio_features": _q_multimodal_audio_features,
+        "multimodal_frame_plan": _q_multimodal_frame_plan,
         "lang_id": _q_lang_id,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
@@ -1508,6 +1531,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT media_id, width, height, "
             "CAST(width AS DOUBLE) / height AS aspect_ratio, "
             "b2 / 255.0 AS mean_luma, 'fake' AS decoder FROM f"
+        ),
+        "multimodal_audio_features": (
+            "WITH m AS (SELECT doc_id AS media_id, md5(text) AS h, "
+            "CAST(n_chars * 10 AS BIGINT) AS duration_ms "
+            "FROM documents WHERE doc_id < 100 AND doc_id % 3 = 1) "
+            "SELECT media_id, duration_ms, "
+            "([8000, 16000, 22050, 44100])"
+            "[CAST(('0x' || substr(h, 7, 2)) AS INTEGER) % 4 + 1] AS sample_rate, "
+            "CAST(('0x' || substr(h, 9, 2)) AS INTEGER) / 255.0 AS rms_level, "
+            "'fake' AS decoder FROM m"
+        ),
+        "multimodal_frame_plan": (
+            "WITH v AS (SELECT doc_id AS media_id, "
+            "CAST(n_chars * 10 AS BIGINT) AS dur "
+            "FROM documents WHERE doc_id < 100 AND doc_id % 3 = 2) "
+            "SELECT media_id, CAST(i AS INTEGER) AS frame_idx, "
+            "CAST(i * 1000 AS BIGINT) AS offset_ms FROM "
+            "(SELECT media_id, unnest(range(0, dur // 1000 + 1)) AS i FROM v) "
+            "ORDER BY media_id, frame_idx"
         ),
         "lang_id": (
             "WITH s AS (SELECT doc_id, "

@@ -184,3 +184,65 @@ def media_fixture_from_documents(docs: DataFrame, n: int = 100) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("duration_ms", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("rms_level", DoubleType(), True),
+        StructField("decoder", StringType(), False),  # 'librosa' or 'fake'
+    ]
+)
+
+#: common audio sample rates the fake decoder picks among (deterministic)
+_FAKE_RATES = (8000, 16000, 22050, 44100)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract audio in Arrow batches (mapInPandas):
+    duration, sample rate, RMS level. librosa/soundfile are not in this
+    container, so the decode is import-gated with a DETERMINISTIC fake
+    (digest-derived) — same contract as image_features: real batch
+    plumbing, marked decoder column."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import librosa  # noqa: F401
+
+            decoder = "librosa"
+        except ImportError:
+            decoder = "fake"
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if decoder == "librosa":
+                    import io
+
+                    import librosa
+                    import numpy as np
+
+                    y, sr = librosa.load(io.BytesIO(r["content"]), sr=None)
+                    dur = int(len(y) / sr * 1000)
+                    rate = int(sr)
+                    rms = float(np.sqrt((y ** 2).mean()))
+                else:
+                    h = hashlib.md5(r["content"] or b"").digest()
+                    dur = r["duration_ms"]
+                    rate = _FAKE_RATES[h[3] % 4]
+                    rms = h[4] / 255.0  # single IEEE division: engine-exact
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "duration_ms": dur,
+                        "sample_rate": rate,
+                        "rms_level": rms,
+                        "decoder": decoder,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return media.where(F.col("media_type") == "audio").mapInPandas(
+        extract, schema=AUDIO_FEATURES_SCHEMA
+    )

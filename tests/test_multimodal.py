@@ -41,3 +41,22 @@ def test_frame_sample_plan(spark, catalog):
     if got:
         assert [r.frame_idx for r in got] == list(range(len(got)))
         assert all(r.offset_ms == i * 500 for i, r in enumerate(sorted(got, key=lambda x: x.frame_idx)))
+
+
+def test_audio_features_deterministic_fake(spark, catalog):
+    """Audio modality: schema-stable Arrow batches, digest-deterministic
+    fake decode (librosa absent here), duration carried from metadata."""
+    from mover_spark.operators.multimodal import (
+        audio_features,
+        media_fixture_from_documents,
+    )
+
+    media = media_fixture_from_documents(catalog.df("documents"), n=30)
+    out = audio_features(media)
+    rows = out.collect()
+    assert rows and all(r.decoder == "fake" for r in rows)
+    assert all(r.sample_rate in (8000, 16000, 22050, 44100) for r in rows)
+    assert all(0.0 <= r.rms_level <= 1.0 for r in rows)
+    # deterministic: a second run yields identical rows
+    again = audio_features(media).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
