@@ -620,6 +620,36 @@ def _q_bloom_prefilter_join(spark, sf_dir):
     )
 
 
+def _q_returned_items(spark, sf_dir):
+    from mover_spark.operators.subqueries import returned_item_revenue
+
+    return returned_item_revenue(_catalog(spark, sf_dir))
+
+
+def _q_late_line_priority(spark, sf_dir):
+    from mover_spark.operators.subqueries import late_line_priority_dist
+
+    return late_line_priority_dist(_catalog(spark, sf_dir))
+
+
+def _q_large_volume_customers(spark, sf_dir):
+    from mover_spark.operators.subqueries import large_volume_customers
+
+    return large_volume_customers(_catalog(spark, sf_dir))
+
+
+def _q_waiting_suppliers(spark, sf_dir):
+    from mover_spark.operators.subqueries import waiting_suppliers
+
+    return waiting_suppliers(_catalog(spark, sf_dir))
+
+
+def _q_trailing_spend(spark, sf_dir):
+    from mover_spark.operators.subqueries import trailing_spend_window
+
+    return trailing_spend_window(_catalog(spark, sf_dir))
+
+
 def _q_numeric_strict(spark, sf_dir):
     """Strict `numeric` mode (SURVEY §1.2): the lossy path mirrors mover's
     numeric->float64 degradation (dialect/postgres/util.go:177-183); this
@@ -833,10 +863,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_window": _q_running_window,
         "rank_functions": _q_rank_functions,
         "corr_stats": _q_corr_stats,
+        "q10_returned_items": _q_returned_items,
+        "q12_late_lines": _q_late_line_priority,
         "q13_cust_order_dist": _q_cust_order_dist,
         "q14_promo_ratio": _q_promo_ratio,
         "q17_small_qty": _q_small_qty,
+        "q18_large_volume": _q_large_volume_customers,
         "q19_disjunctive": _q_disjunctive,
+        "q21_waiting_suppliers": _q_waiting_suppliers,
+        "trailing_spend_range_window": _q_trailing_spend,
         "grouping_sets_agg": _q_grouping_sets,
         "full_outer_spend": _q_full_outer,
         "string_funcs": _q_string_funcs,
@@ -1116,6 +1151,58 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS count_order "
             "FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01' "
             "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        "q10_returned_items": (
+            "SELECT c_custkey, c_name, c_acctbal, n_name, "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) "
+            "AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-04-01' "
+            "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+            "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+        ),
+        "q12_late_lines": (
+            "SELECT l_linestatus, "
+            "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS high_line_count, "
+            "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "GROUP BY l_linestatus ORDER BY l_linestatus"
+        ),
+        "q18_large_volume": (
+            "WITH big AS (SELECT l_orderkey, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS total_qty "
+            "FROM lineitem GROUP BY l_orderkey "
+            "HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) > 200) "
+            "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+            "total_qty FROM big JOIN orders ON big.l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
+        ),
+        "q21_waiting_suppliers": (
+            "WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey, l_shipdate "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderstatus = 'F') "
+            "SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait FROM l1 "
+            "JOIN supplier ON l1.l_suppkey = s_suppkey "
+            "WHERE EXISTS (SELECT 1 FROM lineitem l2 WHERE "
+            "l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE "
+            "l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey != l1.l_suppkey "
+            "AND l3.l_shipdate > l1.l_shipdate) "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 10"
+        ),
+        "trailing_spend_range_window": (
+            "SELECT o_custkey, o_orderkey, o_orderdate, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER ("
+            "PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) "
+            "RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW"
+            ") AS DOUBLE) AS trailing_spend FROM orders"
         ),
         "numeric_strict": (
             # the VARCHAR hop recovers the decimal the double renders as

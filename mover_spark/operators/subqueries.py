@@ -429,3 +429,131 @@ def running_window(cat: Catalog) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(25,4)")).over(cum).cast("double").alias("cum_spend"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
     )
+
+
+def returned_item_revenue(cat: Catalog, k: int = 20) -> DataFrame:
+    """TPC-H Q10: revenue lost to returned items per customer in one
+    quarter, top-k. Scale shape: the small dimension (nation) broadcasts;
+    the order-date filter lands on the orders scan BEFORE its join; the
+    top-k is a TakeOrdered, not a global sort."""
+    o = cat.df("orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    r = cat.df("lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,4)")
+    ).cast("double")
+    return (
+        r.join(o, r.l_orderkey == o.o_orderkey)
+        .join(cat.df("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.df("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def late_line_priority_dist(cat: Catalog, grace_days: int = 60) -> DataFrame:
+    """TPC-H Q12 shape (the fixture has no shipmode/commitdate, so the
+    category is l_linestatus and "late" is shipped > grace_days after the
+    order date): per status, CASE-sum of high- vs low-priority orders.
+    One join, map-side partial CASE aggregation."""
+    li = cat.df("lineitem")
+    o = cat.df("orders")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {grace_days} DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def large_volume_customers(cat: Catalog, min_qty: float = 200.0, k: int = 100) -> DataFrame:
+    """TPC-H Q18: customers whose single orders exceed min_qty total
+    quantity. The IN-subquery over a grouped lineitem becomes an aggregated
+    build side joined back — one shuffle on orderkey, never a per-row
+    subquery."""
+    big = (
+        cat.df("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,4)")).cast("double").alias("total_qty"))
+        .where(F.col("total_qty") > min_qty)
+    )
+    return (
+        big.join(cat.df("orders"), big.l_orderkey == F.col("o_orderkey"))
+        .join(cat.df("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def waiting_suppliers(cat: Catalog, k: int = 10) -> DataFrame:
+    """TPC-H Q21 shape (no commit/receipt dates in the fixture, so "kept
+    the order waiting" = was the strictly-latest shipper): suppliers who
+    were the last to ship on multi-supplier finished orders. The double
+    correlated EXISTS / NOT EXISTS compiles to one left_semi plus one
+    left_anti join with non-equi conditions — no per-row re-probing."""
+    li = cat.df("lineitem")
+    fo = cat.df("orders").where(F.col("o_orderstatus") == "F")
+    l1 = (
+        li.join(fo.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .dropDuplicates(["l_orderkey", "l_suppkey", "l_shipdate"])
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"),
+        F.col("l_suppkey").alias("sk2"),
+        F.col("l_shipdate").alias("sd2"),
+    )
+    # EXISTS: another supplier contributed to the same order
+    multi = l1.join(
+        l2,
+        (l1.l_orderkey == l2.ok2) & (l1.l_suppkey != l2.sk2),
+        "left_semi",
+    )
+    # NOT EXISTS: no other supplier shipped strictly later
+    last = multi.join(
+        l2,
+        (multi.l_orderkey == l2.ok2)
+        & (multi.l_suppkey != l2.sk2)
+        & (l2.sd2 > multi.l_shipdate),
+        "left_anti",
+    )
+    return (
+        last.join(
+            cat.df("supplier"), last.l_suppkey == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+    )
+
+
+def trailing_spend_window(cat: Catalog, days: int = 30) -> DataFrame:
+    """Time-RANGE window frame: each order's trailing `days`-day spend for
+    its customer — rangeBetween over the epoch-day ordering key, so frame
+    membership is VALUE-based (all same-day peers included), unlike the
+    row-based frames in running_window. One shuffle on customer."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-days, 0)
+    )
+    return cat.df("orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(25,4)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_spend"),
+    )
