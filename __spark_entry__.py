@@ -755,6 +755,33 @@ def _q_streaming_dedup(spark, sf_dir):
     )
 
 
+def _q_streaming_interval_join(spark, sf_dir):
+    """Watermarked stream-stream join (purchase <- same user's clicks in the
+    trailing hour), drained with availableNow; the per-user pair counts
+    aggregate to exactly the batch interval-join answer."""
+    from mover_spark.streaming.events import interval_join_stream, run_to_memory
+
+    name = "streaming_interval_join_out"
+    # stream-stream join state cost scales with state partitions, and the
+    # partition count is pinned at stream start: size it to the micro-batch
+    # volume instead of inheriting the batch-suite setting (32 partitions of
+    # state-store commits per batch is pure overhead at this event rate)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            interval_join_stream(spark, sf_dir), name, output_mode="append"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return (
+        spark.table(name)
+        .groupBy(F.col("l_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
 def _q_doc_chunking(spark, sf_dir):
     from mover_spark.operators.text import chunk_documents
 
@@ -909,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "quota_sample_per_source": _q_quota_sample,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_interval_join": _q_streaming_interval_join,
         "train_val_split": _q_train_val_split,
         "curation_pipeline": _q_curation_pipeline,
         "token_packing": _q_token_packing,
@@ -1740,6 +1768,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "streaming_interval_join": (
+            "SELECT p.user_id, COUNT(*) AS n_pairs FROM events p JOIN events c "
+            "ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR "
+            "AND c.ts <= p.ts "
+            "WHERE p.event_type = 'purchase' AND c.event_type = 'click' "
+            "GROUP BY p.user_id ORDER BY p.user_id"
         ),
         "train_val_split": (
             "WITH b AS (SELECT doc_id, n_chars, "

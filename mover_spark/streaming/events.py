@@ -194,3 +194,48 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def interval_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: each `left_type` event joins
+    the same user's `right_type` events from the preceding `lookback`
+    interval — the attribution-join shape (purchase <- recent clicks).
+
+    Both sides carry watermarks and the join condition bounds event time on
+    BOTH ends, so Spark can expire join state: without the time bounds a
+    stream-stream join would buffer both streams forever. State per side ~
+    (watermark + lookback) of data, independent of stream length."""
+    lhs = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_event"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    rhs = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_event"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return lhs.join(
+        rhs,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+        "inner",
+    )
