@@ -1,0 +1,54 @@
+"""Interchange formats beyond parquet and the JSON envelope: CSV and ORC.
+
+The reference moves data only as its JSON envelope (etl/engine.go:141-164);
+a Spark engine should also speak the interchange formats ETL counterparts
+commonly hand it. Schema discipline mirrors the envelope loader: CSV is
+schema-directed on read (header + type inference are NOT trusted — the
+catalog's schema is applied, like valuesToPairs consulting the introspected
+DataType, postgres/util.go:29-107); ORC carries its own schema.
+
+Scale notes: both writers are executor-parallel (one file per partition);
+CSV is the slow path (row-oriented, no predicate pushdown, full-row parse)
+and the docstrings say so — it exists for interchange, not for analytics
+storage. ORC keeps columnar pruning/pushdown like parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+#: ISO-8601 with microseconds — value-preserving for the fixture's
+#: microsecond timestamps (default CSV format drops sub-seconds)
+CSV_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """Executor-parallel CSV with header + lossless timestamp format."""
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", CSV_TS_FMT)
+        .option("timestampNTZFormat", CSV_TS_FMT)
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Schema-DIRECTED CSV read: the caller's schema is law, inference is
+    off — type drift fails loudly at parse instead of silently downstream."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", CSV_TS_FMT)
+        .option("timestampNTZFormat", CSV_TS_FMT)
+        .csv(path)
+    )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -336,3 +336,25 @@ def test_coerce_jsonb_object_to_text(spark):
     )
     out = jsonio.coerce_to_schema(src, target).collect()[0]
     assert json.loads(out.props) == {"k": 1, "s": "x"}
+
+
+def test_csv_orc_roundtrip(spark, catalog, tmp_path):
+    """CSV (schema-directed) and ORC round-trips preserve values including
+    sub-second timestamps; sources/formats.py."""
+    from mover_spark.sources import formats
+
+    for tname in ("region", "orders"):
+        df = catalog.df(tname)
+        want = sorted(map(tuple, df.collect()))
+
+        csv_path = str(tmp_path / f"{tname}_csv")
+        formats.write_csv(df, csv_path)
+        got_csv = sorted(
+            map(tuple, formats.read_csv(spark, csv_path, df.schema).collect())
+        )
+        assert got_csv == want, f"csv roundtrip mismatch for {tname}"
+
+        orc_path = str(tmp_path / f"{tname}_orc")
+        formats.write_orc(df, orc_path)
+        got_orc = sorted(map(tuple, formats.read_orc(spark, orc_path).collect()))
+        assert got_orc == want, f"orc roundtrip mismatch for {tname}"
