@@ -711,6 +711,43 @@ def _q_train_val_split(spark, sf_dir):
     )
 
 
+def _q_redact_pii(spark, sf_dir):
+    """PII redaction (free-text twin of mover's column sanitize): PII is
+    seeded deterministically into every 5th document, then scrubbed to
+    typed tokens with per-doc audit counts — all JVM regexp ops."""
+    from mover_spark.operators.text import redact_pii
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    seeded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 ssn 123-45-6789"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return redact_pii(seeded).orderBy("doc_id")
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Train/test decontamination: drop training docs sharing any 3-word
+    shingle with the eval split (real pipelines use 8-13 grams; the
+    fixture's small synthetic vocabulary needs n=3 to exercise the path).
+    Returns the surviving training rows."""
+    from mover_spark.operators.text import decontaminate
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    eval_set = docs.where(F.col("doc_id") < 5)
+    train = docs.where(F.col("doc_id") >= 5)
+    return decontaminate(train, eval_set, n=3).select(
+        "doc_id", "source", "n_chars"
+    ).orderBy("doc_id")
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style within-document repetition signals (top-word share,
     duplicate-word fraction, duplicate-2-gram fraction) — the quality rules
@@ -934,6 +971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_freq_topk": _q_word_freq,
         "doc_chunking": _q_doc_chunking,
         "repetition_stats": _q_repetition_stats,
+        "redact_pii": _q_redact_pii,
+        "decontaminate_ngram": _q_decontaminate,
         "quota_sample_per_source": _q_quota_sample,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_interval_join": _q_streaming_interval_join,
@@ -1753,6 +1792,35 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(1.0 - CAST(n_distinct_g AS DOUBLE) / n_grams, 6) END "
             "AS dup_2gram_frac "
             "FROM pd LEFT JOIN pg ON pd.doc_id = pg.doc_id"
+        ),
+        "redact_pii": (
+            # same seeding, same pattern order (email, ssn, then phone —
+            # the looser phone regex must not eat SSNs first)
+            "WITH s AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+            "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+            "'@example.com or 555-123-4567 ssn 123-45-6789' ELSE text END AS t "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email, "
+            "len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn, "
+            "len(regexp_extract_all(t, '\\+?\\d[\\d\\- ]{7,14}\\d')) AS n_phone, "
+            "regexp_replace(regexp_replace(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+            "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'), "
+            "'\\+?\\d[\\d\\- ]{7,14}\\d', '[PHONE]', 'g') AS clean_text "
+            "FROM s ORDER BY doc_id"
+        ),
+        "decontaminate_ngram": (
+            "WITH sh AS (SELECT doc_id, unnest(list_transform("
+            "range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1), "
+            "i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s "
+            "FROM documents), "
+            "e AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5), "
+            "bad AS (SELECT DISTINCT doc_id FROM sh WHERE doc_id >= 5 "
+            "AND s IN (SELECT s FROM e)) "
+            "SELECT doc_id, source, n_chars FROM documents "
+            "WHERE doc_id >= 5 AND doc_id NOT IN (SELECT doc_id FROM bad) "
+            "ORDER BY doc_id"
         ),
         "quota_sample_per_source": (
             # same mersenne-prime hash order as sampling.hash_bucket

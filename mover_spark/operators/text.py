@@ -257,3 +257,75 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             ).alias("dup_2gram_frac"),
         )
     )
+
+
+#: PII patterns (public, standard shapes): email, international-ish phone,
+#: US SSN. Conservative by design — a curation pass prefers false positives.
+PII_PATTERNS = {
+    # ordered: ssn BEFORE phone — the looser phone pattern also matches
+    # 3-2-4 digit groups, and replacement walks this dict in order
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+?\d[\d\- ]{7,14}\d",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII redaction over document text — the LLM-corpus twin of the
+    reference's sanitize pass (mover nulls/fakes COLUMNS, etl/sanitizer.go:
+    95-108; a corpus must scrub WITHIN free text). Each pattern family is
+    replaced by a typed token ([EMAIL]/[PHONE]/[SSN]), and per-doc hit
+    counts ride along for audit. All JVM-side regexp ops — zero Python in
+    the hot path, whole-stage codegen keeps it scan-speed."""
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        *[
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).alias(f"n_{name}")
+            for name, pat in PII_PATTERNS.items()
+        ],
+    )
+    clean = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, pat, f"[{name.upper()}]")
+    return out.withColumn("clean_text", clean).drop(text_col)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/test decontamination: drop training documents sharing any
+    `n`-word shingle with the evaluation set (the n-gram-overlap rule used
+    by public LLM training pipelines, e.g. GPT-3 appendix C / PaLM —
+    public methodology). Returns the clean training rows.
+
+    Scale shape: both sides shingle via transform+explode (linear in
+    tokens), contaminated ids surface through one equi-semi-join on the
+    shingle hash — the eval side is tiny by definition, so Catalyst
+    broadcasts it; no similarity scoring, no pair enumeration."""
+
+    def shingles(df: DataFrame, out: str) -> DataFrame:
+        w = _words(text_col)
+        # guard: sequence(1, 0) counts DOWN in Spark, so a doc shorter than
+        # n words must produce an empty index array, not [1, 0]
+        idx = F.when(
+            F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        gram = F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )
+        return df.select(F.col(id_col).alias(out), F.explode(gram).alias("shingle"))
+
+    train_sh = shingles(train, "train_id")
+    eval_sh = shingles(eval_set, "eval_id").select("shingle").distinct()
+    contaminated = (
+        train_sh.join(F.broadcast(eval_sh), on=["shingle"], how="left_semi")
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(contaminated, on=[id_col], how="left_anti")

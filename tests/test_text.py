@@ -122,3 +122,43 @@ def test_cap_per_key_deterministic_and_capped(spark, catalog):
         .collect()
     )
     assert all(r["count"] <= 5 for r in per_src)
+
+
+def test_redact_pii_patterns(spark):
+    from mover_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.io thanks"),
+            (2, "ssn 123-45-6789 phone +1 555 123 4567"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert got[1].n_email == 1 and "[EMAIL]" in got[1].clean_text
+    assert "jo.doe" not in got[1].clean_text
+    # SSN is claimed by the SSN pattern, not the looser phone pattern
+    assert got[2].n_ssn == 1 and "[SSN]" in got[2].clean_text
+    assert got[2].n_phone >= 1 and "[PHONE]" in got[2].clean_text
+    assert "123-45-6789" not in got[2].clean_text
+    assert got[3].clean_text == "nothing here"
+
+
+def test_decontaminate_drops_overlaps_only(spark):
+    from mover_spark.operators.text import decontaminate
+
+    eval_set = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma y"),   # shares 3-gram "alpha beta gamma"
+            (2, "alpha beta x gamma y"),   # max shared run is 2 words: kept
+            (3, "totally unrelated words here"),
+            (4, "hi"),                     # shorter than n: kept, no shingles
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in decontaminate(train, eval_set, n=3).collect()}
+    assert kept == {2, 3, 4}
