@@ -77,3 +77,25 @@ def test_compact_parquet_reduces_file_count(spark, catalog, tmp_path):
     assert n_files == n_out < n_in
     # content preserved exactly
     assert spark.read.parquet(out).count() == catalog.df("orders").count()
+
+
+def test_audit_plan_facts(spark, catalog):
+    """plans.audit_plan turns explain output into assertable scale gates:
+    pushdown reaches the scan, columns are pruned, dims broadcast, and no
+    row-at-a-time Python eval hides in relational plans."""
+    import pyspark.sql.functions as F
+
+    from mover_spark.plans import audit_plan
+
+    li = catalog.df("lineitem")
+    q = li.where(F.col("l_shipdate") >= "1997-01-01").select("l_orderkey", "l_quantity")
+    a = audit_plan(q)
+    assert a["pushed_filters"], "filter did not reach the parquet scan"
+    assert a["scan_column_counts"] and max(a["scan_column_counts"]) <= 3, (
+        "column pruning failed: scan reads more than the 3 needed columns"
+    )
+    assert not a["has_python_eval"]
+
+    j = li.join(F.broadcast(catalog.df("part")), li.l_partkey == F.col("p_partkey"))
+    aj = audit_plan(j)
+    assert aj["n_broadcast_joins"] >= 1

@@ -15,6 +15,7 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
+from mover_spark.plans import audit_plan
 from mover_spark.session import get_spark
 
 AUDIT = [
@@ -53,15 +54,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     qs = entrymod.queries()
     for name in names:
-        plan = plan_of(qs[name](spark, sf_dir))
+        a = audit_plan(qs[name](spark, sf_dir))
+        plan = a["plan"]
         flags = []
         if "PushedFilters: []" in plan and "Filter" in plan:
             flags.append("NO-PUSHDOWN?")
-        if "BroadcastHashJoin" not in plan and "SortMergeJoin" in plan:
+        if a["n_broadcast_joins"] == 0 and a["n_sortmerge_joins"] > 0:
             flags.append("SMJ-ONLY")
+        if a["has_python_eval"]:
+            flags.append("ROW-PYTHON-UDF")
         # note: AQE formatted plans don't print WholeStageCodegen spans
         # before execution — don't flag on their absence
-        print(f"\n===== {name} {'[' + ' '.join(flags) + ']' if flags else '[ok]'} =====")
+        stats = (f"exch={a['n_exchanges']} bhj={a['n_broadcast_joins']} "
+                 f"smj={a['n_sortmerge_joins']} scans={a['n_scans']}")
+        print(f"\n===== {name} {'[' + ' '.join(flags) + ']' if flags else '[ok]'} ({stats}) =====")
         print(plan[:4000])
 
 
