@@ -92,3 +92,49 @@ def assert_no_join_exchange(joined: DataFrame) -> None:
     plan = plan_string(joined)
     if "Exchange" in plan:
         raise AssertionError(f"join plan still shuffles:\n{plan}")
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Interleave the low `bits` of two non-negative int columns into one
+    Z-order (Morton) key — public technique (Morton 1966; the layout trick
+    behind multi-dimension data skipping in modern lakehouse formats).
+    Sorting by the interleaved key clusters rows that are close in BOTH
+    dimensions, so per-file min/max stats stay tight on both columns and a
+    predicate on EITHER column prunes row groups; a plain sort clusters
+    only its leading column. Pure bit ops — JVM-side, codegen-friendly."""
+    from pyspark.sql import functions as F
+
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    ca = F.pmod(ca.cast("long"), F.lit(1 << bits))
+    cb = F.pmod(cb.cast("long"), F.lit(1 << bits))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(ca, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(cb, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame, out_path: str, col_a: str, col_b: str, n_files: int = 8, bits: int = 16
+) -> DataFrame:
+    """Persist `df` Z-order-clustered on (col_a, col_b): range-partition +
+    sort by the Morton key, one parquet file per range. Returns the re-read
+    DataFrame. Verification belongs to the caller/tests: per-file min/max
+    spread of BOTH columns should shrink vs a single-column sort (see
+    tests/test_layout.py::test_zorder_tightens_both_columns)."""
+    from pyspark.sql import functions as F
+
+    z = zorder_key(col_a, col_b, bits).alias("__z")
+    (
+        df.select("*", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return df.sparkSession.read.parquet(out_path)

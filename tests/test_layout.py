@@ -99,3 +99,57 @@ def test_audit_plan_facts(spark, catalog):
     j = li.join(F.broadcast(catalog.df("part")), li.l_partkey == F.col("p_partkey"))
     aj = audit_plan(j)
     assert aj["n_broadcast_joins"] >= 1
+
+
+def test_zorder_tightens_both_columns(spark, catalog, tmp_path):
+    """Z-order clustering: per-file min/max ranges must be materially
+    tighter than the global range on BOTH dimensions — the property row-
+    group skipping depends on. A single-column sort only achieves this for
+    its leading column."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from mover_spark.sources.layout import write_zordered
+
+    # two independent uniform dims derived from orders keys
+    df = catalog.df("orders").select(
+        F.pmod(F.col("o_orderkey") * 2654435761 % (1 << 31), F.lit(1024)).alias("xa"),
+        F.pmod(F.col("o_custkey") * 40503 % (1 << 31), F.lit(1024)).alias("xb"),
+    )
+
+    def avg_file_spread(path, col):
+        spreads = []
+        for f in globmod.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            lo = min(md.row_group(i).column(_col_idx(md, col)).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(_col_idx(md, col)).statistics.max
+                     for i in range(md.num_row_groups))
+            spreads.append(hi - lo)
+        return sum(spreads) / len(spreads)
+
+    def _col_idx(md, name):
+        sch = md.schema
+        for i in range(len(sch)):
+            if sch.column(i).name == name:
+                return i
+        raise KeyError(name)
+
+    z_path = str(tmp_path / "zorder")
+    write_zordered(df, z_path, "xa", "xb", n_files=16, bits=10)
+    plain_path = str(tmp_path / "plain")
+    (
+        df.repartitionByRange(16, F.col("xa"))
+        .sortWithinPartitions("xa")
+        .write.mode("overwrite")
+        .parquet(plain_path)
+    )
+
+    # plain sort: xa clusters (tight), xb doesn't (≈ full 0..1023 range)
+    assert avg_file_spread(plain_path, "xa") < 256
+    assert avg_file_spread(plain_path, "xb") > 768
+    # z-order: BOTH columns materially tighter than the global range
+    assert avg_file_spread(z_path, "xa") < 600
+    assert avg_file_spread(z_path, "xb") < 600
