@@ -748,6 +748,35 @@ def _q_decontaminate(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_udtf_word_windows(spark, sf_dir):
+    """Python UDTF via LATERAL join: each document expands to one row per
+    10-word window — the table-function extension surface (variable fan-out
+    per input row)."""
+    from mover_spark.functions.table_funcs import register_table_funcs
+
+    _catalog(spark, sf_dir)  # registers the documents temp view
+    register_table_funcs(spark)
+    return spark.sql(
+        "SELECT doc_id, w.win_idx, w.window_text "
+        "FROM documents, LATERAL word_windows(text, 10) AS w "
+        "ORDER BY doc_id, win_idx"
+    )
+
+
+def _q_udaf_quantized_rms(spark, sf_dir):
+    """Grouped-agg pandas UDAF: per-event-type RMS of value, with integer
+    fixed-point internals so the Python aggregate is order-exact and
+    hash-checkable like a built-in."""
+    from mover_spark.functions.table_funcs import quantized_rms
+
+    ev = _catalog(spark, sf_dir).df("events")
+    return (
+        ev.groupBy("event_type")
+        .agg(quantized_rms(F.col("value")).alias("rms_value"))
+        .orderBy("event_type")
+    )
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style within-document repetition signals (top-word share,
     duplicate-word fraction, duplicate-2-gram fraction) — the quality rules
@@ -971,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_freq_topk": _q_word_freq,
         "doc_chunking": _q_doc_chunking,
         "repetition_stats": _q_repetition_stats,
+        "udtf_word_windows": _q_udtf_word_windows,
+        "udaf_quantized_rms": _q_udaf_quantized_rms,
         "redact_pii": _q_redact_pii,
         "decontaminate_ngram": _q_decontaminate,
         "quota_sample_per_source": _q_quota_sample,
@@ -1792,6 +1823,25 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(1.0 - CAST(n_distinct_g AS DOUBLE) / n_grams, 6) END "
             "AS dup_2gram_frac "
             "FROM pd LEFT JOIN pg ON pd.doc_id = pg.doc_id"
+        ),
+        "udtf_word_windows": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents) "
+            "SELECT doc_id, CAST(i AS INT) AS win_idx, "
+            "array_to_string(ws[(i*10)+1:(i*10)+10], ' ') AS window_text "
+            "FROM (SELECT doc_id, ws, "
+            "unnest(range(0, (len(ws) + 9) // 10)) AS i FROM d) "
+            "ORDER BY doc_id, win_idx"
+        ),
+        "udaf_quantized_rms": (
+            # mirrors the UDAF's fixed-point internals exactly: scale-100
+            # quantize, exact integer square sum (< 2^53, so the double
+            # division sees identical inputs), sqrt, descale
+            "WITH q AS (SELECT event_type, "
+            "CAST(FLOOR(ABS(value) * 100 + 0.5) AS BIGINT) AS qv FROM events) "
+            "SELECT event_type, "
+            "SQRT(CAST(SUM(qv * qv) AS DOUBLE) / COUNT(*)) / 100.0 AS rms_value "
+            "FROM q GROUP BY event_type ORDER BY event_type"
         ),
         "redact_pii": (
             # same seeding, same pattern order (email, ssn, then phone —
