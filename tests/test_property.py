@@ -82,6 +82,58 @@ def test_asof_join_matches_naive(spark, rows):
             best_ts = max(m[0] for m in matches)
             vals = [v for rts, v in matches if rts == best_ts]
             assert got[lid][0] == best_ts
-            assert got[lid][1] in vals  # equal-ts ties: any of the tied rows
+            # equal-ts ties resolve DETERMINISTICALLY to the max payload
+            # (window orderBy includes the payload as final tie-break)
+            assert got[lid][1] == max(vals)
         else:
             assert got[lid] == (None, None)
+
+
+ids_strategy = st.lists(
+    st.integers(min_value=0, max_value=(1 << 62)), min_size=1, max_size=30, unique=True
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ids_strategy)
+def test_hash_split_stable_exhaustive_and_overflow_safe(spark, ids):
+    """hash_split: every row gets exactly one label, the assignment is
+    invariant under repartitioning, and ids up to 2^62 don't overflow
+    (regression for the raw id*KNUTH formula, which threw under ANSI mode
+    for ids above ~3.46e9)."""
+    from mover_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in hash_split(df.repartition(7), "doc_id").collect()}
+    assert a == b
+    assert set(a) == set(ids)
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_repetition_stats_matches_reference(spark, texts):
+    """repetition_stats vs a per-doc Python reference on arbitrary docs."""
+    from mover_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w]
+        if not words:
+            assert i not in got
+            continue
+        counts = {}
+        for w in words:
+            counts[w] = counts.get(w, 0) + 1
+        assert got[i].n_words == len(words)
+        assert got[i].top_word_frac == round(max(counts.values()) / len(words), 6)
+        assert got[i].dup_word_frac == round(1 - len(counts) / len(words), 6)
+        grams = [
+            " ".join(words[j : j + 2]) for j in range(len(words) - 1)
+        ]
+        if grams:
+            assert got[i].dup_2gram_frac == round(1 - len(set(grams)) / len(grams), 6)
+        else:
+            assert got[i].dup_2gram_frac is None
