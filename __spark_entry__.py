@@ -467,6 +467,11 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def _q_dedup_simhash(spark, sf_dir):
+    """rows-only by necessity, not approximation: the banding is EXACT for
+    hamming<=3 (pigeonhole over 4 bands), but the signature hashes words
+    with Spark's internal xxhash64, which DuckDB does not implement — no
+    oracle can reproduce the bits. Determinism is pinned by
+    tests/test_dedup.py instead."""
     from mover_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(_catalog(spark, sf_dir).df("documents"), max_hamming=3)
@@ -588,6 +593,9 @@ def _q_embedding_dup_clusters(spark, sf_dir):
 
 
 def _q_kmv_distinct(spark, sf_dir):
+    """rows-only: the estimate is a deterministic function of Spark's
+    internal xxhash64, which DuckDB does not implement — accuracy bounds
+    are pinned by tests/test_sketches.py instead."""
     from mover_spark.operators.sketches import kmv_distinct
 
     return kmv_distinct(_catalog(spark, sf_dir).df("orders"), ["o_custkey"], k=256)
@@ -1150,6 +1158,23 @@ def _qcos(a: str, b: str) -> str:
     return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
 
 
+def _lsh_sig_sql(col: str) -> str:
+    """The hyperplane-LSH signature as SQL: bit j set iff dot(qv, plane_j)
+    >= 0, planes being the SAME baked ±1 literals the Spark operator uses —
+    the approximate index is deterministic given the planes, so even the
+    LSH query is exactly oracle-checkable."""
+    from mover_spark.operators.similarity import HYPERPLANES
+
+    terms = []
+    for j, plane in enumerate(HYPERPLANES):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip({col}, {arr}), "
+            f"s -> s[1] * s[2])) >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def oracle_sql() -> dict[str, str]:
     first_names = _duck_list(_FAKE_FIRST)
     locals_ = _duck_list(_FAKE_LOCAL)
@@ -1673,7 +1698,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM p) "
             'SELECT query_id, neighbor_id, "rank", cosine FROM r WHERE "rank" <= 10'
         ),
-        # ann_topk_lsh: approximate by design -> rows-only
+        "ann_topk_lsh": (
+            "WITH " + _QVEC_CTE + ", "
+            f"b AS (SELECT vec_id, qv, {_lsh_sig_sql('qv')} AS bucket FROM q), "
+            "qr AS (SELECT vec_id AS query_id, bucket AS sig FROM b "
+            "WHERE vec_id < 10), "
+            "probes AS (SELECT query_id, unnest([sig, xor(sig, 1), xor(sig, 2), "
+            "xor(sig, 4), xor(sig, 8), xor(sig, 16), xor(sig, 32)]) AS bucket "
+            "FROM qr), "
+            "cand AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id "
+            "FROM probes p JOIN b c ON c.bucket = p.bucket "
+            "AND c.vec_id != p.query_id), "
+            "scored AS (SELECT cand.query_id, cand.neighbor_id, "
+            f"ROUND({_qcos('qa.qv', 'qb.qv')}, 6) AS cosine "
+            "FROM cand JOIN q qa ON qa.vec_id = cand.query_id "
+            "JOIN q qb ON qb.vec_id = cand.neighbor_id), "
+            "r AS (SELECT query_id, neighbor_id, cosine, "
+            'ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank" '
+            "FROM scored) "
+            'SELECT query_id, neighbor_id, "rank", cosine FROM r WHERE "rank" <= 10'
+        ),
         "ann_topk_ivf": (
             "WITH " + _QVEC_CTE + ", "
             "cent AS (SELECT vec_id AS cid, qv AS qcent FROM q ORDER BY vec_id LIMIT 16), "
