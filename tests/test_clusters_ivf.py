@@ -109,7 +109,13 @@ def test_star_cc_random_graphs_property(spark):
             seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 63)
             yield seed
 
-    for seed, n_nodes, n_edges in [(7, 40, 30), (11, 60, 80), (13, 25, 12)]:
+    for seed, n_nodes, n_edges in [
+        (7, 40, 30),
+        (11, 60, 80),
+        (13, 25, 12),
+        (17, 200, 400),   # dense: one giant component
+        (19, 150, 75),    # sparse: many small components
+    ]:
         g = lcg(seed)
         edges = [(next(g) % n_nodes, next(g) % n_nodes) for _ in range(n_edges)]
         pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
