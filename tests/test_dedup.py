@@ -74,3 +74,28 @@ def test_lsh_topk_recall(spark, catalog):
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.15, f"recall collapsed: {recall}"
     assert all(r.rank <= 10 for r in approx)
+
+
+def test_lsh_topk_parameterized_planes(spark, catalog):
+    """The data-sized plane-count path: more planes -> more, smaller
+    buckets; results stay a subset of correct candidates with exact
+    cosines (spot-check vs brute force on shared pairs)."""
+    from mover_spark.operators.similarity import (
+        auto_lsh_planes,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = catalog.df("embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    n_pl = auto_lsh_planes(emb.count())
+    got = lsh_topk(emb, queries, k=5, probes=1, n_planes=n_pl).collect()
+    assert got, "parameterized-plane LSH returned nothing"
+    truth = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in brute_force_topk(emb, queries, k=200).collect()
+    }
+    for r in got:
+        key = (r.query_id, r.neighbor_id)
+        if key in truth:  # cosine must be the EXACT value brute force computed
+            assert truth[key] == r.cosine
