@@ -652,6 +652,12 @@ def _q_waiting_suppliers(spark, sf_dir):
     return waiting_suppliers(_catalog(spark, sf_dir))
 
 
+def _q_market_share(spark, sf_dir):
+    from mover_spark.operators.subqueries import market_share
+
+    return market_share(_catalog(spark, sf_dir))
+
+
 def _q_trailing_spend(spark, sf_dir):
     from mover_spark.operators.subqueries import trailing_spend_window
 
@@ -964,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_window": _q_running_window,
         "rank_functions": _q_rank_functions,
         "corr_stats": _q_corr_stats,
+        "q8_market_share": _q_market_share,
         "q10_returned_items": _q_returned_items,
         "q12_late_lines": _q_late_line_priority,
         "q13_cust_order_dist": _q_cust_order_dist,
@@ -1274,6 +1281,21 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS count_order "
             "FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01' "
             "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        "q8_market_share": (
+            "WITH j AS (SELECT year(o_orderdate) AS o_year, "
+            "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4)) AS volume, "
+            "sn.n_name AS supp_nation "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+            "WHERE c_nationkey IN (SELECT n_nationkey FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')) "
+            "SELECT o_year, ROUND("
+            "CAST(SUM(CASE WHEN supp_nation = 'NATION_0' THEN volume END) AS DOUBLE) "
+            "/ CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share "
+            "FROM j GROUP BY o_year ORDER BY o_year"
         ),
         "q10_returned_items": (
             "SELECT c_custkey, c_name, c_acctbal, n_name, "

@@ -142,6 +142,7 @@ class Engine:
         dsn: str | None = None,
         connection_factory=None,
         partition_writer=None,
+        on_conflict: str = "nothing",
     ) -> dict[str, DataFrame]:
         """Idempotent load of envelope files (loader.go:25-76).
 
@@ -152,6 +153,10 @@ class Engine:
         `connection_factory` lets tests inject a stub connection.
         Either way the incoming batch is PK-deduped first — the reference's
         per-row ON CONFLICT DO NOTHING also ignores duplicates WITHIN a file.
+        `on_conflict`: "nothing" (reference parity — conflicting rows are
+        ignored) or "update" (last-write-wins merge, a refresh capability
+        the reference lacks: DO UPDATE on the DB path, existing-row
+        replacement on the file path).
         Load order is alphabetical like the reference's directory walk —
         survivable because constraints are not enforced during the write (the
         reference disables triggers for the same reason)."""
@@ -173,13 +178,23 @@ class Engine:
 
                 bulk_upsert(df, dsn, tname, pks[0],
                             connection_factory=connection_factory,
-                            partition_writer=partition_writer)
+                            partition_writer=partition_writer,
+                            on_conflict=on_conflict)
             elif target_dir is not None:
                 dest = os.path.join(target_dir, f"{tname}.parquet")
-                if os.path.exists(dest):
+                if not os.path.exists(dest):
+                    df.write.parquet(dest)
+                elif on_conflict == "update":
+                    # last-write-wins merge: incoming rows replace same-PK
+                    # existing rows. localCheckpoint materializes the merge
+                    # off the source files so overwriting the path we read
+                    # from is safe.
+                    existing = self.spark.read.parquet(dest)
+                    kept = existing.join(df.select(*pks), on=pks, how="left_anti")
+                    merged = kept.select(*df.columns).unionByName(df).localCheckpoint()
+                    merged.write.mode("overwrite").parquet(dest)
+                else:
                     existing = self.spark.read.parquet(dest)
                     fresh = df.join(existing, on=pks, how="left_anti")
                     fresh.write.mode("append").parquet(dest)
-                else:
-                    df.write.parquet(dest)
         return out

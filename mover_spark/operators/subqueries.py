@@ -557,3 +557,50 @@ def trailing_spend_window(cat: Catalog, days: int = 30) -> DataFrame:
         .cast("double")
         .alias("trailing_spend"),
     )
+
+
+def market_share(cat: Catalog, region: str = "ASIA", part_type: str | None = None) -> DataFrame:
+    """TPC-H Q8: a supplier nation's revenue share per year inside one
+    region's market. The nested two-level aggregate (share = conditional
+    sum / total sum) is one grouped CASE aggregation — no self-join, no
+    second scan. Dimension chain (region->nation->customer) broadcasts."""
+    nat = cat.df("nation")
+    reg = cat.df("region").where(F.col("r_name") == region)
+    cust_nations = nat.join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    target_nation = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    li = cat.df("lineitem")
+    if part_type is not None:
+        li = li.join(
+            cat.df("part").where(F.col("p_type") == part_type).select("p_partkey"),
+            li.l_partkey == F.col("p_partkey"),
+        )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,4)")
+    j = (
+        li.join(cat.df("orders"), li.l_orderkey == F.col("o_orderkey"))
+        .join(cat.df("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .join(cat.df("supplier"), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(target_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    first_nation = nat.orderBy("n_nationkey").limit(1).collect()[0].n_name
+    return (
+        j.groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == first_nation, F.col("volume")))
+                .cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share_raw"),
+        )
+        .select("o_year", F.round("mkt_share_raw", 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )

@@ -88,6 +88,18 @@ def upsert_sql(table: str, columns: list[str], pk: str) -> str:
     )
 
 
+def upsert_update_sql(table: str, columns: list[str], pk: str) -> str:
+    """Last-write-wins flavor the reference lacks: ON CONFLICT DO UPDATE
+    SET every non-key column from EXCLUDED — a true merge for refresh-style
+    loads (the reference can only ignore conflicting rows)."""
+    collist = ", ".join(f'"{c}"' for c in columns)
+    sets = ", ".join(f'"{c}" = EXCLUDED."{c}"' for c in columns if c != pk)
+    return (
+        f'INSERT INTO "{table}" ({collist}) VALUES %s '
+        f'ON CONFLICT ("{pk}") DO UPDATE SET {sets}'
+    )
+
+
 def reset_sequence_sql(table: str, pk: str = "id") -> list[str]:
     """Sequence resync, assuming {table}_id_seq naming (postgres.go:499-523)."""
     seq = f"{table}_id_seq"
@@ -97,11 +109,22 @@ def reset_sequence_sql(table: str, pk: str = "id") -> list[str]:
     ]
 
 
-def upsert_partition_writer(dsn: str, table: str, columns: list[str], pk: str, batch: int = 1000):
+def upsert_partition_writer(
+    dsn: str,
+    table: str,
+    columns: list[str],
+    pk: str,
+    batch: int = 1000,
+    on_conflict: str = "nothing",
+):
     """Returns a foreachPartition callback performing the batched upsert.
     One tx per partition. Import-gated: raises a clear error without
     psycopg2 (not installed in this environment)."""
-    sql = upsert_sql(table, columns, pk)
+    sql = (
+        upsert_update_sql(table, columns, pk)
+        if on_conflict == "update"
+        else upsert_sql(table, columns, pk)
+    )
 
     def write(rows):
         try:
@@ -146,6 +169,7 @@ def bulk_upsert(
     pk: str,
     connection_factory=None,
     partition_writer=None,
+    on_conflict: str = "nothing",
 ) -> None:
     """S17+S18: distributed idempotent load with the reference's bracket
     (postgres.go:64-97): triggers disabled before the insert, re-enabled
@@ -158,7 +182,11 @@ def bulk_upsert(
     stub to assert the exact statement sequence (no DB in this environment).
     `partition_writer` is injectable for the same reason."""
     connect = connection_factory or _psycopg2_connect
-    make_writer = partition_writer or upsert_partition_writer
+    make_writer = partition_writer or (
+        lambda d, t, cols, key: upsert_partition_writer(
+            d, t, cols, key, on_conflict=on_conflict
+        )
+    )
     conn = connect(dsn)
     try:
         with conn.cursor() as cur:

@@ -358,3 +358,39 @@ def test_csv_orc_roundtrip(spark, catalog, tmp_path):
         formats.write_orc(df, orc_path)
         got_orc = sorted(map(tuple, formats.read_orc(spark, orc_path).collect()))
         assert got_orc == want, f"orc roundtrip mismatch for {tname}"
+
+
+def test_load_update_mode_last_write_wins(spark, catalog, tmp_path):
+    """on_conflict="update": a refreshed envelope REPLACES same-PK rows
+    (the reference can only ignore conflicts); insert-only mode keeps the
+    originals."""
+    import pyspark.sql.functions as F
+
+    v1 = catalog.df("region")
+    jsonio.write_envelope(v1, "region", str(tmp_path / "v1"))
+    v2 = v1.withColumn("r_name", F.concat(F.lit("NEW_"), F.col("r_name")))
+    jsonio.write_envelope(v2, "region", str(tmp_path / "v2"))
+
+    eng = Engine(spark, catalog, MoverConfig())
+    target = str(tmp_path / "tgt")
+    eng.load(str(tmp_path / "v1"), target_dir=target)
+
+    # insert-only: conflicting refresh is ignored (reference parity)
+    eng.load(str(tmp_path / "v2"), target_dir=target)
+    names = {r.r_name for r in spark.read.parquet(os.path.join(target, "region.parquet")).collect()}
+    assert not any(n.startswith("NEW_") for n in names)
+
+    # update: last write wins, count unchanged
+    eng.load(str(tmp_path / "v2"), target_dir=target, on_conflict="update")
+    got = spark.read.parquet(os.path.join(target, "region.parquet"))
+    assert got.count() == v1.count()
+    assert all(r.r_name.startswith("NEW_") for r in got.collect())
+
+
+def test_upsert_update_sql_generation():
+    from mover_spark.sources.jdbc import upsert_update_sql
+
+    sql = upsert_update_sql("user", ["id", "name", "email"], "id")
+    assert 'ON CONFLICT ("id") DO UPDATE SET' in sql
+    assert '"name" = EXCLUDED."name"' in sql and '"email" = EXCLUDED."email"' in sql
+    assert '"id" = EXCLUDED' not in sql  # key column is never updated
