@@ -29,6 +29,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-path", default="")
     p.add_argument("-dsn", default="")  # JDBC/postgres target (gated)
     p.add_argument("-conf", default=None, help="config.json (default: $MOVER_CONF)")
+    p.add_argument(
+        "-on-conflict", choices=["nothing", "update"], default="nothing",
+        dest="on_conflict",
+        help="load conflict policy: 'nothing' (reference parity) or "
+        "'update' (last-write-wins merge)",
+    )
     p.add_argument("-sf-dir", default="/root/testdata/sf0.001", dest="sf_dir")
     p.add_argument("-verbose", action="store_true")
     p.add_argument("-version", action="store_true")
@@ -60,7 +66,8 @@ def main(argv: list[str] | None = None) -> int:
         if not args.path:
             p.error("-path is required for load")
         results = engine.load(args.path, target_dir=args.path + "_loaded",
-                              dsn=args.dsn or None)
+                              dsn=args.dsn or None,
+                              on_conflict=args.on_conflict)
         for t in sorted(results):
             print(f"{t}: {results[t].count()} rows loaded")
     return 0
