@@ -398,6 +398,42 @@ def _q_gapfill(spark, sf_dir):
     return gapfill_hourly(_catalog(spark, sf_dir))
 
 
+def _q_funnel(spark, sf_dir):
+    """Ordered product funnel over events: users who viewed, then clicked
+    strictly after, then purchased strictly after that — one MIN-aggregate
+    per stage chained by semi-join, never per-user iteration."""
+    from mover_spark.operators.events import funnel_counts
+
+    return funnel_counts(_catalog(spark, sf_dir))
+
+
+def _q_skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation on a 3-group (maximally hot) key:
+    partial agg on (key, salt) then final on key — identical results to the
+    direct plan, no single task owns a whole hot group. Quantity is
+    quantized to int so the two-phase sum is exact in any order."""
+    from mover_spark.operators.joins import salted_agg
+
+    li = _catalog(spark, sf_dir).df("lineitem").withColumn(
+        "qty_q", F.round(F.col("l_quantity") * 100).cast("long")
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": ("count", "qty_q"),
+            "sum_qty_q": ("sum", "qty_q"),
+            "max_qty_q": ("max", "qty_q"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        "n_items",
+        (F.col("sum_qty_q") / 100.0).alias("sum_qty"),
+        (F.col("max_qty_q") / 100.0).alias("max_qty"),
+    ).orderBy("l_returnflag")
+
+
 def _q_user_trend(spark, sf_dir):
     from mover_spark.operators.events import user_value_trend
 
@@ -990,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_sessionize,
         "events_json_props": _q_json_props,
         "events_gapfill": _q_gapfill,
+        "events_funnel": _q_funnel,
+        "skew_salted_agg": _q_skew_salted_agg,
         "user_value_trend": _q_user_trend,
         "user_value_trend_pandas": _q_user_trend_pandas,
         "streaming_tumbling": _q_streaming_tumbling,
@@ -1611,6 +1649,26 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_funnel": (
+            "WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+            "JOIN t1 ON e.user_id = t1.user_id "
+            "WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id), "
+            "t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+            "JOIN t2 ON e.user_id = t2.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id) "
+            "SELECT (SELECT COUNT(*) FROM t1) AS n_step1, "
+            "(SELECT COUNT(*) FROM t2) AS n_step2, "
+            "(SELECT COUNT(*) FROM t3) AS n_step3"
+        ),
+        "skew_salted_agg": (
+            "WITH q AS (SELECT l_returnflag, "
+            "CAST(round(l_quantity * 100) AS BIGINT) AS qty_q FROM lineitem) "
+            "SELECT l_returnflag, COUNT(*) AS n_items, "
+            "SUM(qty_q) / 100.0 AS sum_qty, MAX(qty_q) / 100.0 AS max_qty "
+            "FROM q GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "user_value_trend": (
             "WITH e AS (SELECT user_id, "

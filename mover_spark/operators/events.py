@@ -189,3 +189,40 @@ def json_prop_stats(cat: Catalog) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def funnel_counts(
+    cat: Catalog, steps: tuple[str, str, str] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed step1, then step2
+    strictly after it, then step3 strictly after that (classic product
+    funnel; the reference has no event analytics at all). Set-at-a-time:
+    one aggregate per stage with a semi-join carrying each user's previous
+    stage timestamp — no per-user iteration, no window over the whole
+    event stream. Deterministic: stage times are MINs, comparisons strict."""
+    ev = cat.df("events").select("user_id", "event_type", "ts")
+    s1, s2, s3 = steps
+    t1 = (
+        ev.where(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == s2)
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == s3)
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.agg(F.count(F.lit(1)).alias("n_step1"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_step2")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_step3")))
+    )
