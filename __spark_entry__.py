@@ -970,6 +970,76 @@ def _q_range_join(spark, sf_dir):
     )
 
 
+def _q_top_supplier(spark, sf_dir):
+    from mover_spark.operators.subqueries import top_supplier
+
+    return top_supplier(_catalog(spark, sf_dir))
+
+
+def _q_cdc_latest_snapshot(spark, sf_dir):
+    """Changelog compaction (last write wins) — one max(struct) hash agg,
+    no window sort; the CDC-mirror twin of the reference's first-write-wins
+    ON CONFLICT DO NOTHING load (postgres.go:466-481)."""
+    from mover_spark.operators.cdc import latest_snapshot
+
+    ev = _catalog(spark, sf_dir).df("events")
+    return latest_snapshot(
+        ev,
+        keys=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+        payload=["value"],
+    )
+
+
+def _q_scd2_intervals(spark, sf_dir):
+    """SCD type-2 expansion of the events changelog: validity intervals
+    per (user, event_type) version chain."""
+    from mover_spark.operators.cdc import scd2_intervals
+
+    ev = _catalog(spark, sf_dir).df("events")
+    return scd2_intervals(
+        ev,
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+        attrs=["value"],
+    )
+
+
+def _q_rollup_daily(spark, sf_dir):
+    """Hierarchical re-aggregation: daily stats computed FROM the hourly
+    rollup (continuous-aggregate pattern); the oracle aggregates raw
+    events directly — hashes match because the partials are decomposable."""
+    from mover_spark.operators.events import daily_from_hourly
+
+    return daily_from_hourly(_catalog(spark, sf_dir))
+
+
+def _q_approx_distinct_users(spark, sf_dir):
+    """HLL++ cardinality sketch with the accuracy contract asserted
+    in-query (exact audit at test SF; the sketch is the 100-TB path)."""
+    from mover_spark.operators.sketches import approx_distinct_check
+
+    ev = _catalog(spark, sf_dir).df("events")
+    return approx_distinct_check(ev, key_col="user_id", group_col="event_type")
+
+
+def _q_dedup_normalized(spark, sf_dir):
+    """Canonicalization dedup (C4-style normalize-then-exact-group)."""
+    from mover_spark.operators.dedup import normalized_dedup
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    return normalized_dedup(docs)
+
+
+def _q_streaming_session(spark, sf_dir):
+    """Streaming session windows drained via availableNow — hash-checked
+    against the same gap-islands oracle as batch events_sessionize."""
+    from mover_spark.streaming.events import session_batch_parity
+
+    return session_batch_parity(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "seed_query_scan": _q_seed_query_scan,
@@ -1011,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_late_lines": _q_late_line_priority,
         "q13_cust_order_dist": _q_cust_order_dist,
         "q14_promo_ratio": _q_promo_ratio,
+        "q15_top_supplier": _q_top_supplier,
         "q17_small_qty": _q_small_qty,
         "q18_large_volume": _q_large_volume_customers,
         "q19_disjunctive": _q_disjunctive,
@@ -1027,12 +1098,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": _q_json_props,
         "events_gapfill": _q_gapfill,
         "events_funnel": _q_funnel,
+        "cdc_latest_snapshot": _q_cdc_latest_snapshot,
+        "scd2_intervals": _q_scd2_intervals,
+        "rollup_daily_from_hourly": _q_rollup_daily,
         "skew_salted_agg": _q_skew_salted_agg,
         "user_value_trend": _q_user_trend,
         "user_value_trend_pandas": _q_user_trend_pandas,
         "streaming_tumbling": _q_streaming_tumbling,
+        "streaming_session": _q_streaming_session,
         "streaming_running_totals": _q_streaming_running_totals,
         "dedup_exact": _q_dedup_exact,
+        "dedup_normalized": _q_dedup_normalized,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -1065,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_packing": _q_token_packing,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "sketch_kmv_distinct": _q_kmv_distinct,
+        "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitter_users": _q_heavy_hitter_users,
         "bloom_prefilter_join": _q_bloom_prefilter_join,
         "asof_join": _q_asof_join,
@@ -1577,6 +1654,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
             "AND l_shipdate < TIMESTAMP '1998-01-01'"
         ),
+        "q15_top_supplier": (
+            "WITH rev AS (SELECT l_suppkey, "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) "
+            "AS DOUBLE) AS total_rev FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_rev "
+            "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE total_rev = (SELECT MAX(total_rev) FROM rev) "
+            "ORDER BY s_suppkey"
+        ),
         "q17_small_qty": (
             "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) "
             "AS total_price, COUNT(*) AS n_items FROM lineitem l1 WHERE l_quantity < "
@@ -1649,6 +1737,36 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "cdc_latest_snapshot": (
+            "SELECT user_id, event_type, ts AS last_ts, "
+            "event_id AS last_event_id, value AS last_value FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        "scd2_intervals": (
+            "SELECT user_id, event_type, value, ts AS valid_from, "
+            "LEAD(ts) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) AS valid_to, "
+            "LEAD(ts) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) IS NULL AS is_current FROM events"
+        ),
+        "rollup_daily_from_hourly": (
+            # the oracle aggregates RAW events; the Spark plan re-aggregates
+            # the hourly rollup — equality proves the partials decompose
+            # DuckDB's date_trunc('day', ..) yields DATE; cast back to match
+            # the Spark timestamp bucket
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day, "
+            "event_type, COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "approx_distinct_users": (
+            # the boolean is Spark's HLL hitting its accuracy contract; the
+            # oracle pins the exact counts and asserts the contract held
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, "
+            "TRUE AS within_tol FROM events GROUP BY event_type "
+            "ORDER BY event_type"
         ),
         "events_funnel": (
             "WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
@@ -1748,6 +1866,27 @@ def oracle_sql() -> dict[str, str]:
             "MIN(CAST(props->>'k' AS INT)) AS min_k, "
             "MAX(CAST(props->>'k' AS INT)) AS max_k "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "streaming_session": (
+            # identical islands spec to events_sessionize: the streaming
+            # session_window must merge gaps exactly like the batch oracle
+            "WITH o AS (SELECT user_id, ts, value, "
+            "CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+            "< INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess FROM events), "
+            "s AS (SELECT user_id, ts, value, "
+            "SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+            "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
+            "FROM s GROUP BY user_id, sid"
+        ),
+        "dedup_normalized": (
+            "WITH c AS (SELECT doc_id, md5(trim(regexp_replace("
+            "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), "
+            "' +', ' ', 'g'))) AS k FROM documents), "
+            "g AS (SELECT k, MIN(doc_id) AS canon_id, COUNT(*) AS n_variants "
+            "FROM c GROUP BY k) "
+            "SELECT c.doc_id, g.canon_id, g.n_variants FROM c JOIN g ON c.k = g.k"
         ),
         "dedup_exact": (
             "SELECT MIN(doc_id) AS doc_id, md5(text) AS fingerprint, "

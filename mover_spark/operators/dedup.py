@@ -108,6 +108,36 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def canonical_text_col(text: Column | str = "text") -> Column:
+    """C4-style canonicalization: lowercase, strip non-alphanumerics,
+    collapse whitespace — pure JVM regexp ops, expressed identically in
+    the DuckDB oracle (both engines' regex dialects agree on these
+    character-class patterns)."""
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(c, " +", " "))
+
+
+def normalized_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonicalization dedup (between exact and fuzzy): documents equal
+    after case/punctuation/whitespace normalization collapse to one
+    canonical representative (the smallest id). Grouping is on md5 of the
+    canonical form, so the shuffle carries 16-byte digests, never document
+    bodies; the per-doc mapping comes back via one digest-keyed join."""
+    keyed = df.select(
+        F.col(id_col), F.md5(canonical_text_col(text_col)).alias("__ck")
+    )
+    groups = keyed.groupBy("__ck").agg(
+        F.min(id_col).alias("canon_id"), F.count(F.lit(1)).alias("n_variants")
+    )
+    return (
+        keyed.join(groups, "__ck")
+        .select(id_col, "canon_id", "n_variants")
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (quadratic baseline)
 # ---------------------------------------------------------------------------

@@ -87,6 +87,40 @@ def gapfill_hourly(cat: Catalog, event_type: str = "purchase") -> DataFrame:
     )
 
 
+def hourly_rollup(cat: Catalog) -> DataFrame:
+    """Hour-level partial aggregates per event type — the materialized
+    rollup a hypertable/continuous-aggregate keeps. Sums stay DECIMAL so
+    they re-aggregate exactly (see daily_from_hourly)."""
+    ev = cat.df("events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,4)")).alias("sum_value_dec"),
+    )
+
+
+def daily_from_hourly(cat: Catalog) -> DataFrame:
+    """Hierarchical re-aggregation (continuous-aggregate pattern): the
+    daily answer computed FROM the hourly rollup, never re-reading raw
+    events. At 100 TB this is the difference between scanning 24x fewer
+    rows and a full rescan; correctness holds because count and DECIMAL
+    sum are decomposable (associative, exact in any combination order) —
+    the oracle aggregates the raw table directly and the hashes match."""
+    hourly = hourly_rollup(cat)
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "bucket_hour").cast("timestamp_ntz").alias("bucket_day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_dec").cast("double").alias("sum_value"),
+        )
+        .orderBy("bucket_day", "event_type")
+    )
+
+
 def user_value_trend(cat: Catalog) -> DataFrame:
     """Per-user value trend (least-squares slope, units/hour) entirely in
     built-in aggregates — the slope is pure decomposable sums, so there is

@@ -146,3 +146,35 @@ def bloom_semi_join(
         .where(might_contain(F.col("__h1"), F.col("__h2")))
         .drop("__h1", "__h2")
     )
+
+
+def approx_distinct_check(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    rsd: float = 0.02,
+    tol: float = 0.05,
+) -> DataFrame:
+    """HyperLogLog++ cardinality with its accuracy contract checked
+    in-query: per group, the exact distinct count next to a boolean
+    asserting approx_count_distinct landed within `tol`. The sketch is
+    the 100-TB path (fixed kilobytes of state per group, map-side
+    mergeable, no distinct-shuffle); the exact count is the per-SF audit.
+    Spark's HLL is hash-based and merge-commutative, so the approx value —
+    and therefore the boolean — is deterministic for a given dataset."""
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count_distinct(F.col(key_col)).alias("n_exact"),
+            F.approx_count_distinct(key_col, rsd=rsd).alias("n_approx"),
+        )
+        .select(
+            group_col,
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= F.col("n_exact") * F.lit(tol)
+            ).alias("within_tol"),
+        )
+        .orderBy(group_col)
+    )

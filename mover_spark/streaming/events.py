@@ -169,6 +169,36 @@ def tumbling_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def session_batch_parity(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Streaming session windows with a batch-checkable answer: ingest the
+    events fixture as an availableNow stream, run watermarked
+    ``session_window`` per user with order-invariant decimal sums, drain to
+    a memory sink. Gap-merge semantics are identical to the batch
+    sessionize query, so the same DuckDB islands oracle hash-checks the
+    STREAMING path — the proof that session state merging (the one
+    windowing mode where state is not a fixed bucket but a growing
+    interval) is exact under micro-batching."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    _DRAIN_SEQ[0] += 1
+    name = f"streaming_session_{_DRAIN_SEQ[0]}"
+    run_to_memory(agg, name)
+    return spark.table(name)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain a stream with availableNow into a memory sink; returns the
     finished query (caller reads spark.table(name))."""
