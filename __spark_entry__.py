@@ -1032,6 +1032,29 @@ def _q_dedup_normalized(spark, sf_dir):
     return normalized_dedup(docs)
 
 
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms — all-relational ranking plan."""
+    from mover_spark.operators.text import tfidf_top_terms
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+def _q_outlier_events(spark, sf_dir):
+    """3-sigma outlier counts per event type from exact decimal moments."""
+    from mover_spark.operators.events import outlier_events
+
+    return outlier_events(_catalog(spark, sf_dir))
+
+
+def _q_approx_quantile(spark, sf_dir):
+    """GK quantile sketch with its rank-error contract checked in-query."""
+    from mover_spark.operators.sketches import approx_quantile_check
+
+    ev = _catalog(spark, sf_dir).df("events")
+    return approx_quantile_check(ev, value_col="value", group_col="event_type")
+
+
 def _q_streaming_session(spark, sf_dir):
     """Streaming session windows drained via availableNow — hash-checked
     against the same gap-islands oracle as batch events_sessionize."""
@@ -1098,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": _q_json_props,
         "events_gapfill": _q_gapfill,
         "events_funnel": _q_funnel,
+        "outlier_events": _q_outlier_events,
         "cdc_latest_snapshot": _q_cdc_latest_snapshot,
         "scd2_intervals": _q_scd2_intervals,
         "rollup_daily_from_hourly": _q_rollup_daily,
@@ -1127,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_fingerprint,
         "word_freq_topk": _q_word_freq,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "doc_chunking": _q_doc_chunking,
         "repetition_stats": _q_repetition_stats,
         "udtf_word_windows": _q_udtf_word_windows,
@@ -1142,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "sketch_kmv_distinct": _q_kmv_distinct,
         "approx_distinct_users": _q_approx_distinct_users,
+        "approx_quantile_users": _q_approx_quantile,
         "heavy_hitter_users": _q_heavy_hitter_users,
         "bloom_prefilter_join": _q_bloom_prefilter_join,
         "asof_join": _q_asof_join,
@@ -1737,6 +1763,45 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "outlier_events": (
+            "WITH m AS (SELECT event_type AS et, COUNT(*) AS n, "
+            "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS s1, "
+            "CAST(SUM(CAST(value * value AS DECIMAL(30,4))) AS DOUBLE) AS s2 "
+            "FROM events GROUP BY event_type), "
+            "s AS (SELECT et, s1 / n AS mean_v, "
+            "sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std_v FROM m) "
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "SUM(CASE WHEN ABS(value - mean_v) > 3.0 * std_v THEN 1 ELSE 0 END) "
+            "AS n_outliers, "
+            "MIN(CASE WHEN ABS(value - mean_v) > 3.0 * std_v THEN value END) "
+            "AS min_outlier, "
+            "MAX(CASE WHEN ABS(value - mean_v) > 3.0 * std_v THEN value END) "
+            "AS max_outlier "
+            "FROM events JOIN s ON event_type = et "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "approx_quantile_users": (
+            # the boolean is Spark's GK sketch hitting its rank-error
+            # contract (any valid sketch state lands in the p49..p51
+            # bracket); the oracle pins the exact median and the contract
+            "SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS p50_exact, "
+            "TRUE AS sketch_in_bracket FROM events "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "tfidf_top_terms": (
+            "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t "
+            "WHERE term != '' GROUP BY doc_id, term), "
+            "dfc AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY term), "
+            "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+            "sc AS (SELECT doc_id, tf.term, "
+            "ROUND(tf * (ln((n_docs + 1.0) / (dfc + 1.0)) + 1.0), 6) AS score "
+            "FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN n), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term) AS rn FROM sc) "
+            "SELECT doc_id, term, score FROM r WHERE rn <= 3"
         ),
         "cdc_latest_snapshot": (
             "SELECT user_id, event_type, ts AS last_ts, "

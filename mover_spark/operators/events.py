@@ -260,3 +260,39 @@ def funnel_counts(
         .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_step2")))
         .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_step3")))
     )
+
+
+def outlier_events(cat: Catalog, sigmas: float = 3.0) -> DataFrame:
+    """Statistical outlier detection per event type: events beyond
+    `sigmas` sample standard deviations from their type's mean — the
+    quality-monitoring pass a training pipeline runs over telemetry.
+    Two passes over one grouped aggregate: moments from exact decimal
+    sums (partition-order invariant, same formula as the oracle),
+    broadcast back onto the stream of events as a 5-row join. No window,
+    no sort; the comparison is identical IEEE arithmetic on any engine."""
+    ev = cat.df("events")
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("value").cast("decimal(25,4)")).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(30,4)")).cast("double")
+    stats = ev.groupBy(F.col("event_type").alias("et")).agg(
+        n.alias("n"), s1.alias("s1"), s2.alias("s2")
+    ).select(
+        "et",
+        (F.col("s1") / F.col("n")).alias("mean_v"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std_v"),
+    )
+    joined = ev.join(F.broadcast(stats), ev.event_type == stats.et)
+    is_out = F.abs(F.col("value") - F.col("mean_v")) > sigmas * F.col("std_v")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+            F.min(F.when(is_out, F.col("value"))).alias("min_outlier"),
+            F.max(F.when(is_out, F.col("value"))).alias("max_outlier"),
+        )
+        .orderBy("event_type")
+    )

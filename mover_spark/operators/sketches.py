@@ -178,3 +178,40 @@ def approx_distinct_check(
         )
         .orderBy(group_col)
     )
+
+
+def approx_quantile_check(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Quantile sketch (Greenwald-Khanna) with its rank-error contract
+    checked in-query: per group, the exact interpolated median next to a
+    boolean asserting the sketch's median lies inside the exact
+    [p49, p51] bracket. GK guarantees rank error <= n/accuracy (15 ranks
+    at n=150k, far inside the 1%-rank bracket), so the boolean is stable
+    under ANY partitioning/merge order even though the sketch value
+    itself is not bit-pinned — that is what makes the query
+    hash-checkable while still exercising the sketch path a 100-TB
+    percentile computation would take."""
+    v = F.col(value_col)
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.expr(f"percentile({value_col}, 0.49)").alias("p49"),
+            F.expr(f"percentile({value_col}, 0.5)").alias("p50"),
+            F.expr(f"percentile({value_col}, 0.51)").alias("p51"),
+            F.expr(
+                f"approx_percentile({value_col}, 0.5, {accuracy})"
+            ).alias("ap50"),
+        )
+        .select(
+            group_col,
+            F.round("p50", 6).alias("p50_exact"),
+            ((F.col("ap50") >= F.col("p49")) & (F.col("ap50") <= F.col("p51"))).alias(
+                "sketch_in_bracket"
+            ),
+        )
+        .orderBy(group_col)
+    )

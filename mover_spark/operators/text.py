@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: public stopword markers per language (tiny on purpose: the classifier is
 #: a deterministic n-gram/stopword heuristic, not a model)
@@ -329,3 +330,47 @@ def decontaminate(
         .distinct()
     )
     return train.join(contaminated, on=[id_col], how="left_anti")
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms (smooth idf: ln((N+1)/(df+1))+1,
+    sklearn's formulation). All-relational plan: explode -> per-(doc,term)
+    count -> term-level document frequency joined back -> per-doc window
+    top-k. The corpus size N is a 1-row aggregate broadcast via cross
+    join, never a driver-side count; at 100 TB the only wide exchanges
+    are the two term-keyed hash shuffles and the per-doc rank, each on
+    (doc, term) pairs rather than raw text.
+
+    Determinism: tf and df are integers, the score is one ln + one
+    multiply + round (identical IEEE ops on any engine), ties rank by
+    term text."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("dfc") + 1.0))
+                    + 1.0
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(id_col, "term", "score")
+    )

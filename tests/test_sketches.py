@@ -42,3 +42,23 @@ def test_bloom_semi_join_superset_of_exact(catalog):
         hot.select(F.col("o_orderkey").alias("l_orderkey")), on=["l_orderkey"], how="left_semi"
     ).count()
     assert recovered == n_exact
+
+
+def test_approx_quantile_bracket(catalog):
+    from mover_spark.operators.sketches import approx_quantile_check
+
+    out = approx_quantile_check(
+        catalog.df("events"), value_col="value", group_col="event_type"
+    ).collect()
+    assert len(out) > 0
+    assert all(r.sketch_in_bracket for r in out)
+
+
+def test_outlier_events_bounds(catalog):
+    from mover_spark.operators.events import outlier_events
+
+    rows = outlier_events(catalog).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # outliers are a small minority by construction of the 3-sigma rule
+        assert r.n_outliers <= r.n_events * 0.05

@@ -162,3 +162,34 @@ def test_decontaminate_drops_overlaps_only(spark):
     )
     kept = {r.doc_id for r in decontaminate(train, eval_set, n=3).collect()}
     assert kept == {2, 3, 4}
+
+
+def test_tfidf_rare_term_wins(spark):
+    from mover_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare rare"),
+            (2, "common common common"),
+            (3, "common other other"),
+        ],
+        "doc_id long, text string",
+    )
+    top1 = {
+        r.doc_id: r.term
+        for r in tfidf_top_terms(docs, k=1).collect()
+    }
+    # "rare" appears in 1/3 docs -> highest idf beats the frequent "common"
+    assert top1[1] == "rare"
+    assert top1[2] == "common"
+    assert top1[3] == "other"
+
+
+def test_tfidf_topk_is_per_doc(catalog):
+    from mover_spark.operators.text import tfidf_top_terms
+
+    out = tfidf_top_terms(catalog.df("documents"), k=3)
+    from pyspark.sql import functions as F
+
+    per_doc = out.groupBy("doc_id").count().agg(F.max("count")).first()[0]
+    assert per_doc <= 3
