@@ -540,11 +540,14 @@ def waiting_suppliers(cat: Catalog, k: int = 10) -> DataFrame:
 
 def top_supplier(cat: Catalog, start: str = "1997-01-01", end: str = "1997-04-01") -> DataFrame:
     """TPC-H Q15: the supplier(s) with maximum revenue in one quarter —
-    the aggregate-then-argmax shape (Q15's revenue view becomes a grouped
-    DataFrame reused for both the max and the equality filter). The scalar
-    max is one extra 1-row exchange broadcast back; the revenue agg is
-    computed ONCE (Spark reuses the shuffle output across the two
-    consumers), never per-row. Equality on double is safe because both
+    the aggregate-then-argmax shape (Q15's revenue view feeds both the
+    max and the equality filter). The scalar max is an unbounded window
+    over the POST-aggregation frame (one row per supplier — a tiny
+    fraction of the fact table), so lineitem is scanned exactly once;
+    the naive agg-then-join-the-max formulation plans TWO full fact
+    scans because the two aggregate subtrees differ and the exchange is
+    not reused. The single-partition window exchange carries |suppliers|
+    rows, immaterial at any SF. Equality on double is safe because both
     sides sum via exact decimal partials, then cast."""
     li = cat.df("lineitem").where(
         (F.col("l_shipdate") >= F.lit(start).cast("timestamp_ntz"))
@@ -553,9 +556,8 @@ def top_supplier(cat: Catalog, start: str = "1997-01-01", end: str = "1997-04-01
     rev = li.groupBy("l_suppkey").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
     )
-    mx = rev.agg(F.max("total_rev").alias("mx"))
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.withColumn("mx", F.max("total_rev").over(Window.partitionBy()))
         .where(F.col("total_rev") == F.col("mx"))
         .join(F.broadcast(cat.df("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")

@@ -37,6 +37,12 @@ AUDIT = [
     "numeric_strict",
     "repetition_stats",
     "quota_sample_per_source",
+    "q15_top_supplier",
+    "cdc_latest_snapshot",
+    "rollup_daily_from_hourly",
+    "dedup_normalized",
+    "tfidf_top_terms",
+    "outlier_events",
 ]
 
 
