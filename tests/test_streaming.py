@@ -62,3 +62,28 @@ def test_running_totals_stateful(spark, catalog, events_stream):
     )
     want = {r.user_id: (r.n, round(r.s, 3)) for r in batch}
     assert got == want
+
+
+def test_stream_upsert_idempotent(spark, tmp_path):
+    """foreachBatch upsert: replaying the same source converges (the
+    streaming twin of the reference's ON CONFLICT DO NOTHING load)."""
+    from mover_spark.streaming.events import read_events_stream
+    from mover_spark.streaming.sinks import stream_upsert
+
+    target = str(tmp_path / "events_tbl")
+    expected = None
+    for attempt, ckpt in enumerate(["ck1", "ck2"]):
+        ev = read_events_stream(spark, "/root/testdata/sf0.001")
+        # fresh checkpoint each run forces the SOURCE to re-deliver
+        # everything; the PK anti-join must still drop every replay
+        stream_upsert(ev, target, ["event_id"], str(tmp_path / ckpt))
+        got = spark.read.parquet(target).count()
+        if expected is None:
+            expected = got
+            assert got > 0
+        else:
+            assert got == expected
+    distinct = (
+        spark.read.parquet(target).select("event_id").distinct().count()
+    )
+    assert distinct == expected
