@@ -195,7 +195,6 @@ def approx_quantile_check(
     itself is not bit-pinned — that is what makes the query
     hash-checkable while still exercising the sketch path a 100-TB
     percentile computation would take."""
-    v = F.col(value_col)
     return (
         df.groupBy(group_col)
         .agg(
