@@ -970,6 +970,13 @@ def _q_range_join(spark, sf_dir):
     )
 
 
+def _q_value_window_funcs(spark, sf_dir):
+    """Value-window family: first/nth/last + cume_dist, explicit frames."""
+    from mover_spark.operators.analytics import value_window_funcs
+
+    return value_window_funcs(_catalog(spark, sf_dir))
+
+
 def _q_top_supplier(spark, sf_dir):
     from mover_spark.operators.subqueries import top_supplier
 
@@ -1098,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stddev_stats": _q_stddev,
         "running_window": _q_running_window,
         "rank_functions": _q_rank_functions,
+        "value_window_funcs": _q_value_window_funcs,
         "corr_stats": _q_corr_stats,
         "q8_market_share": _q_market_share,
         "q10_returned_items": _q_returned_items,
@@ -1669,6 +1677,21 @@ def oracle_sql() -> dict[str, str]:
             "NTILE(4) OVER w AS quartile FROM orders "
             "WINDOW w AS (PARTITION BY o_orderstatus "
             "ORDER BY o_totalprice DESC, o_orderkey ASC)"
+        ),
+        "value_window_funcs": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price, "
+            "NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price, "
+            "LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price, "
+            "ROUND(CUME_DIST() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey), 6) AS cdist "
+            "FROM orders"
         ),
         "q14_promo_ratio": (
             "SELECT ROUND(100.0 * "

@@ -136,3 +136,24 @@ def except_semantics(cat: Catalog, threshold: float = 150000.0) -> DataFrame:
         .select(F.col("o_custkey").alias("custkey"))
         .orderBy("custkey")
     )
+
+
+def value_window_funcs(cat: Catalog) -> DataFrame:
+    """Value-window family over each customer's order history: first order
+    price (running frame), second and last price (full-partition frame),
+    and cumulative distribution. Frames are EXPLICIT rows-frames with a
+    unique tie-break in the ordering, so every engine computes identical
+    values; one shuffle on customer, one sort — same cost envelope as any
+    per-key window."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cat.df("orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(run).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
