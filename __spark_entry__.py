@@ -970,6 +970,20 @@ def _q_range_join(spark, sf_dir):
     )
 
 
+def _q_unpivot_events(spark, sf_dir):
+    """Wide->long melt of the pivoted per-user event counts."""
+    from mover_spark.operators.subqueries import unpivot_events
+
+    return unpivot_events(_catalog(spark, sf_dir))
+
+
+def _q_price_histogram(spark, sf_dir):
+    """Fixed-width histogram via floor-division binning."""
+    from mover_spark.operators.subqueries import price_histogram
+
+    return price_histogram(_catalog(spark, sf_dir))
+
+
 def _q_value_window_funcs(spark, sf_dir):
     """Value-window family: first/nth/last + cume_dist, explicit frames."""
     from mover_spark.operators.analytics import value_window_funcs
@@ -1101,6 +1115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": _q_cube,
         "intersect_set_op": _q_intersect,
         "pivot_events": _q_pivot_events,
+        "unpivot_events": _q_unpivot_events,
+        "price_histogram": _q_price_histogram,
         "percentile_agg": _q_percentile,
         "stddev_stats": _q_stddev,
         "running_window": _q_running_window,
@@ -1625,6 +1641,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F' "
             "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' "
             "ORDER BY custkey"
+        ),
+        "unpivot_events": (
+            # melt preserves zero-count cells -> spine is users x types
+            "SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n "
+            "FROM (SELECT DISTINCT user_id FROM events) u "
+            "CROSS JOIN (VALUES ('click'), ('error'), ('purchase'), "
+            "('signup'), ('view')) t(event_type) "
+            "LEFT JOIN (SELECT user_id, event_type, COUNT(*) AS n "
+            "FROM events GROUP BY 1, 2) c "
+            "ON u.user_id = c.user_id AND t.event_type = c.event_type"
+        ),
+        "price_histogram": (
+            "SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS bucket, "
+            "COUNT(*) AS n_orders, MIN(o_totalprice) AS min_price, "
+            "MAX(o_totalprice) AS max_price "
+            "FROM orders GROUP BY 1 ORDER BY 1"
         ),
         "pivot_events": (
             "SELECT user_id, "

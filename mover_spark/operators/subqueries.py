@@ -631,3 +631,40 @@ def market_share(cat: Catalog, region: str = "ASIA", part_type: str | None = Non
         .select("o_year", F.round("mkt_share_raw", 6).alias("mkt_share"))
         .orderBy("o_year")
     )
+
+
+def unpivot_events(cat: Catalog) -> DataFrame:
+    """Unpivot (melt): the per-user pivoted event counts back to long
+    form via Spark's native unpivot — wide->long without exploding
+    through a UNION of per-column scans (one pass over the pivoted
+    frame; zero-count cells are preserved, which is what distinguishes
+    melt from re-aggregating the raw table)."""
+    wide = pivot_events(cat)
+    long = wide.unpivot(
+        ids=["user_id"],
+        values=[f"n_{t}" for t in EVENT_TYPES],
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+    return long.select(
+        "user_id",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        "n",
+    )
+
+
+def price_histogram(cat: Catalog, width: float = 50000.0) -> DataFrame:
+    """Fixed-width histogram of order prices: floor-division binning —
+    one scan, one tiny shuffle on the bucket id; the binning expression
+    is a single IEEE divide + floor, identical on any engine."""
+    b = F.floor(F.col("o_totalprice") / width).cast("int")
+    return (
+        cat.df("orders")
+        .groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
