@@ -52,3 +52,15 @@ def write_orc(df: DataFrame, path: str) -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read across parquet batches written at different
+    schema versions: mergeSchema unions the per-file footers, so columns
+    added by later pipeline versions surface as nullable for older files
+    instead of failing the scan or silently disappearing (the default
+    read takes ONE file's schema). The per-file footer merge happens at
+    planning time on file metadata only — no data pass — which is what
+    makes evolution viable over a 100-TB landing zone where old batches
+    are never rewritten."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -394,3 +394,26 @@ def test_upsert_update_sql_generation():
     assert 'ON CONFLICT ("id") DO UPDATE SET' in sql
     assert '"name" = EXCLUDED."name"' in sql and '"email" = EXCLUDED."email"' in sql
     assert '"id" = EXCLUDED' not in sql  # key column is never updated
+
+
+def test_parquet_schema_evolution(spark, catalog, tmp_path):
+    """mergeSchema read across two schema versions of the same table:
+    the added column is nullable-absent for v1 rows, present for v2."""
+    from pyspark.sql import functions as F
+
+    from mover_spark.sources.formats import read_parquet_evolved
+
+    v1 = catalog.df("region")
+    v1.write.parquet(str(tmp_path / "t" / "batch=1"))
+    v2 = catalog.df("region").withColumn(
+        "r_priority", (F.col("r_regionkey") % 3).cast("int")
+    )
+    v2.write.parquet(str(tmp_path / "t" / "batch=2"))
+
+    merged = read_parquet_evolved(spark, str(tmp_path / "t"))
+    assert "r_priority" in merged.columns
+    n = v1.count()
+    assert merged.count() == 2 * n
+    # v1 rows surface the evolved column as NULL; v2 rows carry values
+    assert merged.where(F.col("r_priority").isNull()).count() == n
+    assert merged.where(F.col("r_priority").isNotNull()).count() == n

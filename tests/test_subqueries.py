@@ -102,3 +102,57 @@ def test_running_window_is_cumulative(catalog):
             assert r.prev_price == one[i - 1].o_totalprice
         else:
             assert r.prev_price is None
+
+
+def test_unpivot_roundtrip(catalog):
+    """melt(pivot(x)) == groupBy counts, plus explicit zero cells."""
+    from pyspark.sql import functions as F
+
+    from mover_spark.operators.subqueries import unpivot_events
+
+    long = unpivot_events(catalog)
+    direct = (
+        catalog.df("events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # every nonzero melt cell matches the direct aggregation...
+    nz = long.where(F.col("n") > 0)
+    assert nz.exceptAll(direct).count() == 0
+    assert direct.exceptAll(nz).count() == 0
+    # ...and every user carries exactly 5 cells (zeros preserved)
+    per_user = long.groupBy("user_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_user] == [5]
+
+
+def test_price_histogram_partitions_orders(catalog):
+    from pyspark.sql import functions as F
+
+    from mover_spark.operators.subqueries import price_histogram
+
+    h = price_histogram(catalog)
+    total = h.agg(F.sum("n_orders")).first()[0]
+    assert total == catalog.df("orders").count()
+    rows = h.collect()
+    for r in rows:
+        # bucket bounds honored: min/max inside [bucket*w, (bucket+1)*w)
+        assert r.bucket * 50000.0 <= r.min_price <= r.max_price < (r.bucket + 1) * 50000.0
+
+
+def test_value_window_funcs_semantics(catalog):
+    from mover_spark.operators.analytics import value_window_funcs
+
+    rows = value_window_funcs(catalog).collect()
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for rs in by_cust.values():
+        rs.sort(key=lambda r: r.cdist)
+        first = rs[0].o_totalprice
+        last = rs[-1].o_totalprice
+        for i, r in enumerate(rs):
+            assert r.last_price == last
+            if i == 0:
+                assert r.first_price == r.o_totalprice
+            assert (r.second_price is None) == (len(rs) < 2) or r.second_price == rs[1].o_totalprice
+        assert abs(rs[-1].cdist - 1.0) < 1e-9
