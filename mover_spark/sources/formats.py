@@ -64,3 +64,30 @@ def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
     makes evolution viable over a 100-TB landing zone where old batches
     are never rewritten."""
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines writer (one object per line, executor-parallel, one
+    file per partition) — the lingua franca of LLM corpus interchange.
+    Distinct from the reference's envelope format (etl/engine.go:141-164,
+    handled by sources/jsonio): no wrapper object, no count, streamable
+    line-by-line."""
+    (
+        df.write.mode("overwrite")
+        .option("timestampFormat", CSV_TS_FMT)
+        .option("timestampNTZFormat", CSV_TS_FMT)
+        .json(path)
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Schema-DIRECTED JSONL read (same discipline as read_csv: the
+    catalog's schema is law, inference off — a malformed line fails
+    loudly via FAILFAST instead of silently nulling columns)."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "FAILFAST")
+        .option("timestampFormat", CSV_TS_FMT)
+        .option("timestampNTZFormat", CSV_TS_FMT)
+        .json(path)
+    )

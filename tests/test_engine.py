@@ -417,3 +417,18 @@ def test_parquet_schema_evolution(spark, catalog, tmp_path):
     # v1 rows surface the evolved column as NULL; v2 rows carry values
     assert merged.where(F.col("r_priority").isNull()).count() == n
     assert merged.where(F.col("r_priority").isNotNull()).count() == n
+
+
+def test_jsonl_roundtrip(spark, catalog, tmp_path):
+    """JSONL round-trip preserves values including sub-second timestamps."""
+    from mover_spark.sources.formats import read_jsonl, write_jsonl
+
+    for tname in ("documents", "events"):
+        src = catalog.df(tname)
+        p = str(tmp_path / f"{tname}.jsonl")
+        write_jsonl(src, p)
+        back = read_jsonl(spark, p, src.schema)
+        assert back.schema == src.schema
+        assert back.count() == src.count()
+        assert back.exceptAll(src).count() == 0
+        assert src.exceptAll(back).count() == 0
