@@ -2192,11 +2192,16 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY doc_id, w), "
             "pd AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_c, "
             "COUNT(*) AS n_distinct FROM wf GROUP BY doc_id), "
+            # the Spark side drops 2-grams containing an empty token (raw
+            # split on runs of spaces yields '' components); mirror that
+            # filter here — components can't contain spaces, so a leading/
+            # trailing space in the joined gram identifies an empty component
             "g AS (SELECT doc_id, unnest(list_transform("
             "range(1, len(string_split(text, ' '))), "
             "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]"
             ")) AS g FROM documents), "
-            "gf AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g), "
+            "gf AS (SELECT doc_id, g, COUNT(*) AS c FROM g "
+            "WHERE g NOT LIKE ' %' AND g NOT LIKE '% ' GROUP BY doc_id, g), "
             "pg AS (SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct_g "
             "FROM gf GROUP BY doc_id) "
             "SELECT pd.doc_id, pd.n_words, "

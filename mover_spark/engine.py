@@ -151,8 +151,11 @@ class Engine:
         bracketed by trigger disable/enable and followed by sequence resync
         exactly like the reference (postgres.go:64-97,483-523);
         `connection_factory` lets tests inject a stub connection.
-        Either way the incoming batch is PK-deduped first — the reference's
-        per-row ON CONFLICT DO NOTHING also ignores duplicates WITHIN a file.
+        Either way the incoming batch is PK-deduped first WHEN the catalog
+        marks the PK unique — the reference's per-row ON CONFLICT DO NOTHING
+        also ignores duplicates WITHIN a file, but only through a real unique
+        constraint; tables flagged pk_unique=False (lineitem) keep their
+        legitimate duplicate-PK rows.
         `on_conflict`: "nothing" (reference parity — conflicting rows are
         ignored) or "update" (last-write-wins merge, a refresh capability
         the reference lacks: DO UPDATE on the DB path, existing-row
@@ -167,19 +170,28 @@ class Engine:
             if tname in self.catalog.tables:
                 df = jsonio.coerce_to_schema(df, self.catalog.df(tname))
                 pks = self.catalog.table(tname).primary_keys
+                pk_unique = self.catalog.table(tname).pk_unique
             else:
                 # reference dispatches purely on the embedded table_name;
                 # unknown tables fall back to the first column as the key
                 pks = [df.columns[0]]
-            df = df.dropDuplicates(pks)
+                pk_unique = True
+            # Dedupe ONLY when the catalog says the PK is genuinely unique.
+            # lineitem's (l_orderkey, l_linenumber) is flagged pk_unique=False
+            # and extract/sanitize preserves its duplicate-PK rows; a load
+            # must not silently drop them (the reference's ON CONFLICT fires
+            # only on a real unique constraint, which such tables don't have).
+            if pk_unique:
+                df = df.dropDuplicates(pks)
             out[tname] = df
             if dsn is not None:
                 from .sources.jdbc import bulk_upsert
 
-                bulk_upsert(df, dsn, tname, pks[0],
+                bulk_upsert(df, dsn, tname, pks,
                             connection_factory=connection_factory,
                             partition_writer=partition_writer,
-                            on_conflict=on_conflict)
+                            on_conflict=on_conflict,
+                            pk_unique=pk_unique)
             elif target_dir is not None:
                 dest = os.path.join(target_dir, f"{tname}.parquet")
                 if not os.path.exists(dest):

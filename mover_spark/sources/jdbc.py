@@ -78,26 +78,47 @@ def enable_triggers_sql(table: str) -> str:
     return f'ALTER TABLE "{table}" ENABLE TRIGGER ALL'
 
 
-def upsert_sql(table: str, columns: list[str], pk: str) -> str:
-    """INSERT ... ON CONFLICT (pk) DO NOTHING (postgres.go:466-481);
-    psycopg2.extras.execute_values-compatible VALUES placeholder."""
+def _pk_list(pk) -> list[str]:
+    return [pk] if isinstance(pk, str) else list(pk)
+
+
+def upsert_sql(table: str, columns: list[str], pk) -> str:
+    """INSERT ... ON CONFLICT (pk...) DO NOTHING (postgres.go:466-481);
+    psycopg2.extras.execute_values-compatible VALUES placeholder. `pk` is a
+    column name or a composite-key list — the conflict target must name the
+    FULL unique key or Postgres won't match the constraint."""
     collist = ", ".join(f'"{c}"' for c in columns)
+    pklist = ", ".join(f'"{c}"' for c in _pk_list(pk))
     return (
         f'INSERT INTO "{table}" ({collist}) VALUES %s '
-        f'ON CONFLICT ("{pk}") DO NOTHING'
+        f'ON CONFLICT ({pklist}) DO NOTHING'
     )
 
 
-def upsert_update_sql(table: str, columns: list[str], pk: str) -> str:
+def upsert_update_sql(table: str, columns: list[str], pk) -> str:
     """Last-write-wins flavor the reference lacks: ON CONFLICT DO UPDATE
     SET every non-key column from EXCLUDED — a true merge for refresh-style
-    loads (the reference can only ignore conflicting rows)."""
+    loads (the reference can only ignore conflicting rows). When the table
+    has no non-key columns there is nothing to SET — fall back to DO NOTHING
+    (an empty SET list is a Postgres syntax error)."""
+    pks = _pk_list(pk)
+    sets = ", ".join(f'"{c}" = EXCLUDED."{c}"' for c in columns if c not in pks)
+    if not sets:
+        return upsert_sql(table, columns, pk)
     collist = ", ".join(f'"{c}"' for c in columns)
-    sets = ", ".join(f'"{c}" = EXCLUDED."{c}"' for c in columns if c != pk)
+    pklist = ", ".join(f'"{c}"' for c in pks)
     return (
         f'INSERT INTO "{table}" ({collist}) VALUES %s '
-        f'ON CONFLICT ("{pk}") DO UPDATE SET {sets}'
+        f'ON CONFLICT ({pklist}) DO UPDATE SET {sets}'
     )
+
+
+def insert_sql(table: str, columns: list[str]) -> str:
+    """Plain INSERT for tables whose PK is not backed by a unique
+    constraint (catalog pk_unique=False): ON CONFLICT can never fire
+    without a constraint, and naming one is an error."""
+    collist = ", ".join(f'"{c}"' for c in columns)
+    return f'INSERT INTO "{table}" ({collist}) VALUES %s'
 
 
 def reset_sequence_sql(table: str, pk: str = "id") -> list[str]:
@@ -113,18 +134,20 @@ def upsert_partition_writer(
     dsn: str,
     table: str,
     columns: list[str],
-    pk: str,
+    pk,
     batch: int = 1000,
     on_conflict: str = "nothing",
+    pk_unique: bool = True,
 ):
     """Returns a foreachPartition callback performing the batched upsert.
     One tx per partition. Import-gated: raises a clear error without
     psycopg2 (not installed in this environment)."""
-    sql = (
-        upsert_update_sql(table, columns, pk)
-        if on_conflict == "update"
-        else upsert_sql(table, columns, pk)
-    )
+    if not pk_unique:
+        sql = insert_sql(table, columns)
+    elif on_conflict == "update":
+        sql = upsert_update_sql(table, columns, pk)
+    else:
+        sql = upsert_sql(table, columns, pk)
 
     def write(rows):
         try:
@@ -166,10 +189,11 @@ def bulk_upsert(
     df: DataFrame,
     dsn: str,
     table: str,
-    pk: str,
+    pk,
     connection_factory=None,
     partition_writer=None,
     on_conflict: str = "nothing",
+    pk_unique: bool = True,
 ) -> None:
     """S17+S18: distributed idempotent load with the reference's bracket
     (postgres.go:64-97): triggers disabled before the insert, re-enabled
@@ -181,10 +205,11 @@ def bulk_upsert(
     `connection_factory(dsn)` defaults to psycopg2.connect; tests inject a
     stub to assert the exact statement sequence (no DB in this environment).
     `partition_writer` is injectable for the same reason."""
+    pks = _pk_list(pk)
     connect = connection_factory or _psycopg2_connect
     make_writer = partition_writer or (
         lambda d, t, cols, key: upsert_partition_writer(
-            d, t, cols, key, on_conflict=on_conflict
+            d, t, cols, key, on_conflict=on_conflict, pk_unique=pk_unique
         )
     )
     conn = connect(dsn)
@@ -193,13 +218,13 @@ def bulk_upsert(
             cur.execute(disable_triggers_sql(table))
         conn.commit()
         try:
-            df.foreachPartition(make_writer(dsn, table, df.columns, pk))
+            df.foreachPartition(make_writer(dsn, table, df.columns, pks))
         finally:
             with conn.cursor() as cur:
                 cur.execute(enable_triggers_sql(table))
             conn.commit()
         with conn.cursor() as cur:
-            for stmt in reset_sequence_sql(table, pk):
+            for stmt in reset_sequence_sql(table, pks[0]):
                 cur.execute(stmt)
         conn.commit()
     finally:

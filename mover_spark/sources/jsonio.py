@@ -48,7 +48,13 @@ def write_envelope(
         # non-deterministic upstream (e.g. dropDuplicates) a second run of
         # the plan could disagree with the files on disk
         parts = glob.glob(os.path.join(path, "part-*"))
-        n = df.sparkSession.read.json(parts).count() if parts else 0
+        # pass the known schema: an empty table writes only zero-record part
+        # files and a schema-less read.json would fail to infer
+        n = (
+            df.sparkSession.read.schema(df.schema).json(parts).count()
+            if parts
+            else 0
+        )
         with open(os.path.join(path, ENVELOPE_MANIFEST), "w") as f:
             json.dump({"table_name": table_name, "count": n}, f, indent="\t")
         return path

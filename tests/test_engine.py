@@ -432,3 +432,77 @@ def test_jsonl_roundtrip(spark, catalog, tmp_path):
         assert back.count() == src.count()
         assert back.exceptAll(src).count() == 0
         assert src.exceptAll(back).count() == 0
+
+
+def test_upsert_sql_composite_conflict_target():
+    """ADVICE r2: the conflict target must name the FULL composite key —
+    otherwise Postgres raises 'cannot affect row a second time' for batches
+    holding distinct composite-PK rows sharing the first key column."""
+    from mover_spark.sources.jdbc import upsert_sql, upsert_update_sql
+
+    sql = upsert_sql("lineitem", ["l_orderkey", "l_linenumber", "l_qty"],
+                     ["l_orderkey", "l_linenumber"])
+    assert 'ON CONFLICT ("l_orderkey", "l_linenumber") DO NOTHING' in sql
+
+    usql = upsert_update_sql("lineitem", ["l_orderkey", "l_linenumber", "l_qty"],
+                             ["l_orderkey", "l_linenumber"])
+    assert 'ON CONFLICT ("l_orderkey", "l_linenumber") DO UPDATE SET' in usql
+    assert '"l_qty" = EXCLUDED."l_qty"' in usql
+    assert '"l_orderkey" = EXCLUDED' not in usql
+    assert '"l_linenumber" = EXCLUDED' not in usql
+
+
+def test_upsert_update_sql_pk_only_table_falls_back():
+    """ADVICE r2: a table whose only column is the PK has nothing to SET —
+    emit DO NOTHING instead of invalid 'DO UPDATE SET ' SQL."""
+    from mover_spark.sources.jdbc import upsert_update_sql
+
+    sql = upsert_update_sql("tag", ["id"], "id")
+    assert sql.endswith('ON CONFLICT ("id") DO NOTHING')
+    assert "DO UPDATE" not in sql
+
+
+def test_insert_sql_for_non_unique_pk():
+    """pk_unique=False tables have no unique constraint, so ON CONFLICT can
+    never fire — the sink must emit a plain INSERT."""
+    from mover_spark.sources.jdbc import insert_sql, upsert_partition_writer
+
+    assert insert_sql("lineitem", ["a", "b"]) == (
+        'INSERT INTO "lineitem" ("a", "b") VALUES %s'
+    )
+
+
+def test_load_preserves_duplicate_pk_rows_when_not_unique(spark, catalog, tmp_path):
+    """ADVICE r2 (medium): lineitem's (l_orderkey, l_linenumber) is flagged
+    pk_unique=False and extract preserves duplicate-PK rows; load must not
+    silently drop them — loaded counts must agree with the envelope."""
+    li = catalog.df("lineitem").limit(20)
+    dup = li.unionByName(li)  # every PK now appears twice, legitimately
+    jsonio.write_envelope(dup, "lineitem", str(tmp_path / "env"))
+
+    eng = Engine(spark, catalog, MoverConfig())
+    target = str(tmp_path / "tgt")
+    out = eng.load(str(tmp_path / "env"), target_dir=target)
+    assert out["lineitem"].count() == 40  # nothing deduped
+
+    got = spark.read.parquet(os.path.join(target, "lineitem.parquet"))
+    assert got.count() == 40
+
+    # but a unique-PK table still dedupes (reference ON CONFLICT parity)
+    jsonio.write_envelope(
+        catalog.df("region").unionByName(catalog.df("region")),
+        "region", str(tmp_path / "env2"))
+    out2 = eng.load(str(tmp_path / "env2"), target_dir=str(tmp_path / "tgt2"))
+    assert out2["region"].count() == catalog.df("region").count()
+
+
+def test_write_envelope_partitioned_empty_table(spark, catalog, tmp_path):
+    """ADVICE r2: partitioned envelope of an EMPTY extract must write
+    count 0, not die on schema inference over zero-record part files."""
+    import json as _json
+
+    empty = catalog.df("region").where("r_regionkey < 0")
+    path = jsonio.write_envelope(empty, "region", str(tmp_path), partitioned=True)
+    with open(os.path.join(path, jsonio.ENVELOPE_MANIFEST)) as f:
+        manifest = _json.load(f)
+    assert manifest == {"table_name": "region", "count": 0}

@@ -193,3 +193,26 @@ def test_tfidf_topk_is_per_doc(catalog):
 
     per_doc = out.groupBy("doc_id").count().agg(F.max("count")).first()[0]
     assert per_doc <= 3
+
+
+def test_repetition_stats_empty_tokens(spark):
+    """ADVICE r2: runs of spaces split into '' tokens; both the word pass
+    and the 2-gram pass must drop them. 'a  b' has words [a, b] but NO
+    2-gram (both raw pairs contain an empty component)."""
+    from mover_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, " x x "), (3, "p q p q")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+
+    assert rows[1].n_words == 2
+    assert rows[1].dup_2gram_frac is None  # no valid 2-grams survive
+
+    # ' x x ' -> words [x, x]; raw pairs ('',x),(x,x),(x,'') -> one gram
+    assert rows[2].n_words == 2
+    assert rows[2].top_word_frac == 1.0
+    assert rows[2].dup_2gram_frac == 0.0
+
+    assert rows[3].n_words == 4
+    assert rows[3].dup_2gram_frac == round(1.0 - 2.0 / 3.0, 6)  # p q, q p, p q
