@@ -503,11 +503,10 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    """rows-only by necessity, not approximation: the banding is EXACT for
-    hamming<=3 (pigeonhole over 4 bands), but the signature hashes words
-    with Spark's internal xxhash64, which DuckDB does not implement — no
-    oracle can reproduce the bits. Determinism is pinned by
-    tests/test_dedup.py instead."""
+    """Hash-exact: the banding is EXACT for hamming<=3 (pigeonhole over 4
+    bands) and the word hash is the engine-portable md5-derived 60-bit hash
+    (util.md5_i64), so the DuckDB oracle rebuilds every fingerprint, band
+    bucket, and hamming distance bit-for-bit."""
     from mover_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(_catalog(spark, sf_dir).df("documents"), max_hamming=3)
@@ -629,9 +628,10 @@ def _q_embedding_dup_clusters(spark, sf_dir):
 
 
 def _q_kmv_distinct(spark, sf_dir):
-    """rows-only: the estimate is a deterministic function of Spark's
-    internal xxhash64, which DuckDB does not implement — accuracy bounds
-    are pinned by tests/test_sketches.py instead."""
+    """Hash-exact: the estimate is a deterministic function of the
+    engine-portable md5-derived 60-bit hash, so the DuckDB oracle reproduces
+    the k-minimum set and the (k-1)/max_kth estimate exactly; accuracy vs
+    the TRUE count is additionally pinned by tests/test_sketches.py."""
     from mover_spark.operators.sketches import kmv_distinct
 
     return kmv_distinct(_catalog(spark, sf_dir).df("orders"), ["o_custkey"], k=256)
@@ -2018,7 +2018,29 @@ def oracle_sql() -> dict[str, str]:
         # LSH recall is ~1 at j >= 0.9 given 12x4 banding, and candidates are
         # verified with exact Jaccard — so the oracle is the exact pair set.
         "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
-        # dedup_simhash: xxhash64 not reproducible in DuckDB -> rows-only
+        # rebuilds the 60-bit md5_i64 SimHash pipeline: word hash ->
+        # per-bit majority -> 4x15-bit banded candidate join -> hamming<=3
+        "dedup_simhash": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents), "
+            "h AS (SELECT doc_id, "
+            "('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM w), "
+            "b AS (SELECT doc_id, i, SUM((hv >> i) & 1) AS ones, COUNT(*) AS n "
+            "FROM h CROSS JOIN (SELECT unnest(range(60)) AS i) bits "
+            "GROUP BY doc_id, i), "
+            "s AS (SELECT doc_id, CAST(SUM(CASE WHEN ones * 2 > n "
+            "THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash "
+            "FROM b GROUP BY doc_id), "
+            "bands AS (SELECT doc_id, simhash, band, "
+            "(simhash >> (band * 15)) & 32767 AS bucket "
+            "FROM s CROSS JOIN (SELECT unnest(range(4)) AS band) bb), "
+            "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, "
+            "bit_count(xor(l.simhash, r.simhash)) AS hamming "
+            "FROM bands l JOIN bands r ON l.band = r.band "
+            "AND l.bucket = r.bucket AND l.doc_id < r.doc_id) "
+            "SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming "
+            "FROM cand WHERE hamming <= 3"
+        ),
         "embedding_cosine_pairs": (
             "WITH " + _QVEC_CTE + ", "
             "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
@@ -2147,7 +2169,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
             "AS md5_fingerprint FROM documents"
         ),
-        # sketch_kmv_distinct: xxhash64 not reproducible in DuckDB -> rows-only
+        # reproduces the KMV sketch exactly: same md5_i64 hash, same
+        # k-minimum set, same (k-1)/normalized-max estimator arithmetic
+        "sketch_kmv_distinct": (
+            "WITH h AS (SELECT DISTINCT ('0x' || "
+            "substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h "
+            "FROM orders), "
+            "k AS (SELECT h FROM h ORDER BY h LIMIT 256) "
+            "SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE) "
+            "ELSE 255 / (CAST(MAX(h) AS DOUBLE) / 1152921504606846976.0) END "
+            "AS distinct_est FROM k"
+        ),
         "heavy_hitter_users": (
             "SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id "
             "HAVING COUNT(*) >= 0.005 * (SELECT COUNT(*) FROM events) "

@@ -10,15 +10,16 @@ Five families:
                       exact-Jaccard verify. THE scale path: candidate
                       generation is linear in docs, the verify join touches
                       only bucket-colliding pairs.
-- SimHash             32-bit sign-of-weighted-sum fingerprint, banded
+- SimHash             60-bit sign-of-weighted-sum fingerprint, banded
                       hamming<=k candidate join (per-row, no explode)
 - embedding cosine    near-dup pairs over quantized vectors
 
-Determinism: every hash is Spark's xxhash64 (fixed seed), minhash perms use
-baked constants, and embedding math is integer-quantized (round(x*1000))
-so dot products are exact integers — results are bit-stable across
-partitionings and engines (the DuckDB oracle reproduces Jaccard/cosine
-exactly).
+Determinism: minhash internals hash with Spark's xxhash64 (fixed seed) but
+verify with exact Jaccard (engine-independent); SimHash uses the portable
+md5-derived 60-bit hash (util.md5_i64) so the DuckDB oracle reproduces its
+fingerprints bit-for-bit; minhash perms use baked constants; embedding math
+is integer-quantized (round(x*1000)) so dot products are exact integers —
+results are bit-stable across partitionings and engines.
 """
 
 from __future__ import annotations
@@ -324,30 +325,33 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 64
-SIMHASH_BANDS = 4  # 16 bits each; pigeonhole: hamming<=3 -> >=1 band equal
+SIMHASH_BITS = 60  # md5_i64 width — engine-portable, DuckDB-reproducible
+SIMHASH_BANDS = 4  # 15 bits each; pigeonhole: hamming<=3 -> >=1 band equal
 
 
 def simhash_col(text: Column | str = "text") -> Column:
-    """64-bit SimHash: bit i set iff sum over words of ±1 (sign of bit i of
-    xxhash64(word)) is positive. Per-row array math — no shuffle. Reference
-    implementation; the hot path uses simhash_udf (identical values)."""
+    """60-bit SimHash: bit i set iff sum over words of ±1 (sign of bit i of
+    md5_i64(word)) is positive. Per-row array math — no shuffle. Reference
+    implementation; the hot path uses simhash_udf (identical values). The
+    word hash is the engine-portable md5-derived 60-bit hash so the DuckDB
+    oracle reproduces every fingerprint bit-for-bit."""
+    from ..util import md5_i64
+
     w = words_col(text)
-    h = F.transform(w, lambda x: F.xxhash64(x))
+    h = F.transform(w, lambda x: md5_i64(x))
     total = F.size(w)
     out = F.lit(0).cast("long")
     for i in range(SIMHASH_BITS):
         ones = F.size(F.filter(h, lambda x: F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1))
         bit = F.when(ones * 2 > total, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        out = out.bitwiseOR(F.shiftleft(bit, i))  # OR, not +: bit 63 is the sign bit
+        out = out.bitwiseOR(F.shiftleft(bit, i))
     return out
 
 
 def simhash_udf():
-    """Arrow-vectorized SimHash over the JVM-computed xxhash64(word) array:
-    one (n_words x 64) bit-unpack + column majority per row, vs 64
-    interpreted filter passes. Matches simhash_col bit-for-bit (Spark's
-    shiftright is arithmetic, but bit i of an int64 is sign-independent)."""
+    """Arrow-vectorized SimHash over the JVM-computed md5_i64(word) array:
+    one (n_words x 60) bit-unpack + column majority per row, vs 60
+    interpreted filter passes. Matches simhash_col bit-for-bit."""
     shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
 
     @F.pandas_udf("long")
@@ -370,14 +374,16 @@ def simhash_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance <= max_hamming.
-    Banded candidate join (4x16-bit bands) — exact for max_hamming <= 3 by
+    Banded candidate join (4x15-bit bands) — exact for max_hamming <= 3 by
     pigeonhole — then bit_count verification."""
+    from ..util import md5_i64
+
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_bits) - 1
     sim = simhash_udf()
     sh = df.select(
         F.col(id_col),
-        sim(F.transform(words_col(text_col), lambda x: F.xxhash64(x))).alias("simhash"),
+        sim(F.transform(words_col(text_col), lambda x: md5_i64(x))).alias("simhash"),
     ).persist()
     bands = sh.select(
         id_col,

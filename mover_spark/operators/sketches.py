@@ -4,7 +4,8 @@ need a shuffle the pipeline can't afford.
 
 - ``kmv_distinct``        K-minimum-values cardinality (Bar-Yossef et al.,
   RANDOM'02): keep the k smallest normalized hashes; estimate
-  (k-1)/max_kth. Deterministic (xxhash64), mergeable (min-merge), and a
+  (k-1)/max_kth. Deterministic (engine-portable md5-derived hash, so the
+  DuckDB oracle reproduces it bit-for-bit), mergeable (min-merge), and a
   pure limit+agg — unlike HLL the state is inspectable.
 - ``heavy_hitters``       frequent items: single-pass candidate generation
   (Spark's freqItems — Karp/Misra-Gries family, no shuffle), then ONE
@@ -16,8 +17,9 @@ need a shuffle the pipeline can't afford.
   shuffle of either side; false positives <= fpp, never false negatives —
   compose with an exact join when exactness is required.
 
-Estimates are approximate by design -> the driver records rows-only checks
-for them; accuracy bounds are pinned by tests instead.
+Estimates are approximate vs the TRUE answer but deterministic in their
+inputs — KMV hash-checks exactly against the oracle; HLL/Bloom accuracy
+bounds are pinned by tests and contract booleans.
 """
 
 from __future__ import annotations
@@ -29,13 +31,25 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-HASH_SPACE = float(1 << 63)  # xxhash64 |long| magnitude bound
+HASH_SPACE = float(1 << 60)  # md5_i64 range: [0, 2^60)
 
 
 def kmv_distinct(df: DataFrame, cols: list[str], k: int = 256) -> DataFrame:
     """KMV distinct-count estimate of `cols` tuples: one narrow pass + a
-    k-row reduction. Relative error ~ 1/sqrt(k-2) (~6% at k=256)."""
-    h = F.abs(F.xxhash64(*[F.col(c) for c in cols]))
+    k-row reduction. Relative error ~ 1/sqrt(k-2) (~6% at k=256).
+
+    Hashing is the engine-portable md5-derived 60-bit hash (util.md5_i64),
+    so a DuckDB oracle reproduces the estimate EXACTLY — the sketch is
+    approximate vs the true count but deterministic in its inputs. Multi-col
+    tuples hash the unit-separator join of their string forms."""
+    from ..util import md5_i64
+
+    key = (
+        F.col(cols[0]).cast("string")
+        if len(cols) == 1
+        else F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    )
+    h = md5_i64(key)
     kth = (
         df.select(h.alias("h"))
         .dropDuplicates(["h"])
