@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> int:
         help="load conflict policy: 'nothing' (reference parity) or "
         "'update' (last-write-wins merge)",
     )
+    p.add_argument(
+        "-single-file", action="store_true", dest="single_file",
+        help="extract: write the reference's single-file JSON envelope "
+        "(byte parity; collects to the driver — small extracts only). "
+        "Default is the scale-safe partitioned envelope.",
+    )
     p.add_argument("-sf-dir", default="/root/testdata/sf0.001", dest="sf_dir")
     p.add_argument("-verbose", action="store_true")
     p.add_argument("-version", action="store_true")
@@ -59,7 +65,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.action == "extract":
         if not args.path or not args.query:
             p.error("-path and -query are required for extract")
-        results = engine.extract(args.path, args.query, table=args.table or None)
+        results = engine.extract(args.path, args.query, table=args.table or None,
+                                 partitioned=not args.single_file)
         for t in sorted(results):
             print(f"{t}: {results[t].count()} rows")
     elif args.action == "load":

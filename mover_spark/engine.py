@@ -42,10 +42,16 @@ class Engine:
         out_dir: str,
         query: str,
         table: str | None = None,
-        partitioned: bool = False,
+        partitioned: bool = True,
         download_media: bool = False,
     ) -> dict[str, DataFrame]:
-        """Seed query -> closure -> sanitize -> envelopes (engine.go:104-134)."""
+        """Seed query -> closure -> sanitize -> envelopes (engine.go:104-134).
+
+        Default is the scale-safe partitioned envelope (parallel executor
+        writers, nothing collected to the driver — a 100 TB closure cannot
+        OOM the driver the way the reference's in-RAM extractor can,
+        etl/extractor.go:17-18). Pass ``partitioned=False`` for byte-level
+        parity with the reference's single-file envelope format."""
         table = table or get_query_table(query)
         seed = self.spark.sql(query)
         seeds = [(table, seed)]

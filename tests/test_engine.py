@@ -506,3 +506,30 @@ def test_write_envelope_partitioned_empty_table(spark, catalog, tmp_path):
     with open(os.path.join(path, jsonio.ENVELOPE_MANIFEST)) as f:
         manifest = _json.load(f)
     assert manifest == {"table_name": "region", "count": 0}
+
+
+def test_extract_default_is_partitioned_no_collect(spark, catalog, tmp_path, monkeypatch):
+    """VERDICT r2: the DEFAULT extract path must be scale-safe — partitioned
+    envelopes written executor-parallel, with NO driver-side collect()
+    anywhere (a 100 TB closure must not OOM the driver). Single-file byte
+    parity is opt-in via partitioned=False."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("driver-side collect() on the default extract path")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+
+    eng = Engine(spark, catalog, MoverConfig())
+    eng.extract(str(tmp_path), "SELECT * FROM region WHERE r_regionkey < 3")
+
+    # partitioned layout: <out>/region/ dir with manifest, no region.json
+    assert os.path.isdir(os.path.join(str(tmp_path), "region"))
+    assert os.path.exists(os.path.join(str(tmp_path), "region", jsonio.ENVELOPE_MANIFEST))
+    assert not os.path.exists(os.path.join(str(tmp_path), "region.json"))
+
+    monkeypatch.undo()
+    # and the partitioned extract round-trips through load
+    eng2 = Engine(spark, catalog, MoverConfig())
+    out = eng2.load(str(tmp_path), target_dir=str(tmp_path / "tgt"))
+    assert out["region"].count() == 3
