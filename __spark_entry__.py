@@ -707,14 +707,17 @@ def _q_numeric_strict(spark, sf_dir):
     aggregates with EXACT decimal arithmetic — no float rounding anywhere,
     so sums are exact to 18 places in any accumulation order."""
     li = _strict_catalog(spark, sf_dir).df("lineitem")
+    # aggregation is EXACT decimal; only the OUTPUT columns are cast to
+    # double — raw decimal output types normalize differently per engine
+    # ("765511.000000000000000000" vs "765511.0"), double renders one way
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_price"),
-            F.min("l_discount").alias("min_disc"),
-            F.max("l_extendedprice").alias("max_price"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum("l_extendedprice").cast("double").alias("sum_price"),
+            F.min("l_discount").cast("double").alias("min_disc"),
+            F.max("l_extendedprice").cast("double").alias("max_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -1439,7 +1442,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty, "
             "CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price, "
             "CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS sum_disc_price, "
-            "CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(25,4))) AS DOUBLE) AS sum_charge, "
+            "CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge, "
             "CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty, "
             "CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price, "
             "CAST(SUM(CAST(l_discount AS DECIMAL(25,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc, "
@@ -1475,11 +1478,13 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
         ),
         "q12_late_lines": (
+            # DuckDB SUM(int) is HUGEINT — normalization-fragile (some
+            # fetch paths render it as float); pin BIGINT to match Spark
             "SELECT l_linestatus, "
-            "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-            "THEN 1 ELSE 0 END) AS high_line_count, "
-            "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-            "THEN 0 ELSE 1 END) AS low_line_count "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY "
             "GROUP BY l_linestatus ORDER BY l_linestatus"
@@ -1522,9 +1527,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(38,18)) AS q, "
             "CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(38,18)) AS p, "
             "CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(38,18)) AS d "
+            # decimal->double via VARCHAR: DuckDB's direct decimal->double
+            # divides the scaled hugeint in float (NOT correctly rounded:
+            # 506627 -> 506627.00000000006); parsing the decimal string is
+            # correctly rounded, matching Spark's BigDecimal.doubleValue()
             "FROM lineitem) "
-            "SELECT l_returnflag, COUNT(*) AS n_items, SUM(q) AS sum_qty, "
-            "SUM(p) AS sum_price, MIN(d) AS min_disc, MAX(p) AS max_price "
+            "SELECT l_returnflag, COUNT(*) AS n_items, "
+            "CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) AS sum_qty, "
+            "CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS sum_price, "
+            "CAST(CAST(MIN(d) AS VARCHAR) AS DOUBLE) AS min_disc, "
+            "CAST(CAST(MAX(p) AS VARCHAR) AS DOUBLE) AS max_price "
             "FROM s GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "q3_shipping_priority": (
@@ -1827,8 +1839,8 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT et, s1 / n AS mean_v, "
             "sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std_v FROM m) "
             "SELECT event_type, COUNT(*) AS n_events, "
-            "SUM(CASE WHEN ABS(value - mean_v) > 3.0 * std_v THEN 1 ELSE 0 END) "
-            "AS n_outliers, "
+            "CAST(SUM(CASE WHEN ABS(value - mean_v) > 3.0 * std_v THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_outliers, "
             "MIN(CASE WHEN ABS(value - mean_v) > 3.0 * std_v THEN value END) "
             "AS min_outlier, "
             "MAX(CASE WHEN ABS(value - mean_v) > 3.0 * std_v THEN value END) "
@@ -1982,7 +1994,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_json_props": (
             "SELECT event_type, COUNT(*) AS n_events, "
-            "SUM(CAST(props->>'k' AS INT)) AS sum_k, "
+            "CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k, "
             "MIN(CAST(props->>'k' AS INT)) AS min_k, "
             "MAX(CAST(props->>'k' AS INT)) AS max_k "
             "FROM events GROUP BY event_type ORDER BY event_type"
@@ -2214,7 +2226,7 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT doc_id, n_chars, "
             "(((doc_id % 2147483647) * 506952114) % 2147483647) % 10000 AS bkt FROM c) "
             "SELECT CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' "
-            "ELSE 'test' END AS split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
+            "ELSE 'test' END AS split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
             "FROM b GROUP BY 1 ORDER BY split"
         ),
         "repetition_stats": (
@@ -2222,7 +2234,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents), "
             "wf AS (SELECT doc_id, w, COUNT(*) AS c FROM words WHERE w != '' "
             "GROUP BY doc_id, w), "
-            "pd AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_c, "
+            "pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, MAX(c) AS top_c, "
             "COUNT(*) AS n_distinct FROM wf GROUP BY doc_id), "
             # the Spark side drops 2-grams containing an empty token (raw
             # split on runs of spaces yields '' components); mirror that
@@ -2319,7 +2331,7 @@ def oracle_sql() -> dict[str, str]:
             "(((doc_id % 2147483647) * 506952114) % 2147483647) % 10000 AS bkt FROM documents) "
             "SELECT CASE WHEN bkt < 9000 THEN 'train' "
             "WHEN bkt < 9500 THEN 'val' ELSE 'test' END AS split, "
-            "COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
+            "COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
             "FROM b GROUP BY 1 ORDER BY split"
         ),
         "doc_chunking": (
@@ -2335,7 +2347,7 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER "
             "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_after FROM t) "
             "SELECT CAST(FLOOR(CAST(cum_after - n_tokens AS DOUBLE) / 1000) AS BIGINT) "
-            "AS bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens, "
+            "AS bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens, "
             "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
             "FROM c GROUP BY 1 ORDER BY bin"
         ),

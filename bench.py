@@ -1,6 +1,17 @@
 """Benchmark harness: times every queries() entry at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE COMPACT machine-parsable JSON line as the LAST stdout line:
+    {"metric": "suite_seconds", "value": <total>, "unit": "sec",
+     "n_queries": N, "sf": 0.1, "detail": "BENCH_DETAIL.json"}
+and writes per-query timings (all repeats + the median actually reported)
+to BENCH_DETAIL.json next to this file. The old format inlined all ~111
+per-query timings into the line, which overflowed the driver's capture and
+left four rounds of perf evidence unparsed.
+
+Each query is timed $SPARK_GRAFT_BENCH_REPS times (default 3) and the
+MEDIAN is reported, so one-off cold-start attribution (JIT/codegen warm-up
+landing on whichever query runs first) can't masquerade as a regression.
 
 Materialization is a noop-sink write — full computation of every output
 column, no driver-side collect bottleneck.
@@ -10,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -17,6 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from mover_spark.session import get_spark
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 def materialize(df) -> int:
@@ -27,6 +41,7 @@ def materialize(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark("mover-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -46,24 +61,46 @@ def main() -> None:
         except Exception:
             pass
 
+    runs: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.time()
-        try:
-            materialize(fn(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # a broken query must not sink the suite
-            timings[name] = -1.0
-            print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                materialize(fn(spark, sf_dir))
+                samples.append(round(time.time() - t0, 3))
+            except Exception as exc:  # a broken query must not sink the suite
+                print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
+                break
+        runs[name] = samples
+        timings[name] = round(statistics.median(samples), 3) if len(samples) == reps else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    detail_path = os.path.join(REPO_DIR, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "sf": float(sf),
+                "reps": reps,
+                "total_median_sec": total,
+                "median": timings,
+                "runs": runs,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
     line = json.dumps(
         {
             "metric": "suite_seconds",
             "value": total,
             "unit": "sec",
-            "queries": timings,
+            "n_queries": len(timings),
+            "n_errors": sum(1 for t in timings.values() if t < 0),
             "sf": float(sf),
+            "detail": "BENCH_DETAIL.json",
         }
     )
     # the machine-parsable result is the LAST stdout line, flushed, with

@@ -21,10 +21,16 @@ from pyspark.sql.window import Window
 from ..catalog import Catalog
 
 
-def dsum(col: Column | str) -> Column:
-    """Order-insensitive exact sum of a double column (via decimal)."""
+def dsum(col: Column | str, scale: int = 4) -> Column:
+    """Order-insensitive exact sum of a double column (via decimal).
+
+    `scale` must cover the full decimal width of the value: a product with
+    6 decimal digits (e.g. price*(1-disc)*(1+tax)) cast at scale 4 lands on
+    .xxxx5 halfway points where Spark (shortest-repr HALF_UP) and DuckDB
+    (binary-value rounding) disagree; at the exact scale there is no
+    rounding at all and every engine recovers the same decimal."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(25,4)")).cast("double")
+    return F.sum(c.cast(f"decimal(25,{scale})")).cast("double")
 
 
 def davg(col: Column | str) -> Column:
@@ -49,7 +55,7 @@ def pricing_summary(cat: Catalog, ship_before: str = "1998-09-01") -> DataFrame:
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
             dsum(disc).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
+            dsum(charge, scale=6).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),

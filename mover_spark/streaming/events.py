@@ -7,9 +7,9 @@ batch operators (operators/events.py) run here under watermarks, so batch
 and stream agree — tests assert exactly that with an availableNow trigger.
 
 Pieces:
-- ``read_events_stream``   file-source stream with the fixture's ns-timestamp
-                           normalization (schema-pinned; streams need an
-                           explicit schema)
+- ``read_events_stream``   file-source stream; probes the parquet footer for
+                           the ts unit (ns legacy / µs current fixtures) and
+                           pins the matching explicit schema streams require
 - ``tumbling_stream``      watermarked tumbling-window count/sum
 - ``session_stream``       watermarked session windows (F.session_window)
 - ``running_totals_stream``custom stateful operator via
@@ -29,31 +29,62 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-#: events parquet physical schema (ts is int64 TIMESTAMP(NANOS) -> LongType
-#: under nanosAsLong; converted right after read)
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_schema(ts_unit: str) -> StructType:
+    """events stream schema for a given parquet ts unit: ns fixtures need
+    LongType (Spark can't scan INT64 TIMESTAMP(NANOS) natively; under
+    nanosAsLong they surface as bigint), µs fixtures read natively as NTZ."""
+    ts_type = LongType() if ts_unit == "ns" else TimestampNTZType()
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def _ts_unit(sf_dir: str) -> str:
+    """Probe the parquet footer for the `ts` time unit, exactly as the batch
+    reader does (catalog.py read_table) — the fixtures have shipped both
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) over time, and streams pin an
+    explicit schema so the unit must be decided up front."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for path in sorted(_glob.glob(f"{sf_dir}/events.parque*")):
+        try:
+            field = pq.read_schema(path).field("ts")
+        except Exception:
+            continue
+        if pa.types.is_timestamp(field.type):
+            return field.type.unit
+        return "ns"  # int64 physical column => legacy nanos fixture
+    return "us"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    unit = _ts_unit(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # glob, not a literal file path: FileStreamSource requires a directory
     # or pattern (basePath resolves to the parent dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_schema(unit))
         .parquet(f"{sf_dir}/events.parque*")
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if unit == "ns":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # watermarks need TIMESTAMP (not NTZ); the session runs UTC, so the
+    # cast is value-preserving and the final NTZ cast at output undoes it
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_stream(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

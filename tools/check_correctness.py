@@ -31,7 +31,10 @@ def _norm(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        # full-precision shortest round-trip repr (17 significant digits
+        # when needed): a 9-digit format hid a real 1e-11-relative value
+        # divergence for two rounds — never truncate here
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)):
@@ -67,14 +70,28 @@ def main() -> int:
         if name not in oracles:
             print(f"  {name:28s} rows={len(srows):7d} (rows-only check) {spark_sec:5.1f}s")
             continue
-        cur = con.execute(oracles[name])
-        ocols_raw = [d[0] for d in cur.description]
-        orows = [dict(zip(ocols_raw, row)) for row in cur.fetchall()]
+        rel = con.sql(oracles[name])
+        ocols_raw = list(rel.columns)
+        otypes = [str(t).upper() for t in rel.types]
+        orows = [dict(zip(ocols_raw, row)) for row in rel.fetchall()]
         ocols = sorted(ocols_raw)
+        # normalization-fragile output types: engines disagree on how these
+        # RENDER even when values are identical (decimal trailing zeros,
+        # HUGEINT fetched as float by pandas-style paths). Every output
+        # column must be string/bigint/double/date/bool — fail otherwise.
+        fragile = [
+            f"{c}:{t}"
+            for c, t in zip(ocols_raw, otypes)
+            if t.startswith("DECIMAL") or "HUGEINT" in t
+        ] + [
+            f"spark.{c}:{t}"
+            for c, t in sdf.dtypes
+            if t.startswith("decimal")
+        ]
         ok_count = len(srows) == len(orows)
         ok_schema = scols == ocols
         ok_hash = ok_schema and _hash_rows(srows, scols) == _hash_rows(orows, ocols)
-        status = "OK" if (ok_count and ok_schema and ok_hash) else "FAIL"
+        status = "OK" if (ok_count and ok_schema and ok_hash and not fragile) else "FAIL"
         print(
             f"  {name:28s} rows={len(srows):7d}/{len(orows):7d} "
             f"schema={'=' if ok_schema else 'X'} hash={'=' if ok_hash else 'X'} "
@@ -82,6 +99,8 @@ def main() -> int:
         )
         if status == "FAIL":
             failures.append(name)
+            if fragile:
+                print(f"    fragile output types: {fragile}")
             if not ok_schema:
                 print(f"    spark cols: {scols}\n    duck  cols: {ocols}")
             elif not ok_hash and srows and orows:
