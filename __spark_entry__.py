@@ -1207,7 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles
 # --------------------------------------------------------------------------
 
-_FAKE_FIRST = ["Marie", "Jean", "Luc", "Anna", "Paul", "Claire", "Louis", "Emma"]
+_FAKE_FIRST = ["Mary", "John", "Luke", "Anna", "Paul", "Claire", "Lewis", "Emma"]
 _FAKE_LOCAL = ["alex", "sam", "jo", "max", "kim", "lee", "ray", "pat"]
 
 

@@ -28,15 +28,23 @@ from pyspark.sql import functions as F
 ATTR_RE = re.compile(r"\{(?P<attr>\w+)\}")
 
 # Deterministic fake pools (public sample names; any list works — the contract
-# is only "plausible fake value", sanitizer.go:66-78).
+# is only "plausible fake value", sanitizer.go:66-78). Default locale is
+# English-flavored; the 'fr' locale (the only one the reference wires,
+# sanitizer.go:22-30) swaps in French pools below.
 FAKE_POOLS: dict[str, list[str]] = {
-    "last_name": ["Martin", "Bernard", "Dubois", "Thomas", "Robert", "Richard", "Petit", "Durand"],
-    "first_name": ["Marie", "Jean", "Luc", "Anna", "Paul", "Claire", "Louis", "Emma"],
+    "last_name": ["Smith", "Johnson", "Williams", "Brown", "Jones", "Miller", "Davis", "Wilson"],
+    "first_name": ["Mary", "John", "Luke", "Anna", "Paul", "Claire", "Lewis", "Emma"],
     "email_local": ["alex", "sam", "jo", "max", "kim", "lee", "ray", "pat"],
-    "street": ["rue de la Paix", "avenue Victor Hugo", "boulevard Saint-Michel", "rue du Bac"],
+    "street": ["Main Street", "Oak Avenue", "Maple Drive", "Park Road"],
 }
 
-FR_POOLS = FAKE_POOLS  # locale hook: only 'fr' is wired in the reference
+# 'fr' locale pools (reference wires faker locale 'fr', sanitizer.go:22-24)
+FR_POOLS: dict[str, list[str]] = {
+    "last_name": ["Martin", "Bernard", "Dubois", "Thomas", "Robert", "Richard", "Petit", "Durand"],
+    "first_name": ["Marie", "Jean", "Luc", "Anne", "Pierre", "Camille", "Louis", "Emma"],
+    "email_local": ["marie", "jean", "luc", "anne", "pierre", "camille", "louis", "emma"],
+    "street": ["rue de la Paix", "avenue Victor Hugo", "boulevard Saint-Michel", "rue du Bac"],
+}
 
 
 @dataclass
@@ -107,7 +115,8 @@ def fake_column(kind: str, pk: Column, unique: bool = False, locale: str = "") -
             _pool_pick(pools["street"], pk),
         )
     elif kind == "phone_number":
-        out = F.concat(F.lit("+33 6 "), F.lpad(F.pmod(F.abs(pk.cast("long")), F.lit(99999999)).cast("string"), 8, "0"))
+        prefix = "+33 6 " if locale == "fr" else "+1 555 "
+        out = F.concat(F.lit(prefix), F.lpad(F.pmod(F.abs(pk.cast("long")), F.lit(99999999)).cast("string"), 8, "0"))
     else:  # unknown kind: reference leaves the value untouched
         return pk  # caller handles passthrough; see sanitize_df
     if unique and kind != "email":

@@ -62,7 +62,24 @@ def test_fake_kinds(spark):
     assert row.ln and row.ln != "a"
     assert row.fn and row.fn != "b"
     assert row.addr[0].isdigit()
-    assert row.phone.startswith("+33")
+    assert row.phone.startswith("+1 555")
+
+
+def test_fake_locale_fr(spark):
+    """'fr' locale swaps in the French pools (sanitizer.go:22-30): same
+    deterministic scheme, different values from the default locale."""
+    from mover_spark.operators.sanitize import FAKE_POOLS, FR_POOLS
+
+    assert FR_POOLS is not FAKE_POOLS
+    df = spark.createDataFrame(
+        [(7, "a", "b")], "id long, ln string, phone string"
+    )
+    rules = [ColumnRule("ln", fake="last_name"), ColumnRule("phone", fake="phone_number")]
+    fr = sanitize_df(df, rules, ["id"], locale="fr").collect()[0]
+    en = sanitize_df(df, rules, ["id"]).collect()[0]
+    assert fr.ln in FR_POOLS["last_name"] and en.ln in FAKE_POOLS["last_name"]
+    assert fr.ln != en.ln
+    assert fr.phone.startswith("+33") and en.phone.startswith("+1")
 
 
 def test_unknown_template_attr_passthrough(spark):
