@@ -34,9 +34,9 @@ LIST_COLUMNS_SQL = (
     "WHERE table_schema = '{schema}'"
 )
 
-#: primary keys (postgres.go:200-240)
+#: primary keys (postgres.go:200-240); ordinal_position orders composite keys
 LIST_PRIMARY_KEYS_SQL = (
-    "SELECT tc.table_name, kcu.column_name "
+    "SELECT tc.table_name, kcu.column_name, kcu.ordinal_position AS position "
     "FROM information_schema.table_constraints tc "
     "JOIN information_schema.key_column_usage kcu "
     "ON tc.constraint_name = kcu.constraint_name "
@@ -45,19 +45,89 @@ LIST_PRIMARY_KEYS_SQL = (
 )
 
 #: foreign keys — structured catalog instead of the reference's regex parse
-#: of constraint definitions (postgres.go:18,137-176)
+#: of constraint definitions (postgres.go:18,137-176). Standard-SQL shape:
+#: referential_constraints links the FK constraint to the PK/unique
+#: constraint it references; joining key_column_usage on BOTH sides (the FK
+#: side by constraint_name, the referenced side by unique_constraint_name +
+#: position_in_unique_constraint) recovers each column pair. Runs unchanged
+#: on PostgreSQL and DuckDB (contract-tested against the latter's
+#: information_schema — DuckDB has no constraint_column_usage, and this
+#: form needs none).
 LIST_FOREIGN_KEYS_SQL = (
-    "SELECT tc.constraint_name AS name, tc.table_name, kcu.column_name, "
-    "ccu.table_name AS ref_table, ccu.column_name AS ref_column "
-    "FROM information_schema.table_constraints tc "
+    "SELECT rc.constraint_name AS name, kcu.table_name, kcu.column_name, "
+    "pku.table_name AS ref_table, pku.column_name AS ref_column, "
+    "kcu.ordinal_position AS position "
+    "FROM information_schema.referential_constraints rc "
     "JOIN information_schema.key_column_usage kcu "
-    "ON tc.constraint_name = kcu.constraint_name AND tc.table_schema = kcu.table_schema "
-    "JOIN information_schema.constraint_column_usage ccu "
-    "ON ccu.constraint_name = tc.constraint_name AND ccu.table_schema = tc.table_schema "
-    "WHERE tc.constraint_type = 'FOREIGN KEY' AND tc.table_schema = '{schema}'"
+    "ON kcu.constraint_name = rc.constraint_name "
+    "AND kcu.constraint_schema = rc.constraint_schema "
+    "JOIN information_schema.key_column_usage pku "
+    "ON pku.constraint_name = rc.unique_constraint_name "
+    "AND pku.constraint_schema = rc.unique_constraint_schema "
+    "AND pku.ordinal_position = kcu.position_in_unique_constraint "
+    "WHERE rc.constraint_schema = '{schema}'"
 )
 # reverse FKs (postgres.go:100-134) are DERIVED by inverting the FK edges —
 # no extra query (catalog.Catalog does the inversion).
+
+
+def introspect_catalog(run_sql, schema: str = "public") -> dict:
+    """Build the full Table-metadata map (S19-S24) from a live database.
+
+    ``run_sql(sql) -> list[tuple]`` abstracts the transport: production
+    passes a JDBC/driver-backed runner, tests a DuckDB connection over a
+    mock schema — the SQL strings are identical either way, which is the
+    contract being tested. Mirrors the reference's per-table introspection
+    fan-out (postgres.go:334-403) in four set-based queries, then derives
+    reverse FKs by inverting the edge list (vs postgres.go:100-134's extra
+    pg_constraint query)."""
+    from ..catalog import ForeignKey, ReferenceKey, Table
+
+    tables: dict = {
+        r[0]: Table(name=r[0], primary_keys=[])
+        for r in run_sql(LIST_TABLES_SQL.format(schema=schema))
+    }
+    for tname, cname, dtype, nullable, _pos in sorted(
+        run_sql(LIST_COLUMNS_SQL.format(schema=schema)), key=lambda r: (r[0], r[4])
+    ):
+        if tname in tables:
+            tables[tname].columns.append((cname, str(dtype).lower(), bool(nullable)))
+    for tname, cname, _pos in sorted(
+        run_sql(LIST_PRIMARY_KEYS_SQL.format(schema=schema)), key=lambda r: (r[0], r[2])
+    ):
+        if tname in tables:
+            tables[tname].primary_keys.append(cname)
+    by_constraint: dict = {}
+    for name, tname, cname, ref_table, ref_col, pos in run_sql(
+        LIST_FOREIGN_KEYS_SQL.format(schema=schema)
+    ):
+        by_constraint.setdefault((name, tname, ref_table), []).append(
+            (pos, cname, ref_col)
+        )
+    for (name, tname, ref_table), pairs in sorted(by_constraint.items()):
+        pairs.sort()
+        if tname in tables:
+            tables[tname].foreign_keys.append(
+                ForeignKey(
+                    name=name,
+                    table=tname,
+                    cols=[c for _, c, _ in pairs],
+                    ref_table=ref_table,
+                    ref_cols=[rc for _, _, rc in pairs],
+                )
+            )
+    for t in tables.values():
+        for fk in t.foreign_keys:
+            if fk.ref_table in tables:
+                tables[fk.ref_table].reference_keys.append(
+                    ReferenceKey(
+                        name=fk.name,
+                        child_table=fk.table,
+                        child_cols=fk.cols,
+                        parent_cols=fk.ref_cols,
+                    )
+                )
+    return tables
 
 
 def read_seed_query(spark: SparkSession, url: str, query: str, props: dict) -> DataFrame:
