@@ -2181,15 +2181,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
             "AS md5_fingerprint FROM documents"
         ),
-        # reproduces the KMV sketch exactly: same md5_i64 hash, same
-        # k-minimum set, same (k-1)/normalized-max estimator arithmetic
+        # reproduces the KMV sketch exactly: same mix31 affine hash (integral
+        # fast path — plain bigint math, no md5), same k-minimum set, same
+        # (k-1)/normalized-max estimator arithmetic
         "sketch_kmv_distinct": (
-            "WITH h AS (SELECT DISTINCT ('0x' || "
-            "substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h "
+            "WITH h AS (SELECT DISTINCT "
+            "((o_custkey % 2147483647) * 506952114 + 40503) % 2147483647 AS h "
             "FROM orders), "
             "k AS (SELECT h FROM h ORDER BY h LIMIT 256) "
             "SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE) "
-            "ELSE 255 / (CAST(MAX(h) AS DOUBLE) / 1152921504606846976.0) END "
+            "ELSE 255 / (CAST(MAX(h) AS DOUBLE) / 2147483647.0) END "
             "AS distinct_est FROM k"
         ),
         "heavy_hitter_users": (

@@ -34,22 +34,30 @@ from pyspark.sql import functions as F
 HASH_SPACE = float(1 << 60)  # md5_i64 range: [0, 2^60)
 
 
+_INTEGRAL_DTYPES = ("tinyint", "smallint", "int", "bigint")
+
+
 def kmv_distinct(df: DataFrame, cols: list[str], k: int = 256) -> DataFrame:
     """KMV distinct-count estimate of `cols` tuples: one narrow pass + a
     k-row reduction. Relative error ~ 1/sqrt(k-2) (~6% at k=256).
 
-    Hashing is the engine-portable md5-derived 60-bit hash (util.md5_i64),
-    so a DuckDB oracle reproduces the estimate EXACTLY — the sketch is
-    approximate vs the true count but deterministic in its inputs. Multi-col
-    tuples hash the unit-separator join of their string forms."""
-    from ..util import md5_i64
+    Hashing is engine-portable so a DuckDB oracle reproduces the estimate
+    EXACTLY — the sketch is approximate vs the true count but deterministic
+    in its inputs. A single integral key takes the arithmetic fast path
+    (util.mix31_i64: affine mod 2^31-1, pure bigint math, collision-free
+    below 2^31); strings and multi-col tuples (unit-separator join of their
+    string forms) pay the md5-derived 60-bit hash."""
+    from ..util import MIX31_P, md5_i64, mix31_i64
 
-    key = (
-        F.col(cols[0]).cast("string")
-        if len(cols) == 1
-        else F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
-    )
-    h = md5_i64(key)
+    if len(cols) == 1 and dict(df.dtypes)[cols[0]] in _INTEGRAL_DTYPES:
+        h, space = mix31_i64(cols[0]), float(MIX31_P)
+    else:
+        key = (
+            F.col(cols[0]).cast("string")
+            if len(cols) == 1
+            else F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+        )
+        h, space = md5_i64(key), HASH_SPACE
     kth = (
         df.select(h.alias("h"))
         .dropDuplicates(["h"])
@@ -61,7 +69,7 @@ def kmv_distinct(df: DataFrame, cols: list[str], k: int = 256) -> DataFrame:
         F.when(
             F.col("n_kept") < k, F.col("n_kept").cast("double")  # fewer than k distinct: exact
         )
-        .otherwise((k - 1) / (F.col("kth") / F.lit(HASH_SPACE)))
+        .otherwise((k - 1) / (F.col("kth") / F.lit(space)))
         .alias("distinct_est")
     )
 
