@@ -240,6 +240,46 @@ def _q_volume_shipping(spark, sf_dir):
     return volume_shipping(_catalog(spark, sf_dir))
 
 
+def _q_nation_year_profit(spark, sf_dir):
+    """TPC-H Q9 shape adapted to the partsupp-less fixture schema: 5-table
+    join (part filter broadcast, dims broadcast, one fact-fact shuffle on
+    l_orderkey) grouped by (nation, order year)."""
+    from mover_spark.operators.subqueries import nation_year_profit
+
+    return nation_year_profit(_catalog(spark, sf_dir))
+
+
+def _q_part_value_share(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING against a broadcast global-total scalar."""
+    from mover_spark.operators.subqueries import part_value_share
+
+    return part_value_share(_catalog(spark, sf_dir))
+
+
+def _q_part_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: NOT IN anti-join + count(distinct) over the
+    lineitem part-supplier bridge."""
+    from mover_spark.operators.subqueries import part_supplier_counts
+
+    return part_supplier_counts(_catalog(spark, sf_dir))
+
+
+def _q_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: IN (... GROUP BY ... HAVING) nested subquery as a
+    semi-join against the qualified aggregate."""
+    from mover_spark.operators.subqueries import excess_shippers
+
+    return excess_shippers(_catalog(spark, sf_dir))
+
+
+def _q_idle_rich_by_nation(spark, sf_dir):
+    """TPC-H Q22 shape: global-average scalar subquery + NOT EXISTS
+    anti-join, rolled up by nation."""
+    from mover_spark.operators.subqueries import idle_rich_by_nation
+
+    return idle_rich_by_nation(_catalog(spark, sf_dir))
+
+
 def _q_distinct_count(spark, sf_dir):
     from mover_spark.operators.subqueries import distinct_count_agg
 
@@ -1136,6 +1176,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume": _q_large_volume_customers,
         "q19_disjunctive": _q_disjunctive,
         "q21_waiting_suppliers": _q_waiting_suppliers,
+        "q9_nation_year_profit": _q_nation_year_profit,
+        "q11_part_value_share": _q_part_value_share,
+        "q16_part_supplier_counts": _q_part_supplier_counts,
+        "q20_excess_shippers": _q_excess_shippers,
+        "q22_idle_rich_by_nation": _q_idle_rich_by_nation,
         "trailing_spend_range_window": _q_trailing_spend,
         "grouping_sets_agg": _q_grouping_sets,
         "full_outer_spend": _q_full_outer,
@@ -1511,6 +1556,59 @@ def oracle_sql() -> dict[str, str]:
             "l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey != l1.l_suppkey "
             "AND l3.l_shipdate > l1.l_shipdate) "
             "GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 10"
+        ),
+        "q9_nation_year_profit": (
+            "SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year, "
+            "CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS profit, "
+            "COUNT(*) AS n_lines "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE p_name LIKE '%o%' "
+            "GROUP BY n_name, YEAR(o_orderdate) ORDER BY nation, o_year DESC"
+        ),
+        "q11_part_value_share": (
+            "WITH pv AS (SELECT l_partkey, "
+            "CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,4))) AS DOUBLE) "
+            "AS part_value FROM lineitem GROUP BY l_partkey), "
+            "tot AS (SELECT "
+            "CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,4))) AS DOUBLE) "
+            "AS total_value, COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem) "
+            "SELECT l_partkey, part_value FROM pv, tot "
+            "WHERE part_value > total_value * 1.5 / n_parts "
+            "ORDER BY part_value DESC, l_partkey"
+        ),
+        "q16_part_supplier_counts": (
+            "SELECT p_brand, p_type, p_size, "
+            "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand != 'Brand#1' "
+            "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY p_brand, p_type, p_size "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "q20_excess_shippers": (
+            "SELECT s_suppkey, s_name, n_name AS nation FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey WHERE p_name LIKE '%o%' "
+            "GROUP BY l_suppkey "
+            "HAVING SUM(CAST(l_quantity AS DECIMAL(25,4))) > 400.0) "
+            "ORDER BY s_suppkey"
+        ),
+        "q22_idle_rich_by_nation": (
+            "WITH avg_bal AS (SELECT "
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) / COUNT(c_acctbal) "
+            "AS avg_bal FROM customer WHERE c_acctbal > 0) "
+            "SELECT n_name AS nation, COUNT(*) AS n_cust, "
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS total_bal "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey, avg_bal "
+            "WHERE c_acctbal > avg_bal "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT') "
+            "GROUP BY n_name ORDER BY nation"
         ),
         "trailing_spend_range_window": (
             "SELECT o_custkey, o_orderkey, o_orderdate, "

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Catalog
-from .analytics import dsum
+from .analytics import davg, dsum
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -667,4 +667,137 @@ def price_histogram(cat: Catalog, width: float = 50000.0) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
         .orderBy("bucket")
+    )
+
+
+def nation_year_profit(cat: Catalog, name_like: str = "%o%") -> DataFrame:
+    """TPC-H Q9 shape (adapted: the fixtures have no partsupp, so profit is
+    revenue = extprice*(1-disc) without supply cost): 5-table join through
+    part / supplier / nation / orders grouped by (nation, order year).
+
+    Scale shape: lineitem joins three broadcast dimensions without a
+    shuffle, then one fact-fact join on l_orderkey, then a tiny
+    (nation, year) aggregation — the only big shuffle is the orders join."""
+    li = cat.df("lineitem")
+    parts = cat.df("part").where(F.col("p_name").like(name_like)).select("p_partkey")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(cat.df("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cat.df("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(cat.df("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit).alias("profit"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def part_value_share(cat: Catalog, lift: float = 1.5) -> DataFrame:
+    """TPC-H Q11 shape (partsupp -> lineitem): per-part revenue kept only
+    when it exceeds `lift` x the AVERAGE per-part share of total revenue —
+    a scalar subquery consumed by a HAVING. (Q11's fixed fraction is
+    sf-dependent; the average-share form is scale-free, like Q11's own
+    0.0001/SF scaling rule.)
+
+    The global total and part count ride in as a broadcast single-row cross
+    join, so both aggregations scan lineitem once each and nothing is
+    collected to the driver; identical decimal-exact arithmetic on both
+    sides of the comparison keeps the threshold engine-portable."""
+    li = cat.df("lineitem")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(dsum(value).alias("part_value"))
+    total = li.agg(
+        dsum(value).alias("total_value"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("part_value") > F.col("total_value") * lift / F.col("n_parts"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def part_supplier_counts(cat: Catalog, excl_brand: str = "Brand#1") -> DataFrame:
+    """TPC-H Q16 shape (lineitem as the part-supplier bridge): distinct
+    supplier count per (brand, type, size), excluding one brand and every
+    supplier with a negative account balance (the NOT IN subquery).
+
+    NOT IN compiles to a broadcast left_anti join on the distinct
+    (partkey, suppkey) bridge — no correlated probing; count(distinct)
+    shuffles only the already-distinct bridge keyed by part attributes."""
+    bridge = cat.df("lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad = cat.df("supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = cat.df("part").where(F.col("p_brand") != excl_brand)
+    return (
+        bridge.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def excess_shippers(cat: Catalog, name_like: str = "%o%", min_qty: float = 400.0) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose shipped quantity of matching parts
+    exceeds a threshold — a nested IN ( ... GROUP BY ... HAVING ) subquery.
+
+    The inner aggregate runs once (lineitem x broadcast part filter,
+    grouped by supplier); the outer IN is a left_semi join against that
+    tiny qualified-supplier set, then nation broadcasts for the label."""
+    qualified = (
+        cat.df("lineitem")
+        .join(
+            F.broadcast(
+                cat.df("part").where(F.col("p_name").like(name_like)).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,4)")).alias("qty"))
+        .where(F.col("qty") > min_qty)
+        .select("l_suppkey")
+    )
+    return (
+        cat.df("supplier")
+        .join(F.broadcast(qualified), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(cat.df("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+def idle_rich_by_nation(cat: Catalog, priority: str = "1-URGENT") -> DataFrame:
+    """TPC-H Q22 shape: customers above the GLOBAL positive-balance average
+    (scalar subquery) with no `priority` orders (NOT EXISTS — every fixture
+    customer has SOME order, so Q22's no-orders-at-all predicate is empty;
+    the priority filter keeps the same anti-join shape with real output),
+    rolled up by nation.
+
+    The scalar average broadcasts as a single-row cross join; NOT EXISTS is
+    a left_anti against the distinct order-customer keys; the final rollup
+    groups a few thousand survivors — nothing correlated, nothing
+    re-scanned."""
+    cust = cat.df("customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    never_ordered = cust.join(
+        cat.df("orders")
+        .where(F.col("o_orderpriority") == priority)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct(),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        never_ordered.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(F.broadcast(cat.df("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("nation")
     )
