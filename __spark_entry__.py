@@ -941,6 +941,32 @@ def _q_streaming_interval_join(spark, sf_dir):
     )
 
 
+def _q_streaming_enrich_join(spark, sf_dir):
+    """Stateless stream-static broadcast enrichment, drained with
+    availableNow; aggregating the drained per-event rows with decimal-exact
+    sums reproduces the batch join+agg answer independent of micro-batch
+    arrival order."""
+    from mover_spark.operators.analytics import dsum
+    from mover_spark.streaming.events import enrich_join_stream, run_to_memory
+
+    name = "streaming_enrich_join_out"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(enrich_join_stream(spark, sf_dir), name, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return (
+        spark.table(name)
+        .groupBy("event_type", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type", "c_mktsegment")
+    )
+
+
 def _q_doc_chunking(spark, sf_dir):
     from mover_spark.operators.text import chunk_documents
 
@@ -1233,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample_per_source": _q_quota_sample,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_interval_join": _q_streaming_interval_join,
+        "streaming_enrich_join": _q_streaming_enrich_join,
         "train_val_split": _q_train_val_split,
         "curation_pipeline": _q_curation_pipeline,
         "token_packing": _q_token_packing,
@@ -2424,6 +2451,15 @@ def oracle_sql() -> dict[str, str]:
             "AND c.ts <= p.ts "
             "WHERE p.event_type = 'purchase' AND c.event_type = 'click' "
             "GROUP BY p.user_id ORDER BY p.user_id"
+        ),
+        "streaming_enrich_join": (
+            # the stateless stream-static join must enrich every event
+            # exactly once: aggregating the drained sink reproduces the
+            # batch join+agg bit-for-bit
+            "SELECT event_type, c_mktsegment, COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
+            "FROM events JOIN customer ON user_id = c_custkey "
+            "GROUP BY event_type, c_mktsegment ORDER BY event_type, c_mktsegment"
         ),
         "train_val_split": (
             "WITH b AS (SELECT doc_id, n_chars, "

@@ -300,3 +300,23 @@ def interval_join_stream(
         & (F.col("r_ts") <= F.col("l_ts")),
         "inner",
     )
+
+
+def enrich_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: every event joins the (small, static)
+    customer dimension — the standard ingest-enrichment shape. The static
+    side broadcasts into each micro-batch as a hash join, so the operator
+    is STATELESS: no watermark, no join state, nothing to expire. At scale
+    the dimension re-broadcasts per batch (refresh it by restarting the
+    query or swapping the underlying table); a big/mutable dimension would
+    instead be a stream-stream join with watermarks (interval_join_stream).
+    """
+    from ..catalog import read_table
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = read_table(spark, f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return ev.join(F.broadcast(cust), "user_id").select(
+        "event_id", "event_type", "c_mktsegment", "value"
+    )

@@ -87,3 +87,29 @@ def test_stream_upsert_idempotent(spark, tmp_path):
         spark.read.parquet(target).select("event_id").distinct().count()
     )
     assert distinct == expected
+
+
+def test_enrich_join_stream_matches_batch(spark, catalog):
+    """Stateless stream-static join: drained per-event rows == batch join."""
+    from mover_spark.streaming.events import enrich_join_stream
+
+    run_to_memory(enrich_join_stream(spark, SF_DIR), "t_enrich", "append")
+    got = {
+        (r.event_type, r.c_mktsegment): r.n
+        for r in spark.table("t_enrich")
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cust = catalog.df("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    want = {
+        (r.event_type, r.c_mktsegment): r.n
+        for r in catalog.df("events")
+        .join(cust, "user_id")
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and got
