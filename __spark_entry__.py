@@ -280,6 +280,14 @@ def _q_idle_rich_by_nation(spark, sf_dir):
     return idle_rich_by_nation(_catalog(spark, sf_dir))
 
 
+def _q_ntile_percent_rank(spark, sf_dir):
+    """ntile + percent_rank over a unique total order: per-tile counts and
+    percent_rank/balance spans."""
+    from mover_spark.operators.subqueries import ntile_percent_rank
+
+    return ntile_percent_rank(_catalog(spark, sf_dir))
+
+
 def _q_distinct_count(spark, sf_dir):
     from mover_spark.operators.subqueries import distinct_count_agg
 
@@ -1207,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_part_supplier_counts": _q_part_supplier_counts,
         "q20_excess_shippers": _q_excess_shippers,
         "q22_idle_rich_by_nation": _q_idle_rich_by_nation,
+        "ntile_percent_rank": _q_ntile_percent_rank,
         "trailing_spend_range_window": _q_trailing_spend,
         "grouping_sets_agg": _q_grouping_sets,
         "full_outer_spend": _q_full_outer,
@@ -1636,6 +1645,15 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT') "
             "GROUP BY n_name ORDER BY nation"
+        ),
+        "ntile_percent_rank": (
+            "WITH t AS (SELECT c_custkey, c_acctbal, "
+            "ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS tile, "
+            "percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pr "
+            "FROM customer) "
+            "SELECT tile, COUNT(*) AS n_cust, MIN(pr) AS pr_lo, MAX(pr) AS pr_hi, "
+            "MIN(c_acctbal) AS bal_lo, MAX(c_acctbal) AS bal_hi "
+            "FROM t GROUP BY tile ORDER BY tile"
         ),
         "trailing_spend_range_window": (
             "SELECT o_custkey, o_orderkey, o_orderdate, "

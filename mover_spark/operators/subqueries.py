@@ -772,7 +772,9 @@ def idle_rich_by_nation(cat: Catalog, priority: str = "1-URGENT") -> DataFrame:
     (scalar subquery) with no `priority` orders (NOT EXISTS — every fixture
     customer has SOME order, so Q22's no-orders-at-all predicate is empty;
     the priority filter keeps the same anti-join shape with real output),
-    rolled up by nation.
+    rolled up by nation NAME (the labeled variant of ``rich_idle_customers``
+    above, which rolls up by raw nationkey — kept separate so the TPC-H
+    series has its q22 entry with the dimension join included).
 
     The scalar average broadcasts as a single-row cross join; NOT EXISTS is
     a left_anti against the distinct order-customer keys; the final rollup
@@ -800,4 +802,30 @@ def idle_rich_by_nation(cat: Catalog, priority: str = "1-URGENT") -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
         .orderBy("nation")
+    )
+
+
+def ntile_percent_rank(cat: Catalog, tiles: int = 4) -> DataFrame:
+    """ntile + percent_rank over a total order (acctbal, custkey — unique,
+    so both functions are deterministic): per-tile member count and the
+    percent_rank span it covers. One window shuffle; percent_rank's
+    (rank-1)/(n-1) double division is bit-identical on any engine given the
+    same total order."""
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    tiled = cat.df("customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(tiles).over(w).alias("tile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return (
+        tiled.groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.min("pr").alias("pr_lo"),
+            F.max("pr").alias("pr_hi"),
+            F.min("c_acctbal").alias("bal_lo"),
+            F.max("c_acctbal").alias("bal_hi"),
+        )
+        .orderBy("tile")
     )

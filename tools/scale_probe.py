@@ -94,6 +94,12 @@ def build_tables(cat: Catalog, factor: int) -> dict:
         )
     t["embeddings"] = emb
     for name, df in t.items():
+        # the base fixtures are 1-2 parquet files, so a factor-x explode
+        # would otherwise sit in 1-2 giant partitions and serialize every
+        # downstream operator onto two cores — spread the generated volume
+        # across the machine the way a real 100x dataset would arrive
+        if factor > 1:
+            df = df.repartition(64)
         t[name] = df.drop("__rep").persist()
         t[name].count()  # materialize outside the timed region
     # the CC probes measure component-finding, not candidate generation:
