@@ -211,14 +211,18 @@ def op_closure(t, cat):
     workload scales with the data), frontier semi-joins touch the scaled
     orders/lineitem; iteration count is the (unchanged) graph diameter, so
     cost must scale with data volume, not rounds."""
+    import copy
+
     from mover_spark.operators.closure import closure_summary, extract_closure
 
-    cat._dfs = dict(cat._dfs)
-    cat._dfs.update(
-        {k: t[k] for k in ("lineitem", "orders", "customer") if k in t}
-    )
+    # operate on a SHALLOW CLONE: mutating the shared catalog's table map
+    # would leak this factor's scaled tables into the next factor's build
+    # (the bug that silently replicated 10x lineitem by another 100x)
+    c2 = copy.copy(cat)
+    c2._dfs = dict(cat._dfs)
+    c2._dfs.update({k: t[k] for k in ("lineitem", "orders", "customer") if k in t})
     seed = t["customer"].where(F.col("c_custkey") % LIFT <= 50)
-    out = extract_closure(cat.spark, cat, [("customer", seed)])
+    out = extract_closure(c2.spark, c2, [("customer", seed)])
     return closure_summary(out)
 
 
