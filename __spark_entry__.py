@@ -1007,6 +1007,23 @@ def _q_asof_join(spark, sf_dir):
     ).select("event_id", "user_id", "ts", "ts_asof", "value_asof")
 
 
+def _q_asof_forward_tolerance(spark, sf_dir):
+    """Forward as-of with a tolerance cap: each event gets the user's NEXT
+    purchase timestamp within one hour (or null) — merge_asof
+    direction='forward' semantics, still one sort-window pass, no fan-out."""
+    from mover_spark.operators.joins import as_of_join
+
+    ev = _catalog(spark, sf_dir).df("events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    return as_of_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        keys=["user_id"],
+        direction="forward",
+        tolerance="1 HOUR",
+    ).select("event_id", "user_id", "ts", "ts_asof")
+
+
 def _q_skew_salted_join(spark, sf_dir):
     """Skew-mitigated fact-dim join: identical result to the plain join,
     shuffle key salted so a hot orderkey spreads over 8 reducers."""
@@ -1279,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_users": _q_heavy_hitter_users,
         "bloom_prefilter_join": _q_bloom_prefilter_join,
         "asof_join": _q_asof_join,
+        "asof_forward_tolerance": _q_asof_forward_tolerance,
         "range_join": _q_range_join,
         "skew_salted_join": _q_skew_salted_join,
     }
@@ -2519,6 +2537,15 @@ def oracle_sql() -> dict[str, str]:
             "p.value AS value_asof FROM events e ASOF LEFT JOIN "
             "(SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p "
             "ON e.user_id = p.user_id AND e.ts >= p.ts"
+        ),
+        # forward+tolerance: the earliest qualifying purchase IS min(ts) over
+        # the bounded window, so no correlated LIMIT-1 row pick is needed
+        "asof_forward_tolerance": (
+            "SELECT e.event_id, e.user_id, e.ts, "
+            "(SELECT MIN(p.ts) FROM events p WHERE p.event_type = 'purchase' "
+            "AND p.user_id = e.user_id AND p.ts >= e.ts "
+            "AND p.ts <= e.ts + INTERVAL 1 HOUR) AS ts_asof "
+            "FROM events e"
         ),
         "skew_salted_join": (
             "SELECT o_orderstatus, COUNT(*) AS n_items, "

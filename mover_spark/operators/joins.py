@@ -38,15 +38,30 @@ def as_of_join(
     right_ts: str = "ts",
     payload: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """For each left row: latest right row with right_ts <= left_ts, per key.
+    """For each left row, per key: the matching right row by time —
+    ``backward`` (latest right_ts <= left_ts, the default / DuckDB ASOF
+    semantics), ``forward`` (earliest right_ts >= left_ts), or ``nearest``
+    (closer of the two; exact ties resolve backward). ``tolerance`` caps
+    the allowed gap — a Spark interval string ("1 hour") for timestamp
+    columns or a number for numeric ones; out-of-tolerance matches null
+    out, like pandas merge_asof.
 
-    Ties (equal timestamps) resolve to the right row (matching DuckDB's
-    ASOF `>=` semantics). Implementation: tag sources, union on the key
-    columns, and carry the most recent right payload forward with
-    last(ignorenulls) over (key ORDER BY ts, src) — right rows sort before
-    left rows at equal ts so equality is visible."""
+    Ties (equal timestamps) resolve to the right row in every direction.
+    Implementation: tag sources, union on the key columns, and carry the
+    right payload across with last(ignorenulls) windows — ascending scan
+    for backward, descending for forward, both (sharing one hash exchange,
+    two sorts) for nearest. Right rows sort before left rows at equal ts
+    so equality is visible. No join fan-out, no per-row probing: the whole
+    operator is O(n log n) sort-window work per key partition."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     payload = payload if payload is not None else [c for c in right.columns if c not in keys and c != right_ts]
+    tol = F.expr(f"INTERVAL {tolerance}") if isinstance(tolerance, str) else (
+        F.lit(tolerance) if tolerance is not None else None
+    )
 
     lcols = [F.col(c) for c in left.columns]
     l_tagged = left.select(
@@ -66,31 +81,66 @@ def as_of_join(
     ).select(*[c for c in l_tagged.columns])
 
     unioned = l_tagged.unionByName(r_tagged)
+
     # payload columns as the final tie-break: two right rows with identical
     # (key, ts) would otherwise leave last(ignorenulls) partition-order
     # dependent; ordering by the payload itself makes the winner (the max
     # payload tuple) deterministic run-to-run
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(
-            F.col("__ts").asc(),
-            F.col("__src").asc(),
-            *[F.col(f"__p_{p}").asc_nulls_first() for p in payload],
+    def _window(descending: bool):
+        ts_ord = F.col("__ts").desc() if descending else F.col("__ts").asc()
+        return (
+            Window.partitionBy(*keys)
+            .orderBy(
+                ts_ord,
+                F.col("__src").asc(),
+                *[F.col(f"__p_{p}").asc_nulls_first() for p in payload],
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills.append(("b", _window(descending=False)))
+    if direction in ("forward", "nearest"):
+        fills.append(("f", _window(descending=True)))
     filled = unioned.select(
         *[c for c in unioned.columns],
         *[
-            F.last(f"__p_{p}", ignorenulls=True).over(w).alias(f"{p}{suffix}")
+            F.last(f"__p_{p}", ignorenulls=True).over(w).alias(f"__{d}_{p}")
+            for d, w in fills
             for p in payload
         ],
-        F.last("__rts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
-    )
-    return filled.where(F.col("__src") == 1).select(
+        *[F.last("__rts", ignorenulls=True).over(w).alias(f"__{d}_rts") for d, w in fills],
+    ).where(F.col("__src") == 1)
+
+    def _ok(d: str):
+        rts = F.col(f"__{d}_rts")
+        cond = rts.isNotNull()
+        if tol is not None:
+            gap = (F.col("__ts") - rts) if d == "b" else (rts - F.col("__ts"))
+            cond = cond & (gap <= tol)
+        return cond
+
+    if direction == "nearest":
+        use_b = _ok("b") & (
+            ~_ok("f")
+            | ((F.col("__ts") - F.col("__b_rts")) <= (F.col("__f_rts") - F.col("__ts")))
+        )
+
+        def _pick(col: str):
+            return F.when(use_b, F.col(f"__b_{col}")).when(_ok("f"), F.col(f"__f_{col}"))
+
+    else:
+        d = "b" if direction == "backward" else "f"
+        ok = _ok(d)
+
+        def _pick(col: str):
+            return F.when(ok, F.col(f"__{d}_{col}"))
+
+    return filled.select(
         *[c for c in left.columns],
-        f"{right_ts}{suffix}",
-        *[f"{p}{suffix}" for p in payload],
+        _pick("rts").alias(f"{right_ts}{suffix}"),
+        *[_pick(p).alias(f"{p}{suffix}") for p in payload],
     )
 
 

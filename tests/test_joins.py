@@ -103,3 +103,59 @@ def test_salted_agg_equals_plain_agg(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_asof_directions_match_pandas(spark):
+    """Property check vs pandas merge_asof (the public reference semantics
+    for direction/tolerance): deterministic integer-ts data, no exact ties
+    and no equidistant nearest pairs by construction (left ts even, right
+    ts = 1 mod 4), unique right ts per key."""
+    import pandas as pd
+
+    lrows = [(i, i % 3, 2 * ((i * 7) % 50)) for i in range(120)]
+    rrows, seen = [], set()
+    for j in range(90):
+        key, ts = j % 3, 4 * ((j * 11) % 23) + 1
+        if (key, ts) not in seen:
+            seen.add((key, ts))
+            rrows.append((key, ts, float(j)))
+    left = spark.createDataFrame(lrows, "id long, k long, ts long")
+    right = spark.createDataFrame(rrows, "k long, ts long, v double")
+    lpd = pd.DataFrame(lrows, columns=["id", "k", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(rrows, columns=["k", "ts", "v"]).sort_values("ts")
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 8):
+            got = {
+                r.id: (r.ts_asof, r.v_asof)
+                for r in as_of_join(
+                    left, right, ["k"], direction=direction, tolerance=tol
+                ).collect()
+            }
+            want_df = pd.merge_asof(
+                lpd, rpd, on="ts", by="k", direction=direction, tolerance=tol
+            )
+            for _, row in want_df.iterrows():
+                want_v = None if pd.isna(row.v) else row.v
+                got_ts, got_v = got[row.id]
+                assert got_v == want_v, (direction, tol, row.id, got_v, want_v)
+                if want_v is not None:
+                    assert got_ts is not None
+
+
+def test_asof_forward_and_nearest_basics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(10))], "id long, user_id long, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(9, 30), 1.0), (10, _ts(11), 2.0)],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    fwd = as_of_join(left, right, ["user_id"], direction="forward").collect()[0]
+    assert fwd.value_asof == 2.0  # earliest >= 10:00
+    near = as_of_join(left, right, ["user_id"], direction="nearest").collect()[0]
+    assert near.value_asof == 1.0  # 30 min back beats 60 min forward
+    tight = as_of_join(
+        left, right, ["user_id"], direction="forward", tolerance="45 MINUTES"
+    ).collect()[0]
+    assert tight.value_asof is None  # 11:00 is past the 45-minute cap
