@@ -586,6 +586,16 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(_catalog(spark, sf_dir).df("documents"), threshold=0.8)
 
 
+def _q_dedup_keep_canonical(spark, sf_dir):
+    """The dedup OUTPUT: corpus minus non-canonical near-dup cluster
+    members (keep component-minimum id per cluster, singletons pass)."""
+    from mover_spark.operators.dedup import dedup_keep_canonical
+
+    return dedup_keep_canonical(
+        _catalog(spark, sf_dir).df("documents"), threshold=0.8
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def _q_dedup_clusters_star(spark, sf_dir):
     """Same clustering through the large-star/small-star CC (Kiveris et al.,
     SoCC'14) — O(log^2 n) rounds independent of component diameter, the
@@ -1265,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_canonical": _q_dedup_keep_canonical,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "multimodal_manifest": _q_multimodal_manifest,
         "multimodal_image_features": _q_multimodal_image_features,
@@ -1414,6 +1425,22 @@ _DEDUP_CLUSTERS_SQL = (
     "reach(n, m) AS (SELECT a, b FROM e "
     "UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a) "
     "SELECT n AS doc_id, LEAST(n, MIN(m)) AS cluster_id FROM reach GROUP BY n"
+)
+
+#: the dedup OUTPUT: corpus minus non-canonical cluster members (the
+#: cluster CTE is _DEDUP_CLUSTERS_SQL verbatim; keepers are rows whose id
+#: IS the component minimum, plus every unclustered singleton)
+_DEDUP_KEEP_CANONICAL_SQL = (
+    "WITH RECURSIVE " + _SHINGLE_CTE + ", " + _PAIRS_CTE + ", "
+    "pj AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.8), "
+    "e AS (SELECT doc_a AS a, doc_b AS b FROM pj "
+    "UNION SELECT doc_b, doc_a FROM pj), "
+    "reach(n, m) AS (SELECT a, b FROM e "
+    "UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a), "
+    "cl AS (SELECT n AS doc_id, LEAST(n, MIN(m)) AS cluster_id "
+    "FROM reach GROUP BY n) "
+    "SELECT doc_id, lang, source, n_chars FROM documents "
+    "WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id != cluster_id)"
 )
 
 #: quantized-integer cosine (matches dedup.qcosine exactly)
@@ -2275,6 +2302,7 @@ def oracle_sql() -> dict[str, str]:
             'SELECT query_id, neighbor_id, "rank", cosine FROM r WHERE "rank" <= 10'
         ),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "dedup_keep_canonical": _DEDUP_KEEP_CANONICAL_SQL,
         "dedup_clusters_star": _DEDUP_CLUSTERS_SQL,
         "multimodal_manifest": (
             "SELECT doc_id AS media_id, "

@@ -649,6 +649,31 @@ def dedup_clusters(
     )
 
 
+def dedup_keep_canonical(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "propagation",
+) -> DataFrame:
+    """The corpus-output step of near-dedup: drop every near-dup cluster
+    member except its canonical keeper (the component-minimum id);
+    singletons pass through untouched. This is what a training-data
+    pipeline actually writes downstream — `dedup_clusters` is the analysis
+    view, this is the filter.
+
+    Scale shape: the drop list (non-canonical members — typically a small
+    fraction of the corpus) anti-joins against the full corpus; AQE
+    broadcasts it when it fits (the common case, leaving the corpus
+    unshuffled) and falls back to a shuffled anti-join when a pathological
+    dup rate makes it large — no forced hint, so neither case OOMs."""
+    clusters = dedup_clusters(
+        df, threshold=threshold, text_col=text_col, id_col=id_col, method=method
+    )
+    drop = clusters.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(drop, id_col, "left_anti")
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.4,

@@ -197,3 +197,24 @@ def test_auto_param_sizing():
     assert auto_lsh_planes(2000) == 6
     assert auto_lsh_planes(10**9) == 24  # capped
     assert auto_lsh_planes(10) >= 2
+
+
+def test_dedup_keep_canonical_invariants(catalog):
+    """Kept + dropped partitions the corpus; every cluster retains exactly
+    its minimum id; no kept pair is a near-dup cluster mate."""
+    from mover_spark.operators.dedup import dedup_keep_canonical
+
+    docs = catalog.df("documents")
+    kept = dedup_keep_canonical(docs, threshold=0.8)
+    clusters = {
+        r.doc_id: r.cluster_id for r in dedup_clusters(docs, threshold=0.8).collect()
+    }
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    dropped = all_ids - kept_ids
+    # dropped = exactly the non-canonical cluster members
+    assert dropped == {d for d, c in clusters.items() if d != c}
+    # each cluster's minimum survives
+    for d, c in clusters.items():
+        assert c in kept_ids
+    assert len(kept_ids) == len(all_ids) - len(dropped)
