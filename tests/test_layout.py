@@ -153,3 +153,30 @@ def test_zorder_tightens_both_columns(spark, catalog, tmp_path):
     # z-order: BOTH columns materially tighter than the global range
     assert avg_file_spread(z_path, "xa") < 600
     assert avg_file_spread(z_path, "xb") < 600
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, catalog, tmp_path, no_broadcast):
+    """DPP: a filter on the DIM side prunes the partitioned FACT scan at
+    runtime — the plan carries a dynamicpruning subquery in the fact's
+    partition filters instead of scanning every partition. This is the
+    mechanism that makes star-schema date-range queries scan-bound at
+    100 TB; it only fires for joins on a partition column, which is why
+    fact tables get partitioned by their hottest join/filter key."""
+    from mover_spark.sources.layout import write_partitioned
+
+    fact = write_partitioned(
+        catalog.df("events").withColumn("etype", F.col("event_type")),
+        str(tmp_path / "fact"),
+        ["etype"],
+    )
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("click", 0), ("view", 0), ("error", 0), ("signup", 0)],
+        "etype string, is_conversion int",
+    )
+    joined = fact.join(dim.where(F.col("is_conversion") == 1), on=["etype"])
+    plan = plan_string(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    expect = (
+        catalog.df("events").where(F.col("event_type") == "purchase").count()
+    )
+    assert joined.count() == expect

@@ -43,6 +43,14 @@ AUDIT = [
     "dedup_normalized",
     "tfidf_top_terms",
     "outlier_events",
+    "q9_nation_year_profit",
+    "q11_part_value_share",
+    "q16_part_supplier_counts",
+    "q20_excess_shippers",
+    "q22_idle_rich_by_nation",
+    "ntile_percent_rank",
+    "asof_forward_tolerance",
+    "dedup_keep_canonical",
 ]
 
 
