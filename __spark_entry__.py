@@ -440,6 +440,22 @@ def _q_streaming_tumbling(spark, sf_dir):
     return tumbling_batch_parity(spark, sf_dir)
 
 
+def _q_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: distinct active users and retained
+    fraction per (first-activity day, days since)."""
+    from mover_spark.operators.events import cohort_retention
+
+    return cohort_retention(_catalog(spark, sf_dir))
+
+
+def _q_streaming_sliding(spark, sf_dir):
+    """Streaming sliding windows (2h width / 1h slide): overlapping-bucket
+    state, watermark-bounded; equals the batch sliding query exactly."""
+    from mover_spark.streaming.events import sliding_batch_parity
+
+    return sliding_batch_parity(spark, sf_dir)
+
+
 def _q_gapfill(spark, sf_dir):
     from mover_spark.operators.events import gapfill_hourly
 
@@ -1297,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_interval_join": _q_streaming_interval_join,
         "streaming_enrich_join": _q_streaming_enrich_join,
+        "streaming_sliding": _q_streaming_sliding,
+        "cohort_retention": _q_cohort_retention,
         "train_val_split": _q_train_val_split,
         "curation_pipeline": _q_curation_pipeline,
         "token_packing": _q_token_packing,
@@ -2524,6 +2542,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
             "FROM events JOIN customer ON user_id = c_custkey "
             "GROUP BY event_type, c_mktsegment ORDER BY event_type, c_mktsegment"
+        ),
+        "streaming_sliding": (
+            # 2h/1h sliding: every event belongs to exactly two windows
+            "WITH w AS (SELECT date_trunc('hour', ts) AS window_start, value "
+            "FROM events UNION ALL "
+            "SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events) "
+            "SELECT window_start, COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
+            "FROM w GROUP BY window_start"
+        ),
+        "cohort_retention": (
+            "WITH cohorts AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day "
+            "FROM events GROUP BY user_id), "
+            "activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day "
+            "FROM events), "
+            "sizes AS (SELECT cohort_day, COUNT(DISTINCT user_id) AS cohort_size "
+            "FROM cohorts GROUP BY cohort_day) "
+            "SELECT c.cohort_day, date_diff('day', c.cohort_day, a.active_day) AS days_since, "
+            "COUNT(DISTINCT a.user_id) AS n_active, "
+            "CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention "
+            "FROM activity a JOIN cohorts c ON a.user_id = c.user_id "
+            "JOIN sizes s ON c.cohort_day = s.cohort_day "
+            "GROUP BY c.cohort_day, date_diff('day', c.cohort_day, a.active_day), s.cohort_size "
+            "ORDER BY c.cohort_day, days_since"
         ),
         "train_val_split": (
             "WITH b AS (SELECT doc_id, n_chars, "

@@ -296,3 +296,38 @@ def outlier_events(cat: Catalog, sigmas: float = 3.0) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def cohort_retention(cat: Catalog) -> DataFrame:
+    """Cohort retention matrix: users grouped by FIRST-activity day, then
+    for each (cohort_day, days_since) the distinct users still active and
+    the retained fraction of the cohort — the standard product-analytics
+    triangle.
+
+    Scale shape: one groupBy finds each user's cohort (min ts), one
+    distinct projects (user, active_day), and the cohort assignment joins
+    back on user_id before the final small aggregation — the only heavy
+    shuffles key on user_id, never on the (tiny) output matrix. The
+    retained fraction divides two exact counts as doubles, so it is
+    engine-portable."""
+    ev = cat.df("events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("active_day")).distinct()
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count_distinct("user_id").alias("cohort_size")
+    )
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy("cohort_day", F.datediff("active_day", "cohort_day").alias("days_since"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "days_since",
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias("retention"),
+        )
+        .orderBy("cohort_day", "days_since")
+    )

@@ -200,6 +200,35 @@ def tumbling_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def sliding_batch_parity(
+    spark: SparkSession, sf_dir: str, width: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Streaming SLIDING windows with a batch-checkable answer: each event
+    lands in width/slide overlapping windows (state = width/slide
+    concurrent buckets per key — still watermark-bounded, unlike sessions
+    it never merges). Order-invariant decimal sums make the drained result
+    bit-identical to the batch sliding query, so one DuckDB oracle checks
+    both paths."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    _DRAIN_SEQ[0] += 1
+    name = f"streaming_sliding_{_DRAIN_SEQ[0]}"
+    run_to_memory(agg, name)
+    return spark.table(name)
+
+
 def session_batch_parity(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
     """Streaming session windows with a batch-checkable answer: ingest the
     events fixture as an availableNow stream, run watermarked
