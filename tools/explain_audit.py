@@ -68,13 +68,32 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     qs = entrymod.queries()
     for name in names:
-        a = audit_plan(qs[name](spark, sf_dir))
+        df = qs[name](spark, sf_dir)
+        a = audit_plan(df)
         plan = a["plan"]
         flags = []
         if "PushedFilters: []" in plan and "Filter" in plan:
             flags.append("NO-PUSHDOWN?")
         if a["n_broadcast_joins"] == 0 and a["n_sortmerge_joins"] > 0:
-            flags.append("SMJ-ONLY")
+            # static SMJ is often a stats gap (e.g. a join input derived
+            # from an iterative/checkpointed computation Catalyst can't
+            # size); AQE converts to broadcast at runtime once it sees the
+            # actual bytes — execute and inspect the FINAL adaptive plan
+            # before flagging
+            # NB: must be collect() (executes THIS df's QueryExecution, to
+            # which the final adaptive plan attaches) — a noop write or
+            # count() plans a different query and leaves df's plan unrun
+            try:
+                df.collect()
+                buf = io.StringIO()
+                with redirect_stdout(buf):
+                    df.explain()
+                if "BroadcastHashJoin" in buf.getvalue():
+                    flags.append("ok-aqe-bhj")
+                else:
+                    flags.append("SMJ-ONLY")
+            except Exception:
+                flags.append("SMJ-ONLY")
         if a["has_python_eval"]:
             flags.append("ROW-PYTHON-UDF")
         # note: AQE formatted plans don't print WholeStageCodegen spans
