@@ -1050,6 +1050,38 @@ def _q_asof_forward_tolerance(spark, sf_dir):
     ).select("event_id", "user_id", "ts", "ts_asof")
 
 
+def _q_interval_overlap_join(spark, sf_dir):
+    """Two-sided interval overlap per user: purchase attention windows
+    [ts, ts+1h] x click dwell windows [ts, ts+15m]; counts per user.
+    Bucket-banded equi-join with emit-once semantics — no per-key cross
+    join, no distinct."""
+    from mover_spark.operators.joins import interval_overlap_join
+
+    ev = _catalog(spark, sf_dir).df("events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("p_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("c_end"),
+    )
+    pairs = interval_overlap_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_bounds=("p_start", "p_end"),
+        right_bounds=("c_start", "c_end"),
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .orderBy("user_id")
+    )
+
+
 def _q_skew_salted_join(spark, sf_dir):
     """Skew-mitigated fact-dim join: identical result to the plain join,
     shuffle key salted so a hot orderkey spreads over 8 reducers."""
@@ -1326,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter_join": _q_bloom_prefilter_join,
         "asof_join": _q_asof_join,
         "asof_forward_tolerance": _q_asof_forward_tolerance,
+        "interval_overlap_join": _q_interval_overlap_join,
         "range_join": _q_range_join,
         "skew_salted_join": _q_skew_salted_join,
     }
@@ -2607,6 +2640,16 @@ def oracle_sql() -> dict[str, str]:
             "p.value AS value_asof FROM events e ASOF LEFT JOIN "
             "(SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p "
             "ON e.user_id = p.user_id AND e.ts >= p.ts"
+        ),
+        "interval_overlap_join": (
+            "SELECT p.user_id, COUNT(*) AS n_overlaps FROM "
+            "(SELECT user_id, ts AS p_start, ts + INTERVAL 1 HOUR AS p_end "
+            "FROM events WHERE event_type = 'purchase') p JOIN "
+            "(SELECT user_id, ts AS c_start, ts + INTERVAL 15 MINUTE AS c_end "
+            "FROM events WHERE event_type = 'click') c "
+            "ON p.user_id = c.user_id "
+            "AND p.p_start <= c.c_end AND c.c_start <= p.p_end "
+            "GROUP BY p.user_id ORDER BY p.user_id"
         ),
         # forward+tolerance: the earliest qualifying purchase IS min(ts) over
         # the bounded window, so no correlated LIMIT-1 row pick is needed

@@ -229,3 +229,56 @@ def range_join(
         .where((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
         .drop("__bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_bounds: tuple = ("start", "end"),
+    right_bounds: tuple = ("start", "end"),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Two-sided interval overlap join: pairs where [l_start, l_end] and
+    [r_start, r_end] intersect (inclusive), per key — the genomics /
+    time-overlap shape a naive engine evaluates as a per-key cross join.
+
+    Scale mechanism (bucket banding): each interval explodes to the
+    fixed-width time buckets it touches, the join runs as a plain EQUI-join
+    on (keys, bucket), and the overlap predicate filters survivors. A pair
+    overlapping several buckets is emitted EXACTLY ONCE without a distinct:
+    only the bucket containing max(l_start, r_start) — the first instant of
+    the overlap, which both intervals contain by definition — keeps the
+    row. Join cost is candidates-per-bucket, not |left| x |right| per key;
+    bucket_seconds trades explode factor against candidate density and
+    should approximate the typical interval length."""
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+    w = F.lit(bucket_seconds)
+
+    def bucketed(df, s, e, side):
+        lo = F.floor(F.unix_timestamp(F.col(s)) / w)
+        hi = F.floor(F.unix_timestamp(F.col(e)) / w)
+        return df.select(
+            *[F.col(k) for k in keys],
+            *[F.col(c).alias(f"{side}_{c}") for c in df.columns if c not in keys],
+            F.explode(F.sequence(lo, hi)).alias("__bucket"),
+        )
+
+    lb = bucketed(left, ls, le, "l")
+    rb = bucketed(right, rs, re_, "r")
+    lst, lend = F.col(f"l_{ls}"), F.col(f"l_{le}")
+    rst, rend = F.col(f"r_{rs}"), F.col(f"r_{re_}")
+    return (
+        lb.join(rb, on=[*keys, "__bucket"])
+        .where(
+            (lst <= rend)
+            & (rst <= lend)
+            # emit-once: only the bucket holding the overlap's first instant
+            & (
+                F.col("__bucket")
+                == F.floor(F.unix_timestamp(F.greatest(lst, rst)) / w)
+            )
+        )
+        .drop("__bucket")
+    )

@@ -159,3 +159,42 @@ def test_asof_forward_and_nearest_basics(spark):
         left, right, ["user_id"], direction="forward", tolerance="45 MINUTES"
     ).collect()[0]
     assert tight.value_asof is None  # 11:00 is past the 45-minute cap
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Bucket-banded overlap join == naive theta-join, incl. pairs spanning
+    many buckets and touching endpoints; each pair appears exactly once."""
+    from mover_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 1, _ts(1), _ts(10)),     # spans 9 buckets
+            (2, 1, _ts(12), _ts(12, 30)),
+            (3, 2, _ts(5), _ts(6)),
+        ],
+        "lid long, k long, s timestamp_ntz, e timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, _ts(9, 30), _ts(11)),   # overlaps lid=1 tail
+            (11, 1, _ts(12, 30), _ts(13)),  # touches lid=2 endpoint
+            (12, 1, _ts(0), _ts(23)),       # overlaps both k=1 intervals
+            (13, 2, _ts(6), _ts(7)),        # touches lid=3 endpoint
+            (14, 2, _ts(20), _ts(21)),      # no overlap
+        ],
+        "rid long, k long, s timestamp_ntz, e timestamp_ntz",
+    )
+    got = sorted(
+        (r.l_lid, r.r_rid)
+        for r in interval_overlap_join(
+            left, right, ["k"], ("s", "e"), ("s", "e")
+        ).collect()
+    )
+    naive = sorted(
+        (l.lid, r.rid)
+        for l in left.collect()
+        for r in right.collect()
+        if l.k == r.k and l.s <= r.e and r.s <= l.e
+    )
+    assert got == naive
+    assert len(got) == len(set(got))  # emit-once: no duplicates
