@@ -2426,7 +2426,7 @@ def oracle_sql() -> dict[str, str]:
         # (k-1)/normalized-max estimator arithmetic
         "sketch_kmv_distinct": (
             "WITH h AS (SELECT DISTINCT "
-            "((o_custkey % 2147483647) * 506952114 + 40503) % 2147483647 AS h "
+            "((CAST(o_custkey AS BIGINT) % 2147483647) * 506952114 + 40503) % 2147483647 AS h "
             "FROM orders), "
             "k AS (SELECT h FROM h ORDER BY h LIMIT 256) "
             "SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE) "
@@ -2465,7 +2465,7 @@ def oracle_sql() -> dict[str, str]:
             "dd AS (SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY md5(text)), "
             "c AS (SELECT k.doc_id, k.n_chars FROM keep k JOIN dd USING (doc_id)), "
             "b AS (SELECT doc_id, n_chars, "
-            "(((doc_id % 2147483647) * 506952114) % 2147483647) % 10000 AS bkt FROM c) "
+            "(((CAST(doc_id AS BIGINT) % 2147483647) * 506952114) % 2147483647) % 10000 AS bkt FROM c) "
             "SELECT CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' "
             "ELSE 'test' END AS split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
             "FROM b GROUP BY 1 ORDER BY split"
@@ -2549,7 +2549,7 @@ def oracle_sql() -> dict[str, str]:
             # same mersenne-prime hash order as sampling.hash_bucket
             "WITH r AS (SELECT doc_id, source, n_chars, ROW_NUMBER() OVER ("
             "PARTITION BY source ORDER BY "
-            "(((doc_id % 2147483647) * 506952114) % 2147483647) % 10000 ASC, "
+            "(((CAST(doc_id AS BIGINT) % 2147483647) * 506952114) % 2147483647) % 10000 ASC, "
             "doc_id ASC) AS rn FROM documents) "
             "SELECT doc_id, source, n_chars FROM r WHERE rn <= 10 ORDER BY doc_id"
         ),
@@ -2602,7 +2602,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "train_val_split": (
             "WITH b AS (SELECT doc_id, n_chars, "
-            "(((doc_id % 2147483647) * 506952114) % 2147483647) % 10000 AS bkt FROM documents) "
+            "(((CAST(doc_id AS BIGINT) % 2147483647) * 506952114) % 2147483647) % 10000 AS bkt FROM documents) "
             "SELECT CASE WHEN bkt < 9000 THEN 'train' "
             "WHEN bkt < 9500 THEN 'val' ELSE 'test' END AS split, "
             "COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "

@@ -27,7 +27,9 @@ def hash_bucket(id_col: Column | str, buckets: int = 10_000) -> Column:
     Spark's ANSI mode / DuckDB BIGINT math). `a*x mod p` with prime p and a != 0
     permutes [0, p), so buckets stay uniform.
 
-    SQL mirror (nonnegative ids): ((id % 2147483647) * 506952114) % 2147483647
+    SQL mirror (nonnegative ids; CAST the id to BIGINT first — engines that
+    type small ints as INT32 overflow on the multiply): 
+    ((CAST(id AS BIGINT) % 2147483647) * 506952114) % 2147483647
     % buckets."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     p = F.lit(MERSENNE)

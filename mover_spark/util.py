@@ -46,8 +46,11 @@ def mix31_i64(col):
     return F.pmod(F.pmod(c.cast("long"), p) * F.lit(MIX31_A) + F.lit(MIX31_B), p)
 
 
-#: DuckDB rendering of mix31_i64 (nonnegative ids; % tracks dividend sign)
-MIX31_SQL = "((({x}) % 2147483647) * 506952114 + 40503) % 2147483647"
+#: DuckDB rendering of mix31_i64 (nonnegative ids; % tracks dividend sign).
+#: The BIGINT cast is load-bearing: DuckDB types bare int literals and
+#: INT32 columns as INT32, and (x % p) * A overflows INT32 — property-
+#: tested in tests/test_portable_hash.py
+MIX31_SQL = "((CAST({x} AS BIGINT) % 2147483647) * 506952114 + 40503) % 2147483647"
 
 #: table-name sniffing from a seed query — same regex as the reference
 #: (/root/reference/etl/util.go:19); documentedly fails on subqueries and

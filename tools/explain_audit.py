@@ -51,6 +51,8 @@ AUDIT = [
     "ntile_percent_rank",
     "asof_forward_tolerance",
     "dedup_keep_canonical",
+    "interval_overlap_join",
+    "cohort_retention",
 ]
 
 
