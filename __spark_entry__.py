@@ -280,6 +280,24 @@ def _q_idle_rich_by_nation(spark, sf_dir):
     return idle_rich_by_nation(_catalog(spark, sf_dir))
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Exact-size deterministic per-stratum sample: 20 documents per
+    language, ranked by the portable affine id hash."""
+    from mover_spark.operators.sampling import stratified_sample_exact
+
+    return stratified_sample_exact(
+        _catalog(spark, sf_dir).df("documents"), "lang", "doc_id", n=20
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def _q_profile_orders(spark, sf_dir):
+    """One-pass per-column profile of orders (nulls, exact distincts,
+    engine-portable min/max rendering)."""
+    from mover_spark.operators.profiling import profile_table
+
+    return profile_table(_catalog(spark, sf_dir).df("orders")).orderBy("column_name")
+
+
 def _q_ntile_percent_rank(spark, sf_dir):
     """ntile + percent_rank over a unique total order: per-tile counts and
     percent_rank/balance spans."""
@@ -1291,6 +1309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_shippers": _q_excess_shippers,
         "q22_idle_rich_by_nation": _q_idle_rich_by_nation,
         "ntile_percent_rank": _q_ntile_percent_rank,
+        "profile_orders": _q_profile_orders,
+        "stratified_sample_exact": _q_stratified_sample,
         "trailing_spend_range_window": _q_trailing_spend,
         "grouping_sets_agg": _q_grouping_sets,
         "full_outer_spend": _q_full_outer,
@@ -1741,6 +1761,37 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT') "
             "GROUP BY n_name ORDER BY nation"
+        ),
+        "stratified_sample_exact": (
+            "WITH r AS (SELECT doc_id, lang, source, n_chars, "
+            "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY "
+            "((CAST(doc_id AS BIGINT) % 2147483647) * 506952114) % 2147483647, doc_id) "
+            "AS rk FROM documents) "
+            "SELECT doc_id, lang, source, n_chars FROM r WHERE rk <= 20"
+        ),
+        "profile_orders": (
+            # per-column UNION ALL mirror of the one-pass profile; doubles
+            # render via DECIMAL(18,2) (raw double->VARCHAR differs across
+            # engines), integer sums pinned to BIGINT (DuckDB -> HUGEINT)
+            " UNION ALL ".join(
+                "SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+                "CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+                "COUNT(DISTINCT {c}) AS n_distinct, "
+                "CAST({r} AS VARCHAR) AS min_val, CAST({R} AS VARCHAR) AS max_val "
+                "FROM orders".format(
+                    c=c,
+                    r=(f"CAST(MIN({c}) AS DECIMAL(18,2))" if c == "o_totalprice" else f"MIN({c})"),
+                    R=(f"CAST(MAX({c}) AS DECIMAL(18,2))" if c == "o_totalprice" else f"MAX({c})"),
+                )
+                for c in [
+                    "o_custkey",
+                    "o_orderdate",
+                    "o_orderkey",
+                    "o_orderpriority",
+                    "o_orderstatus",
+                    "o_totalprice",
+                ]
+            )
         ),
         "ntile_percent_rank": (
             "WITH t AS (SELECT c_custkey, c_acctbal, "

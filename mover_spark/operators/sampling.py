@@ -84,3 +84,27 @@ def cap_per_key(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame, strata_col: str, id_col: str, n: int = 50
+) -> DataFrame:
+    """EXACTLY n rows per stratum (fewer only if the stratum is smaller) —
+    the deterministic distributed analogue of per-group reservoir
+    sampling: rank rows within each stratum by the portable multiplicative
+    hash of their id (a bijection below 2^31, so the order is a fixed
+    pseudo-random permutation) and keep the first n. Same rows every run,
+    engine, and partitioning; fraction-based sampling can't promise exact
+    group sizes, and rand() can't promise stability.
+
+    One shuffle on the stratum key; the rank window never sees more than a
+    stratum per partition."""
+    from pyspark.sql.window import Window
+
+    h = hash_bucket(id_col, buckets=MERSENNE)  # raw affine hash, no bucketing
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n)
+        .drop("__rk")
+    )

@@ -6,6 +6,7 @@ import datetime
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from mover_spark.operators.dedup import ngram_jaccard_pairs
 from mover_spark.operators.joins import as_of_join
@@ -137,3 +138,19 @@ def test_repetition_stats_matches_reference(spark, texts):
             assert got[i].dup_2gram_frac == round(1 - len(set(grams)) / len(grams), 6)
         else:
             assert got[i].dup_2gram_frac is None
+
+
+def test_stratified_sample_exact_sizes_and_stability(spark, catalog):
+    """Exactly n per stratum (capped by stratum size), and re-running after
+    a repartition returns the identical row set."""
+    from mover_spark.operators.sampling import stratified_sample_exact
+
+    docs = catalog.df("documents")
+    s1 = stratified_sample_exact(docs, "lang", "doc_id", n=20)
+    sizes = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(20, full[lang]), lang
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    s2 = stratified_sample_exact(docs.repartition(17), "lang", "doc_id", n=20)
+    assert {r.doc_id for r in s2.select("doc_id").collect()} == ids1
