@@ -1182,6 +1182,34 @@ def _q_cdc_latest_snapshot(spark, sf_dir):
     )
 
 
+def _q_cdc_apply_changes(spark, sf_dir):
+    """CDC MERGE: apply an I/U/D changelog (events: purchases upsert the
+    user's value, errors delete the user) onto the customer snapshot —
+    per key only the newest change decides."""
+    from mover_spark.operators.cdc import apply_changes
+
+    cat = _catalog(spark, sf_dir)
+    base = cat.df("customer").select("c_custkey", "c_acctbal")
+    changes = (
+        cat.df("events")
+        .where(F.col("event_type").isin("purchase", "error"))
+        .select(
+            F.col("user_id").alias("c_custkey"),
+            "ts",
+            "event_id",
+            F.col("value").alias("c_acctbal"),
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        )
+    )
+    return apply_changes(
+        base,
+        changes,
+        keys=["c_custkey"],
+        order_cols=["ts", "event_id"],
+        payload=["c_acctbal"],
+    ).orderBy("c_custkey")
+
+
 def _q_scd2_intervals(spark, sf_dir):
     """SCD type-2 expansion of the events changelog: validity intervals
     per (user, event_type) version chain."""
@@ -1325,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_funnel,
         "outlier_events": _q_outlier_events,
         "cdc_latest_snapshot": _q_cdc_latest_snapshot,
+        "cdc_apply_changes": _q_cdc_apply_changes,
         "scd2_intervals": _q_scd2_intervals,
         "rollup_daily_from_hourly": _q_rollup_daily,
         "skew_salted_agg": _q_skew_salted_agg,
@@ -2165,6 +2194,20 @@ def oracle_sql() -> dict[str, str]:
             "event_id AS last_event_id, value AS last_value FROM ("
             "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
             "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        "cdc_apply_changes": (
+            "WITH ch AS (SELECT user_id AS c_custkey, ts, event_id, "
+            "value AS c_acctbal, "
+            "CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op "
+            "FROM events WHERE event_type IN ('purchase', 'error')), "
+            "last AS (SELECT c_custkey, c_acctbal, op FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM ch) WHERE rn = 1) "
+            "SELECT c.c_custkey, c.c_acctbal FROM customer c "
+            "WHERE c.c_custkey NOT IN (SELECT c_custkey FROM last) "
+            "UNION ALL "
+            "SELECT c_custkey, c_acctbal FROM last WHERE op != 'D' "
+            "ORDER BY c_custkey"
         ),
         "scd2_intervals": (
             "SELECT user_id, event_type, value, ts AS valid_from, "

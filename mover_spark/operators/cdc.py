@@ -69,3 +69,31 @@ def scd2_intervals(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    payload: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply an insert/update/delete changelog to a base snapshot — the
+    MERGE every CDC mirror runs per sync cycle. Per key, only the NEWEST
+    change (by `order_cols`, ending in a unique tie-break) decides: a
+    delete removes the key, anything else replaces/creates the row.
+
+    Plan shape: compact the changelog first (one hash agg — the cheap
+    side), then ONE anti-join drops every changed key from the base and a
+    union adds the surviving upserts. The base — the 100-TB side — is
+    scanned once and never shuffled beyond the anti-join; with the compact
+    changelog below the broadcast threshold AQE makes even that join
+    shuffle-free."""
+    last = latest_snapshot(changes, keys, order_cols, payload + [op_col])
+    survivors = last.where(F.col(f"last_{op_col}") != delete_op).select(
+        *keys, *[F.col(f"last_{c}").alias(c) for c in payload]
+    )
+    untouched = base.join(last.select(*keys), keys, "left_anti")
+    return untouched.select(*keys, *payload).unionByName(survivors)

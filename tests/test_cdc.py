@@ -119,3 +119,30 @@ def test_top_supplier_is_argmax(catalog):
     assert len(rows) >= 1
     # every returned supplier carries the same (maximal) revenue
     assert len({r.total_rev for r in rows}) == 1
+
+
+def test_apply_changes_merge_semantics(spark):
+    """Newest change per key decides: trailing delete removes, trailing
+    update resurrects, unseen keys pass through, new keys insert."""
+    from mover_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 1, 1, "x", "U"),   # id=1: updated...
+            (1, 2, 2, None, "D"),  # ...then deleted -> gone
+            (2, 1, 3, None, "D"),  # id=2: deleted...
+            (2, 2, 4, "b2", "U"),  # ...then re-upserted -> b2
+            (9, 1, 5, "new", "U"), # id=9: brand new key
+        ],
+        "id long, ts long, seq long, v string, op string",
+    )
+    out = {
+        r.id: r.v
+        for r in apply_changes(
+            base, changes, keys=["id"], order_cols=["ts", "seq"], payload=["v"]
+        ).collect()
+    }
+    assert out == {2: "b2", 3: "c", 9: "new"}
