@@ -53,6 +53,9 @@ AUDIT = [
     "dedup_keep_canonical",
     "interval_overlap_join",
     "cohort_retention",
+    "profile_orders",
+    "cdc_apply_changes",
+    "stratified_sample_exact",
 ]
 
 
