@@ -1019,6 +1019,41 @@ def _q_streaming_enrich_join(spark, sf_dir):
     )
 
 
+def _q_streaming_interval_left_join(spark, sf_dir):
+    """LEFT OUTER watermarked stream-stream join: per user, matched click
+    pairs AND un-attributed purchases. Outer (null) rows only emit once
+    the watermark passes a row's join window, so the result is restricted
+    to the provably-complete horizon (max ts - watermark - lookback) and
+    compared against the batch left join under the same bound."""
+    from mover_spark.catalog import read_table
+    from mover_spark.streaming.events import interval_left_join_stream, run_to_memory
+
+    name = "streaming_interval_left_join_out"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            interval_left_join_stream(spark, sf_dir), name, output_mode="append"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    horizon = (
+        read_table(spark, f"{sf_dir}/events.parquet")
+        .agg((F.max("ts") - F.expr("INTERVAL 3 HOURS")).alias("h"))
+    )
+    return (
+        spark.table(name)
+        .join(F.broadcast(horizon))
+        .where(F.col("l_ts").cast("timestamp_ntz") <= F.col("h"))
+        .groupBy(F.col("l_user").alias("user_id"))
+        .agg(
+            F.sum(F.when(F.col("r_event").isNotNull(), 1).otherwise(0)).alias("n_pairs"),
+            F.sum(F.when(F.col("r_event").isNull(), 1).otherwise(0)).alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def _q_doc_chunking(spark, sf_dir):
     from mover_spark.operators.text import chunk_documents
 
@@ -1395,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": _q_streaming_interval_join,
         "streaming_enrich_join": _q_streaming_enrich_join,
         "streaming_sliding": _q_streaming_sliding,
+        "streaming_interval_left_join": _q_streaming_interval_left_join,
         "cohort_retention": _q_cohort_retention,
         "train_val_split": _q_train_val_split,
         "curation_pipeline": _q_curation_pipeline,
@@ -2669,6 +2705,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
             "FROM events JOIN customer ON user_id = c_custkey "
             "GROUP BY event_type, c_mktsegment ORDER BY event_type, c_mktsegment"
+        ),
+        "streaming_interval_left_join": (
+            "WITH h AS (SELECT MAX(ts) - INTERVAL 3 HOUR AS h FROM events), "
+            "p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase' "
+            "AND ts <= (SELECT h FROM h)), "
+            "c AS (SELECT user_id, ts FROM events WHERE event_type = 'click') "
+            "SELECT p.user_id, "
+            "CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs, "
+            "CAST(SUM(CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched "
+            "FROM p LEFT JOIN c ON p.user_id = c.user_id "
+            "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts "
+            "GROUP BY p.user_id ORDER BY p.user_id"
         ),
         "streaming_sliding": (
             # 2h/1h sliding: every event belongs to exactly two windows

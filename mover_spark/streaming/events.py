@@ -349,3 +349,47 @@ def enrich_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(F.broadcast(cust), "user_id").select(
         "event_id", "event_type", "c_mktsegment", "value"
     )
+
+
+def interval_left_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: like
+    ``interval_join_stream`` but purchases with NO qualifying click still
+    emit (null-augmented) — the attribution shape that must also count the
+    un-attributed. Outer rows can only emit once the watermark has passed
+    their join window, so results are complete ONLY for left rows older
+    than (max event time - watermark - lookback); callers must restrict to
+    that horizon for batch-equal answers (the query wrapper does)."""
+    lhs = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_event"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    rhs = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_event"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return lhs.join(
+        rhs,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+        "left_outer",
+    )

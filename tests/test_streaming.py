@@ -152,3 +152,46 @@ def test_stream_checkpoint_restart_processes_only_new_files(spark, catalog, tmp_
     assert total == n_a + part_b.count()  # B processed once, A NOT reprocessed
     ids = spark.read.parquet(out).groupBy("event_id").count().where(F.col("count") > 1)
     assert ids.isEmpty()  # no duplicates at all
+
+
+def test_multi_microbatch_agg_equals_batch(spark, catalog, tmp_path):
+    """maxFilesPerTrigger=1 over a multi-file source forces several
+    micro-batches; the watermarked tumbling aggregate must still equal the
+    single-batch answer exactly — state carries across batches, decimal
+    sums make the fold order-invariant."""
+    src = str(tmp_path / "src")
+    ev = catalog.df("events").select("event_id", "ts", "user_id", "event_type", "value")
+    for i in range(4):
+        ev.where(F.col("event_id") % 4 == i).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("s"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "s")
+    )
+    run_to_memory(agg, "t_multibatch", "complete")
+    got = {
+        (r.ws, r.event_type): (r.n, r.s) for r in spark.table("t_multibatch").collect()
+    }
+    want = {
+        (r.ws, r.event_type): (r.n, r.s)
+        for r in ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("s"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "s")
+        .collect()
+    }
+    assert got == want and len(got) > 100
