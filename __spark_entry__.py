@@ -1217,6 +1217,14 @@ def _q_cdc_latest_snapshot(spark, sf_dir):
     )
 
 
+def _q_windowed_funnel(spark, sf_dir):
+    """Funnel with per-step conversion deadlines (view -> click -> purchase,
+    each within 6 hours of the previous step)."""
+    from mover_spark.operators.events import windowed_funnel
+
+    return windowed_funnel(_catalog(spark, sf_dir))
+
+
 def _q_cdc_apply_changes(spark, sf_dir):
     """CDC MERGE: apply an I/U/D changelog (events: purchases upsert the
     user's value, errors delete the user) onto the customer snapshot —
@@ -1389,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_events": _q_outlier_events,
         "cdc_latest_snapshot": _q_cdc_latest_snapshot,
         "cdc_apply_changes": _q_cdc_apply_changes,
+        "windowed_funnel": _q_windowed_funnel,
         "scd2_intervals": _q_scd2_intervals,
         "rollup_daily_from_hourly": _q_rollup_daily,
         "skew_salted_agg": _q_skew_salted_agg,
@@ -2230,6 +2239,21 @@ def oracle_sql() -> dict[str, str]:
             "event_id AS last_event_id, value AS last_value FROM ("
             "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
             "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        "windowed_funnel": (
+            "WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+            "JOIN t1 ON e.user_id = t1.user_id "
+            "WHERE e.event_type = 'click' AND e.ts > t1.t1 "
+            "AND e.ts <= t1.t1 + INTERVAL 6 HOUR GROUP BY e.user_id), "
+            "t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+            "JOIN t2 ON e.user_id = t2.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts > t2.t2 "
+            "AND e.ts <= t2.t2 + INTERVAL 6 HOUR GROUP BY e.user_id) "
+            "SELECT (SELECT COUNT(*) FROM t1) AS n_step1, "
+            "(SELECT COUNT(*) FROM t2) AS n_step2, "
+            "(SELECT COUNT(*) FROM t3) AS n_step3"
         ),
         "cdc_apply_changes": (
             "WITH ch AS (SELECT user_id AS c_custkey, ts, event_id, "

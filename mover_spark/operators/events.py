@@ -331,3 +331,44 @@ def cohort_retention(cat: Catalog) -> DataFrame:
         )
         .orderBy("cohort_day", "days_since")
     )
+
+
+def windowed_funnel(
+    cat: Catalog,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    within: str = "6 HOURS",
+) -> DataFrame:
+    """Funnel with conversion DEADLINES: each step must follow the previous
+    one within `within` — the form product analytics actually uses (an
+    unbounded funnel calls a purchase a year later a conversion). Same
+    set-at-a-time shape as ``funnel_counts``: one conditional-MIN aggregate
+    per stage, each joined to the previous stage's per-user time; the
+    deadline is one more predicate in the join filter, so the plan cost is
+    identical to the unbounded funnel."""
+    ev = cat.df("events").select("user_id", "event_type", "ts")
+    s1, s2, s3 = steps
+    win = F.expr(f"INTERVAL {within}")
+    t1 = (
+        ev.where(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == s2)
+        .join(t1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == s3)
+        .join(t2, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.agg(F.count(F.lit(1)).alias("n_step1"))
+        .join(t2.agg(F.count(F.lit(1)).alias("n_step2")))
+        .join(t3.agg(F.count(F.lit(1)).alias("n_step3")))
+    )
