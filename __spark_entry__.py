@@ -630,6 +630,16 @@ def _q_dedup_keep_canonical(spark, sf_dir):
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_dedup_triangles(spark, sf_dir):
+    """Triangle count of the near-dup pair graph — degree-ordered wedge
+    enumeration (O(m^1.5) even on power-law graphs), vs the oracle's
+    id-ordered triple join over the exact pair list."""
+    from mover_spark.operators.dedup import minhash_lsh_pairs, triangle_count
+
+    pairs = minhash_lsh_pairs(_catalog(spark, sf_dir).df("documents"))
+    return triangle_count(pairs.select("doc_a", "doc_b"))
+
+
 def _q_dedup_clusters_star(spark, sf_dir):
     """Same clustering through the large-star/small-star CC (Kiveris et al.,
     SoCC'14) — O(log^2 n) rounds independent of component diameter, the
@@ -1417,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_ivf,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
+        "dedup_triangles": _q_dedup_triangles,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "multimodal_manifest": _q_multimodal_manifest,
         "multimodal_image_features": _q_multimodal_image_features,
@@ -2508,6 +2519,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_keep_canonical": _DEDUP_KEEP_CANONICAL_SQL,
+        # id-ordered triple join: triangle a<b<c appears exactly once as
+        # (a,b),(b,c),(a,c) since the pair list is already doc_a < doc_b
+        "dedup_triangles": (
+            "WITH " + _SHINGLE_CTE + ", " + _PAIRS_CTE + ", "
+            "pj AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.8) "
+            "SELECT COUNT(*) AS n_triangles FROM pj e1 "
+            "JOIN pj e2 ON e1.doc_b = e2.doc_a "
+            "JOIN pj e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b"
+        ),
         "dedup_clusters_star": _DEDUP_CLUSTERS_SQL,
         "multimodal_manifest": (
             "SELECT doc_id AS media_id, "

@@ -218,3 +218,20 @@ def test_dedup_keep_canonical_invariants(catalog):
     for d, c in clusters.items():
         assert c in kept_ids
     assert len(kept_ids) == len(all_ids) - len(dropped)
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 = 4 triangles; a chain and a star have none; duplicate/reversed
+    edges must not double-count."""
+    from mover_spark.operators.dedup import triangle_count
+
+    def count(edges):
+        df = spark.createDataFrame(edges, "a long, b long")
+        return triangle_count(df).collect()[0].n_triangles
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert count(k4) == 4
+    assert count(k4 + [(2, 1), (4, 3)]) == 4  # reversed dups ignored
+    assert count([(1, 2), (2, 3), (3, 4)]) == 0  # chain
+    assert count([(1, 2), (1, 3), (1, 4), (1, 5)]) == 0  # star
+    assert count([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)]) == 2
