@@ -630,6 +630,17 @@ def _q_dedup_keep_canonical(spark, sf_dir):
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_similar_docs(spark, sf_dir):
+    """Query-by-document search: top-5 nearest corpus docs (exact shingle
+    Jaccard >= 0.8) for a 250-doc query batch — per-query LSH bucket
+    probe, not an all-pairs enumeration."""
+    from mover_spark.operators.dedup import similar_docs
+
+    return similar_docs(
+        _catalog(spark, sf_dir).df("documents"), query_ids=list(range(1, 251)), k=5
+    )
+
+
 def _q_dedup_triangles(spark, sf_dir):
     """Triangle count of the near-dup pair graph — degree-ordered wedge
     enumeration (O(m^1.5) even on power-law graphs), vs the oracle's
@@ -1428,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
         "dedup_triangles": _q_dedup_triangles,
+        "similar_docs": _q_similar_docs,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "multimodal_manifest": _q_multimodal_manifest,
         "multimodal_image_features": _q_multimodal_image_features,
@@ -2519,6 +2531,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_keep_canonical": _DEDUP_KEEP_CANONICAL_SQL,
+        # brute-force per-query twin of the LSH probe: exact jaccard from
+        # the same shingle CTE, top-5 per query, same tie-break
+        "similar_docs": (
+            "WITH " + _SHINGLE_CTE + ", "
+            "q AS (SELECT doc_id AS query_id, sh AS sh_q FROM d "
+            "WHERE doc_id BETWEEN 1 AND 250 AND len(sh) > 0), "
+            "n AS (SELECT doc_id AS neighbor_id, sh AS sh_n FROM d "
+            "WHERE len(sh) > 0), "
+            "j AS (SELECT query_id, neighbor_id, "
+            "ROUND(CAST(len(list_intersect(sh_q, sh_n)) AS DOUBLE) / "
+            "(len(sh_q) + len(sh_n) - len(list_intersect(sh_q, sh_n))), 6) AS jaccard "
+            "FROM q JOIN n ON query_id != neighbor_id), "
+            "r AS (SELECT query_id, neighbor_id, jaccard, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY jaccard DESC, neighbor_id) AS INT) AS rank "
+            "FROM j WHERE jaccard >= 0.8) "
+            "SELECT query_id, neighbor_id, rank, jaccard FROM r WHERE rank <= 5"
+        ),
         # id-ordered triple join: triangle a<b<c appears exactly once as
         # (a,b),(b,c),(a,c) since the pair list is already doc_a < doc_b
         "dedup_triangles": (

@@ -803,3 +803,72 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     return wedges.join(closing, ["b", "c"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def similar_docs(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-by-document search: for each query id, the top-k most similar
+    corpus documents by exact shingle Jaccard >= threshold — the point-
+    lookup twin of ``minhash_lsh_pairs`` (which enumerates ALL pairs).
+
+    Scale shape: the corpus is banded once; only the QUERY docs' buckets
+    probe it (a broadcast-sized build side for any sane query batch), so
+    cost is candidates-per-query, not corpus x corpus — the "find reuses
+    of this document" primitive at 100 TB. Candidates are verified with
+    exact Jaccard, so results match brute force whenever LSH recall is 1
+    (P(miss) < 1e-5 at j >= threshold+0.1, same banding as the pair
+    enumeration)."""
+    rows_per_band = N_MINHASH // LSH_BANDS
+    sh = df.select(F.col(id_col), shingles_udf()(F.col(text_col)).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    mh = minhash_signature_udf()
+    sig = sh.select(
+        id_col,
+        "sh",
+        mh(F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))).alias("mhs"),
+    ).persist()
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(*[F.col("mhs")[bi * rows_per_band + r] for r in range(rows_per_band)]).alias("bucket"),
+        )
+        for bi in range(LSH_BANDS)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    qb = (
+        buckets.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), "band", "bucket")
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(buckets, on=["band", "bucket"])
+        .where(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    shq = sig.select(F.col(id_col).alias("query_id"), F.col("sh").alias("sh_q"))
+    shn = sig.select(F.col(id_col).alias("neighbor_id"), F.col("sh").alias("sh_n"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("jaccard"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(shq, "query_id")
+        .join(shn, "neighbor_id")
+        .withColumn("jaccard", F.round(jaccard_col(F.col("sh_q"), F.col("sh_n")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "jaccard")
+    )

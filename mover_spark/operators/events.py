@@ -307,7 +307,10 @@ def cohort_retention(cat: Catalog) -> DataFrame:
     Scale shape: one groupBy finds each user's cohort (min ts), one
     distinct projects (user, active_day), and the cohort assignment joins
     back on user_id before the final small aggregation — the only heavy
-    shuffles key on user_id, never on the (tiny) output matrix. The
+    shuffles key on user_id, never on the (tiny) output matrix. The cohort
+    size needs NO extra aggregation or join: every user is active on their
+    own cohort day (it is their min ts), so the days_since=0 cell already
+    counts the whole cohort — a window over the tiny matrix reads it. The
     retained fraction divides two exact counts as doubles, so it is
     engine-portable."""
     ev = cat.df("events")
@@ -315,19 +318,22 @@ def cohort_retention(cat: Catalog) -> DataFrame:
         F.to_date(F.min("ts")).alias("cohort_day")
     )
     activity = ev.select("user_id", F.to_date("ts").alias("active_day")).distinct()
-    sizes = cohorts.groupBy("cohort_day").agg(
-        F.count_distinct("user_id").alias("cohort_size")
-    )
-    return (
+    matrix = (
         activity.join(cohorts, "user_id")
         .groupBy("cohort_day", F.datediff("active_day", "cohort_day").alias("days_since"))
         .agg(F.count_distinct("user_id").alias("n_active"))
-        .join(F.broadcast(sizes), "cohort_day")
-        .select(
+    )
+    from pyspark.sql.window import Window
+
+    size = F.max(F.when(F.col("days_since") == 0, F.col("n_active"))).over(
+        Window.partitionBy("cohort_day")
+    )
+    return (
+        matrix.select(
             "cohort_day",
             "days_since",
             "n_active",
-            (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias("retention"),
+            (F.col("n_active").cast("double") / size.cast("double")).alias("retention"),
         )
         .orderBy("cohort_day", "days_since")
     )
