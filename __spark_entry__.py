@@ -1238,6 +1238,29 @@ def _q_cdc_latest_snapshot(spark, sf_dir):
     )
 
 
+def _q_mode_per_user(spark, sf_dir):
+    """Categorical MODE per group (each user's most frequent event type)
+    via the max(struct) trick: count per (user, type), then ONE hash
+    aggregation whose max carries the winning type — map-side partials,
+    no window sort of every row. Ties break to the lexicographically
+    largest type, deterministic on any engine."""
+    ev = _catalog(spark, sf_dir).df("events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    packed = F.struct(F.col("cnt"), F.col("event_type")).alias("v")
+    return (
+        counts.groupBy("user_id")
+        .agg(F.max(packed).alias("v"))
+        .select(
+            "user_id",
+            F.col("v.event_type").alias("top_type"),
+            F.col("v.cnt").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def _q_windowed_funnel(spark, sf_dir):
     """Funnel with per-step conversion deadlines (view -> click -> purchase,
     each within 6 hours of the previous step)."""
@@ -1419,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_latest_snapshot": _q_cdc_latest_snapshot,
         "cdc_apply_changes": _q_cdc_apply_changes,
         "windowed_funnel": _q_windowed_funnel,
+        "mode_per_user": _q_mode_per_user,
         "scd2_intervals": _q_scd2_intervals,
         "rollup_daily_from_hourly": _q_rollup_daily,
         "skew_salted_agg": _q_skew_salted_agg,
@@ -2262,6 +2286,14 @@ def oracle_sql() -> dict[str, str]:
             "event_id AS last_event_id, value AS last_value FROM ("
             "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
             "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        "mode_per_user": (
+            "WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt "
+            "FROM events GROUP BY user_id, event_type) "
+            "SELECT user_id, event_type AS top_type, cnt AS n_events FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY cnt DESC, event_type DESC) AS rn FROM c) "
+            "WHERE rn = 1 ORDER BY user_id"
         ),
         "windowed_funnel": (
             "WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
