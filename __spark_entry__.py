@@ -298,6 +298,20 @@ def _q_profile_orders(spark, sf_dir):
     return profile_table(_catalog(spark, sf_dir).df("orders")).orderBy("column_name")
 
 
+def _q_profile_orders_approx(spark, sf_dir):
+    """Sketch twin of profile_orders: HLL++ (approx_count_distinct) replaces
+    the exact multi-distinct, so the plan is ONE partial/final aggregate
+    pass with NO Expand(xN) — the profile shape you run first against a
+    100 TB source. No oracle entry (the HLL estimate is not reproducible in
+    DuckDB); accuracy vs the exact profile and the no-Expand plan shape are
+    pinned by tests/test_profiling.py."""
+    from mover_spark.operators.profiling import profile_table
+
+    return profile_table(
+        _catalog(spark, sf_dir).df("orders"), exact=False
+    ).orderBy("column_name")
+
+
 def _q_ntile_percent_rank(spark, sf_dir):
     """ntile + percent_rank over a unique total order: per-tile counts and
     percent_rank/balance spans."""
@@ -742,12 +756,16 @@ def _q_embedding_dup_clusters(spark, sf_dir):
 
 def _q_kmv_distinct(spark, sf_dir):
     """Hash-exact: the estimate is a deterministic function of the
-    engine-portable md5-derived 60-bit hash, so the DuckDB oracle reproduces
-    the k-minimum set and the (k-1)/max_kth estimate exactly; accuracy vs
-    the TRUE count is additionally pinned by tests/test_sketches.py."""
+    engine-portable hash, so the DuckDB oracle reproduces the k-minimum set
+    and the (k-1)/max_kth estimate exactly; accuracy vs the TRUE count is
+    additionally pinned by tests/test_sketches.py. small_keys=True asserts
+    the mix31 fast-path domain (o_custkey is nonnegative and < 2^31 at any
+    SF this harness runs; the oracle mirrors mix31, not md5)."""
     from mover_spark.operators.sketches import kmv_distinct
 
-    return kmv_distinct(_catalog(spark, sf_dir).df("orders"), ["o_custkey"], k=256)
+    return kmv_distinct(
+        _catalog(spark, sf_dir).df("orders"), ["o_custkey"], k=256, small_keys=True
+    )
 
 
 def _q_heavy_hitter_users(spark, sf_dir):
@@ -1425,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_rich_by_nation": _q_idle_rich_by_nation,
         "ntile_percent_rank": _q_ntile_percent_rank,
         "profile_orders": _q_profile_orders,
+        "profile_orders_approx": _q_profile_orders_approx,
         "stratified_sample_exact": _q_stratified_sample,
         "trailing_spend_range_window": _q_trailing_spend,
         "grouping_sets_agg": _q_grouping_sets,

@@ -60,6 +60,17 @@ _EQ_PRED_RE = re.compile(
 #: Safety valve for the driver-loop fallback: a template with OR / ranges /
 #: arbitrary SQL runs once per distinct attr tuple; beyond this many tuples
 #: it is a driver bottleneck by construction and we fail loudly instead.
+#:
+#: DRIVER-MEMORY/LATENCY BOUND: the fallback collects up to this many
+#: distinct attr tuples to the driver and issues one spark.sql() per tuple
+#: sequentially — worst case CAP queries per frontier per config template.
+#: Memory is trivial (<= CAP small tuples); the real bound is round-trip
+#: latency, which is why the cap is a hard error rather than a truncation:
+#: at 100-TB scale a non-compilable template with a wide frontier must be
+#: rewritten as conjunctive equality predicates (which compile to ONE
+#: distributed multi-column semi-join, no collect at all) instead of
+#: silently degrading. The reference has no cap — it runs every template
+#: once per ROW (extractor.go:70-79), strictly worse.
 CONFIG_QUERY_FALLBACK_CAP = 1000
 
 

@@ -863,7 +863,7 @@ def similar_docs(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("jaccard"), F.asc("neighbor_id")
     )
-    return (
+    result = (
         cand.join(shq, "query_id")
         .join(shn, "neighbor_id")
         .withColumn("jaccard", F.round(jaccard_col(F.col("sh_q"), F.col("sh_n")), 6))
@@ -872,3 +872,12 @@ def similar_docs(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "jaccard")
     )
+    # Materialize the (tiny, <= k * |query_ids| rows) result eagerly so the
+    # corpus-sized shingle+signature cache can be released before returning —
+    # otherwise each invocation would pin it in executor memory for the rest
+    # of the session.
+    try:
+        result = result.localCheckpoint(eager=True)
+    finally:
+        sig.unpersist()
+    return result

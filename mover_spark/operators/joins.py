@@ -238,6 +238,7 @@ def interval_overlap_join(
     left_bounds: tuple = ("start", "end"),
     right_bounds: tuple = ("start", "end"),
     bucket_seconds: int = 3600,
+    max_buckets_per_interval: int = 10_000,
 ) -> DataFrame:
     """Two-sided interval overlap join: pairs where [l_start, l_end] and
     [r_start, r_end] intersect (inclusive), per key — the genomics /
@@ -251,7 +252,15 @@ def interval_overlap_join(
     the overlap, which both intervals contain by definition — keeps the
     row. Join cost is candidates-per-bucket, not |left| x |right| per key;
     bucket_seconds trades explode factor against candidate density and
-    should approximate the typical interval length."""
+    should approximate the typical interval length.
+
+    Input hygiene: malformed intervals (end < start) are DROPPED before the
+    explode — F.sequence(lo, hi) would otherwise silently emit a DESCENDING
+    bucket run and junk candidate rows. An interval spanning more than
+    ``max_buckets_per_interval`` buckets (i.e. vastly longer than
+    bucket_seconds) fails fast with a runtime error instead of exploding to
+    an unbounded row blow-up; raise the cap or widen bucket_seconds for
+    legitimately long intervals."""
     ls, le = left_bounds
     rs, re_ = right_bounds
     w = F.lit(bucket_seconds)
@@ -259,10 +268,29 @@ def interval_overlap_join(
     def bucketed(df, s, e, side):
         lo = F.floor(F.unix_timestamp(F.col(s)) / w)
         hi = F.floor(F.unix_timestamp(F.col(e)) / w)
-        return df.select(
+        span_ok = F.when(
+            hi - lo < F.lit(max_buckets_per_interval),
+            hi,
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval_overlap_join: interval spans > "
+                        f"{max_buckets_per_interval} buckets of "
+                        f"{bucket_seconds}s — widen bucket_seconds or raise "
+                        f"max_buckets_per_interval ("
+                    ),
+                    F.col(s).cast("string"),
+                    F.lit(" .. "),
+                    F.col(e).cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("long")
+        )
+        return df.where(F.col(e) >= F.col(s)).select(
             *[F.col(k) for k in keys],
             *[F.col(c).alias(f"{side}_{c}") for c in df.columns if c not in keys],
-            F.explode(F.sequence(lo, hi)).alias("__bucket"),
+            F.explode(F.sequence(lo, span_ok)).alias("__bucket"),
         )
 
     lb = bucketed(left, ls, le, "l")

@@ -28,26 +28,56 @@ def _render(col: str, dtype: str):
     return lambda x: x.cast("string")
 
 
-def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
     """Per-column profile: (column, n_rows, n_nulls, n_distinct, min_val,
-    max_val) — one aggregation pass, long-format output."""
+    max_val) — one aggregation pass, long-format output.
+
+    ``exact=True`` (default, the oracle-checked mode) uses exact
+    count_distinct — Catalyst expands the N multi-distincts into an
+    Expand(xN) two-level plan, which is correct but multiplies the scan's
+    row stream by the column count. ``exact=False`` swaps in
+    approx_count_distinct (HyperLogLog++, relative error ``rsd``): every
+    metric then computes as a plain partial/final aggregate in ONE pass
+    with NO Expand — the profile you actually run first on a 100 TB
+    source. All other metrics (nulls, min, max, n_rows) stay exact in
+    both modes.
+
+    Column names are never spliced into SQL text: per-column metrics are
+    built as struct() aggregate expressions and exploded to long format,
+    so names containing spaces, quotes, or SQL metacharacters profile
+    fine (column_name is carried as a literal VALUE, not an identifier).
+    """
     dtypes = dict(df.dtypes)
     columns = columns if columns is not None else [c for c in df.columns]
-    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    distinct = (
+        F.count_distinct if exact
+        else (lambda c: F.approx_count_distinct(c, rsd=rsd))
+    )
+    profiles = []
     for c in columns:
         r = _render(c, dtypes[c])
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
-            r(F.min(c)).alias(f"__min_{c}"),
-            r(F.max(c)).alias(f"__max_{c}"),
-        ]
-    wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', __nulls_{c}, __dist_{c}, __min_{c}, __max_{c}" for c in columns
+        profiles.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
+                distinct(F.col(c)).alias("n_distinct"),
+                r(F.min(F.col(c))).alias("min_val"),
+                r(F.max(F.col(c))).alias("max_val"),
+            )
+        )
+    wide = df.agg(F.count(F.lit(1)).alias("n_rows"), F.array(*profiles).alias("p"))
+    return wide.select(
+        "n_rows", F.explode("p").alias("p")
+    ).select(
+        F.col("p.column_name").alias("column_name"),
+        "n_rows",
+        F.col("p.n_nulls").alias("n_nulls"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.col("p.min_val").alias("min_val"),
+        F.col("p.max_val").alias("max_val"),
     )
-    return wide.selectExpr(
-        "__n AS n_rows",
-        f"stack({len(columns)}, {stack_args}) "
-        "AS (column_name, n_nulls, n_distinct, min_val, max_val)",
-    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")

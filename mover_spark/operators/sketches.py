@@ -37,19 +37,29 @@ HASH_SPACE = float(1 << 60)  # md5_i64 range: [0, 2^60)
 _INTEGRAL_DTYPES = ("tinyint", "smallint", "int", "bigint")
 
 
-def kmv_distinct(df: DataFrame, cols: list[str], k: int = 256) -> DataFrame:
+def kmv_distinct(
+    df: DataFrame, cols: list[str], k: int = 256, small_keys: bool = False
+) -> DataFrame:
     """KMV distinct-count estimate of `cols` tuples: one narrow pass + a
     k-row reduction. Relative error ~ 1/sqrt(k-2) (~6% at k=256).
 
     Hashing is engine-portable so a DuckDB oracle reproduces the estimate
     EXACTLY — the sketch is approximate vs the true count but deterministic
     in its inputs. A single integral key takes the arithmetic fast path
-    (util.mix31_i64: affine mod 2^31-1, pure bigint math, collision-free
-    below 2^31); strings and multi-col tuples (unit-separator join of their
-    string forms) pay the md5-derived 60-bit hash."""
+    (util.mix31_i64: affine mod 2^31-1, pure bigint math) — but that hash's
+    portability/bijectivity contract only holds for NONNEGATIVE keys below
+    2^31 (negatives diverge from the SQL mirror: Spark pmod vs SQL %;
+    values >= 2^31 wrap mod 2^31-1 and add collisions that bias the
+    estimate on very large key domains). The fast path therefore requires
+    the caller to assert the domain with ``small_keys=True`` (keys known
+    nonnegative and < 2^31 — e.g. TPC-H surrogate keys at moderate SF);
+    unasserted integral keys, strings, and multi-col tuples
+    (unit-separator join of their string forms) pay the md5-derived
+    60-bit hash, which is safe on the full value domain."""
     from ..util import MIX31_P, md5_i64, mix31_i64
 
-    if len(cols) == 1 and dict(df.dtypes)[cols[0]] in _INTEGRAL_DTYPES:
+    dtype = dict(df.dtypes)[cols[0]] if len(cols) == 1 else None
+    if small_keys and dtype in _INTEGRAL_DTYPES:
         h, space = mix31_i64(cols[0]), float(MIX31_P)
     else:
         key = (

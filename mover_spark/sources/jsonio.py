@@ -39,7 +39,16 @@ def write_envelope(
     df: DataFrame, table_name: str, out_dir: str, partitioned: bool = False
 ) -> str:
     """Write one table's extract. Single-file mode matches the reference
-    envelope exactly; partitioned mode scales (parallel writers)."""
+    envelope exactly; partitioned mode scales (parallel writers).
+
+    DRIVER-MEMORY BOUND (single-file mode only): ``partitioned=False``
+    collects every row of the table to the driver and holds the whole
+    JSON payload in driver RAM before writing — the extract must fit in
+    driver memory (practically: envelopes up to a few GB). This mirrors
+    the reference's own in-RAM extractor model (etl/extractor.go:17-18)
+    and exists for byte-level envelope parity; it is the opt-in path.
+    The default partitioned mode streams through executor writers and
+    collects nothing — use it for anything big."""
     os.makedirs(out_dir, exist_ok=True)
     if partitioned:
         path = os.path.join(out_dir, table_name)

@@ -198,3 +198,39 @@ def test_interval_overlap_join_matches_naive(spark):
     )
     assert got == naive
     assert len(got) == len(set(got))  # emit-once: no duplicates
+
+
+def test_interval_overlap_join_drops_malformed_and_caps_span(spark):
+    """end < start rows are dropped (a descending F.sequence would emit
+    junk candidates); an interval spanning more buckets than the cap fails
+    fast instead of exploding."""
+    import pytest
+
+    from mover_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10), _ts(9)), (2, 1, _ts(5), _ts(6))],  # lid=1 malformed
+        "lid long, k long, s timestamp_ntz, e timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(10, 1, _ts(4), _ts(11))],
+        "rid long, k long, s timestamp_ntz, e timestamp_ntz",
+    )
+    got = sorted(
+        (r.l_lid, r.r_rid)
+        for r in interval_overlap_join(
+            left, right, ["k"], ("s", "e"), ("s", "e")
+        ).collect()
+    )
+    assert got == [(2, 10)]  # malformed lid=1 dropped, not junk-matched
+
+    with pytest.raises(Exception, match="spans"):
+        interval_overlap_join(
+            left.where("lid = 2"),
+            right,
+            ["k"],
+            ("s", "e"),
+            ("s", "e"),
+            bucket_seconds=60,
+            max_buckets_per_interval=3,  # rid=10 spans 7h of 1-min buckets
+        ).collect()

@@ -1,0 +1,60 @@
+"""profile_table: exact/approx twins, plan shape, and identifier safety."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mover_spark.operators.profiling import profile_table
+
+
+def _by_col(rows):
+    return {r["column_name"]: r for r in rows}
+
+
+def test_exact_and_approx_agree_on_everything_but_distinct(catalog):
+    ords = catalog.df("orders")
+    exact = _by_col(profile_table(ords, exact=True).collect())
+    approx = _by_col(profile_table(ords, exact=False).collect())
+    assert set(exact) == set(approx) == set(ords.columns)
+    for c in exact:
+        e, a = exact[c], approx[c]
+        # nulls / min / max / n_rows are exact in BOTH modes
+        assert (e["n_rows"], e["n_nulls"], e["min_val"], e["max_val"]) == (
+            a["n_rows"], a["n_nulls"], a["min_val"], a["max_val"]
+        )
+        # HLL++ accuracy contract: within 5x the configured rsd (0.05)
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
+            1, 0.25 * e["n_distinct"]
+        ), c
+
+
+def test_approx_plan_has_no_expand(catalog):
+    """The whole point of exact=False: one partial/final aggregate pass.
+    The exact plan multiplies the scan by N columns through Expand; the
+    sketch plan must not."""
+    ords = catalog.df("orders")
+    exact_plan = profile_table(ords, exact=True)._jdf.queryExecution().executedPlan().toString()
+    approx_plan = profile_table(ords, exact=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan  # the documented cost of exact multi-distinct
+    assert "Expand" not in approx_plan
+
+
+def test_hostile_column_names(spark):
+    """Names with spaces, quotes, and SQL metacharacters profile fine —
+    column_name is carried as a literal value, never spliced into SQL."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b')--")],
+        ["weird col's \"name\"", "x; DROP TABLE t"],
+    )
+    rows = _by_col(profile_table(df).collect())
+    assert set(rows) == {"weird col's \"name\"", "x; DROP TABLE t"}
+    r = rows["weird col's \"name\""]
+    assert (r["n_rows"], r["n_nulls"], r["n_distinct"]) == (3, 0, 2)
+    assert (r["min_val"], r["max_val"]) == ("1", "2")
+    r2 = rows["x; DROP TABLE t"]
+    assert (r2["n_nulls"], r2["n_distinct"]) == (1, 2)
+
+
+def test_profile_column_order_stable(catalog):
+    ords = catalog.df("orders")
+    got = [r["column_name"] for r in profile_table(ords).collect()]
+    assert got == ords.columns

@@ -19,6 +19,29 @@ def test_kmv_large_cardinality_within_bound(catalog):
     assert abs(est - exact) / exact < 0.25  # ~4 sigma at k=256
 
 
+def test_kmv_bigint_defaults_to_md5_path(spark):
+    """Unasserted bigints (incl. negatives and values >= 2^31, where the
+    mix31 fast path's portability/bijectivity contract breaks) take the
+    md5 hash and still estimate within bound."""
+    vals = [(-(1 << 40) + i * 7,) for i in range(400)] + [
+        ((1 << 33) + i * 13,) for i in range(400)
+    ]
+    df = spark.createDataFrame(vals * 3, "x long")
+    est = kmv_distinct(df, ["x"], k=256).collect()[0].distinct_est
+    assert abs(est - 800) / 800 < 0.25
+
+
+def test_kmv_small_keys_assertion_takes_fast_path(spark):
+    """small_keys=True on an in-domain key reproduces the documented mix31
+    estimator arithmetic (pinned by the DuckDB mirror in
+    test_portable_hash.py); the estimate stays within bound."""
+    df = spark.createDataFrame([(i,) for i in range(2000)], "x long")
+    fast = kmv_distinct(df, ["x"], k=256, small_keys=True).collect()[0].distinct_est
+    slow = kmv_distinct(df, ["x"], k=256).collect()[0].distinct_est
+    assert abs(fast - 2000) / 2000 < 0.25
+    assert abs(slow - 2000) / 2000 < 0.25
+
+
 def test_heavy_hitters_exact_counts(spark):
     rows = [("hot",)] * 500 + [("warm",)] * 120 + [(f"cold{i}",) for i in range(380)]
     df = spark.createDataFrame(rows, "x string")
