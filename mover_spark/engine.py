@@ -171,6 +171,7 @@ class Engine:
         reference disables triggers for the same reason)."""
         payloads = jsonio.read_envelopes(self.spark, in_dir)
         out: dict[str, DataFrame] = {}
+        live_tables: dict | None = None
         for tname in sorted(payloads):
             df = payloads[tname]
             if tname in self.catalog.tables:
@@ -178,10 +179,28 @@ class Engine:
                 pks = self.catalog.table(tname).primary_keys
                 pk_unique = self.catalog.table(tname).pk_unique
             else:
-                # reference dispatches purely on the embedded table_name;
-                # unknown tables fall back to the first column as the key
-                pks = [df.columns[0]]
-                pk_unique = True
+                # The reference dispatches purely on the embedded table_name
+                # and takes key metadata from the TARGET database. Do the
+                # same for a DSN target: introspect the live catalog once
+                # (lazily) and use its PK — the envelope's own column order
+                # is meaningless (JSON readback is alphabetical). Only when
+                # the table is unknown on BOTH sides (or introspection is
+                # unavailable) fall back to the first column as the key.
+                pks, pk_unique = None, True
+                if dsn is not None:
+                    if live_tables is None:
+                        from .sources.jdbc import dsn_run_sql, introspect_catalog
+
+                        try:
+                            live_tables = introspect_catalog(
+                                dsn_run_sql(dsn, connection_factory)
+                            )
+                        except Exception:
+                            live_tables = {}
+                    if tname in live_tables and live_tables[tname].primary_keys:
+                        pks = live_tables[tname].primary_keys
+                if pks is None:
+                    pks = [df.columns[0]]
             # Dedupe ONLY when the catalog says the PK is genuinely unique.
             # lineitem's (l_orderkey, l_linenumber) is flagged pk_unique=False
             # and extract/sanitize preserves its duplicate-PK rows; a load

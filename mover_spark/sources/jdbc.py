@@ -4,10 +4,13 @@ The reference's load path (S17/S18) is: one transaction, triggers disabled,
 per-row ``INSERT ... ON CONFLICT (pk) DO NOTHING``, then sequence resync
 (/root/reference/dialect/postgres/postgres.go:64-97,466-523). Spark's JDBC
 writer has no ON CONFLICT, so the sink is a ``foreachPartition`` batched
-upsert via psycopg2 — one transaction per partition (isolation divergence
-from the reference's single global tx: documented, inherent to distributed
-writers). No database exists in the test environment, so everything network
-is import/connection-gated; SQL generation is unit-tested.
+upsert through a DB-API connection — one transaction per partition
+(isolation divergence from the reference's single global tx: documented,
+inherent to distributed writers). The driver is resolved per-process:
+psycopg2 when installed, else the bundled pure-Python wire client
+(minipg.py). The full extract→load→resync round trip is exercised against
+a LIVE local PostgreSQL server in tests/test_postgres_live.py; statement
+sequencing is additionally unit-tested with stub connections.
 
 Catalog introspection uses information_schema/pg_catalog queries equivalent
 to postgres.go:100-403, fetched through ONE spark.read.jdbc round per query
@@ -34,13 +37,18 @@ LIST_COLUMNS_SQL = (
     "WHERE table_schema = '{schema}'"
 )
 
-#: primary keys (postgres.go:200-240); ordinal_position orders composite keys
+#: primary keys (postgres.go:200-240); ordinal_position orders composite keys.
+#: The join matches constraint_schema AND table_schema, not constraint_name
+#: alone — Postgres default PK names (<table>_pkey) repeat across schemas,
+#: and a name-only join would cross-match and inject wrong PK columns.
 LIST_PRIMARY_KEYS_SQL = (
     "SELECT tc.table_name, kcu.column_name, kcu.ordinal_position AS position "
     "FROM information_schema.table_constraints tc "
     "JOIN information_schema.key_column_usage kcu "
     "ON tc.constraint_name = kcu.constraint_name "
+    "AND tc.constraint_schema = kcu.constraint_schema "
     "AND tc.table_schema = kcu.table_schema "
+    "AND tc.table_name = kcu.table_name "
     "WHERE tc.constraint_type = 'PRIMARY KEY' AND tc.table_schema = '{schema}'"
 )
 
@@ -192,11 +200,26 @@ def insert_sql(table: str, columns: list[str]) -> str:
 
 
 def reset_sequence_sql(table: str, pk: str = "id") -> list[str]:
-    """Sequence resync, assuming {table}_id_seq naming (postgres.go:499-523)."""
+    """Sequence resync, assuming {table}_id_seq naming (postgres.go:499-523).
+
+    Divergence from the reference: a table WITHOUT such a sequence is a
+    no-op here (to_regclass guard; CASE evaluates lazily so nextval never
+    fires on a missing sequence), where the reference hard-errors on its
+    nextval probe — this engine loads arbitrary tables (e.g. TPC-H shapes
+    with natural keys), not only serial-id ones. A failing setval on an
+    EXISTING sequence still propagates (the reference's failure path)."""
     seq = f"{table}_id_seq"
+    # Two parse-time traps the CASE guard can't catch on a sequence-less
+    # table: a bare '{seq}' literal coerces to regclass during PARSING (so
+    # it must be '{seq}'::text, resolved only at call time), and
+    # COALESCE(MAX(text_pk), 0) is a parse-time type error (so the pk casts
+    # to bigint — evaluated only when the sequence exists, where a
+    # {table}_id_seq always implies an integral id).
     return [
-        f"SELECT setval('{seq}', GREATEST((SELECT COALESCE(MAX(\"{pk}\"), 0) + 1 "
-        f"FROM \"{table}\"), nextval('{seq}')), false)"
+        f"SELECT CASE WHEN to_regclass('{seq}') IS NOT NULL THEN "
+        f"setval('{seq}'::text, "
+        f"GREATEST((SELECT COALESCE(MAX(\"{pk}\"::bigint), 0) + 1 "
+        f"FROM \"{table}\"), nextval('{seq}'::text)), false) END"
     ]
 
 
@@ -220,14 +243,8 @@ def upsert_partition_writer(
         sql = upsert_sql(table, columns, pk)
 
     def write(rows):
-        try:
-            import psycopg2
-            from psycopg2.extras import execute_values
-        except ImportError as exc:  # pragma: no cover - env has no driver
-            raise RuntimeError(
-                "JDBC/postgres upsert sink requires psycopg2 on executors"
-            ) from exc
-        conn = psycopg2.connect(dsn)
+        connect, execute_values = _resolve_driver()
+        conn = connect(dsn)
         try:
             with conn.cursor() as cur:
                 buf = []
@@ -245,14 +262,46 @@ def upsert_partition_writer(
     return write
 
 
-def _psycopg2_connect(dsn: str):
-    try:
+def _resolve_driver():
+    """(connect, execute_values) — psycopg2 when installed (the production
+    driver: prepared-statement parameter transport, SSL/SCRAM, COPY),
+    otherwise the bundled pure-Python wire client (minipg: simple-query
+    protocol, trust/password auth — enough for the loopback test harness
+    and simple deployments). Resolved lazily so executors pick whichever
+    is importable on THEIR python path."""
+    try:  # pragma: no cover - psycopg2 absent in this environment
         import psycopg2
-    except ImportError as exc:  # pragma: no cover - env has no driver
-        raise RuntimeError(
-            "JDBC/postgres load path requires psycopg2 on the driver"
-        ) from exc
-    return psycopg2.connect(dsn)
+        from psycopg2.extras import execute_values
+
+        return psycopg2.connect, execute_values
+    except ImportError:
+        from . import minipg
+
+        return minipg.connect, minipg.execute_values
+
+
+def _default_connect(dsn: str):
+    return _resolve_driver()[0](dsn)
+
+
+def dsn_run_sql(dsn: str, connection_factory=None):
+    """``run_sql(sql) -> list[tuple]`` over a DSN — the transport
+    introspect_catalog needs to read a LIVE target database's metadata
+    (one short-lived autocommitted connection per query)."""
+    connect = connection_factory or _default_connect
+
+    def run(sql: str) -> list[tuple]:
+        conn = connect(dsn)
+        try:
+            with conn.cursor() as cur:
+                cur.execute(sql)
+                rows = cur.fetchall()
+            conn.commit()
+            return rows
+        finally:
+            conn.close()
+
+    return run
 
 
 def bulk_upsert(
@@ -276,7 +325,7 @@ def bulk_upsert(
     stub to assert the exact statement sequence (no DB in this environment).
     `partition_writer` is injectable for the same reason."""
     pks = _pk_list(pk)
-    connect = connection_factory or _psycopg2_connect
+    connect = connection_factory or _default_connect
     make_writer = partition_writer or (
         lambda d, t, cols, key: upsert_partition_writer(
             d, t, cols, key, on_conflict=on_conflict, pk_unique=pk_unique
