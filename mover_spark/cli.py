@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
         "(byte parity; collects to the driver — small extracts only). "
         "Default is the scale-safe partitioned envelope.",
     )
+    p.add_argument(
+        "-download-media", action="store_true", dest="download_media",
+        help="extract: fetch files referenced by download-configured columns "
+        "(executor-parallel), mirroring URL paths under <path>/media/",
+    )
     p.add_argument("-sf-dir", default="/root/testdata/sf0.001", dest="sf_dir")
     p.add_argument("-verbose", action="store_true")
     p.add_argument("-version", action="store_true")
@@ -66,7 +71,8 @@ def main(argv: list[str] | None = None) -> int:
         if not args.path or not args.query:
             p.error("-path and -query are required for extract")
         results = engine.extract(args.path, args.query, table=args.table or None,
-                                 partitioned=not args.single_file)
+                                 partitioned=not args.single_file,
+                                 download_media=args.download_media)
         for t in sorted(results):
             print(f"{t}: {results[t].count()} rows")
     elif args.action == "load":

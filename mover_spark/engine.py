@@ -120,7 +120,14 @@ class Engine:
     def _download_media(self, urls: DataFrame, out_dir: str) -> None:
         """S14 downloads, executor-parallel straight off the URL DataFrame
         (the reference serialized them by accident — g.Wait() inside the
-        loop, etl/util.go:110). Network is environment-gated."""
+        submit loop, etl/util.go:110). Destination mirrors the URL path
+        under media/ exactly like downloadFile (etl/util.go:119-151).
+        Failure-semantics divergence, deliberate: the reference ABORTS the
+        whole download on the first failed URL (g.Wait's first error,
+        util.go:110-113) — at scale one dead link must not kill a million
+        fetches, so failures skip-and-continue; the manifest is the
+        retry/recon list. Exercised against a live loopback HTTP server in
+        tests/test_engine.py::test_media_download_local."""
         media_dir = os.path.join(out_dir, "media")
 
         def fetch(it):
@@ -131,11 +138,18 @@ class Engine:
                 url = row["url"]
                 rel = urllib.parse.urlparse(url).path.lstrip("/")
                 dest = os.path.join(media_dir, rel)
-                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.makedirs(os.path.dirname(dest) or media_dir, exist_ok=True)
                 try:
-                    urllib.request.urlretrieve(url, dest)
+                    # percent-encode unsafe chars (spaces etc.) for the
+                    # request; '%' stays safe so pre-encoded URLs survive.
+                    # The local mirror path keeps the RAW name.
+                    urllib.request.urlretrieve(
+                        urllib.parse.quote(url, safe=":/%?&="), dest
+                    )
                 except Exception:
-                    pass  # parity: reference logs and continues
+                    # dead link: skip (see docstring); leave no partial file
+                    if os.path.exists(dest):
+                        os.remove(dest)
 
         urls.foreachPartition(fetch)
 

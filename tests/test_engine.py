@@ -533,3 +533,53 @@ def test_extract_default_is_partitioned_no_collect(spark, catalog, tmp_path, mon
     eng2 = Engine(spark, catalog, MoverConfig())
     out = eng2.load(str(tmp_path), target_dir=str(tmp_path / "tgt"))
     assert out["region"].count() == 3
+
+
+def test_media_download_local(spark, catalog, tmp_path):
+    """S14 download execution against a LIVE loopback HTTP server: the
+    executor-parallel fetch (etl/util.go:91-151 parity, minus its
+    serialized-g.Wait bug and its abort-on-first-error semantics) mirrors
+    each URL's path under media/, and a dead link is skipped without
+    killing the rest of the batch."""
+    import functools
+    import http.server
+    import threading
+
+    # serve files named after region r_name values; leave one (ASIA) missing
+    docroot = tmp_path / "docroot"
+    names = [r.r_name for r in catalog.df("region").collect()]
+    (docroot / "files").mkdir(parents=True)
+    for n in names:
+        if n != "ASIA":
+            (docroot / "files" / n).write_text(f"media for {n}")
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(docroot)
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}/files/"
+        cfg = MoverConfig(
+            schema=[{
+                "table_name": "region",
+                "columns": [{
+                    "name": "r_name",
+                    "download": {"type": "http", "http": {"base_url": base}},
+                }],
+            }]
+        )
+        out = str(tmp_path / "extract")
+        Engine(spark, catalog, cfg).extract(
+            out, "SELECT * FROM region", download_media=True
+        )
+    finally:
+        srv.shutdown()
+
+    got = sorted(os.listdir(os.path.join(out, "media", "files")))
+    assert got == sorted(n for n in names if n != "ASIA")  # dead link skipped
+    for n in got:
+        with open(os.path.join(out, "media", "files", n)) as f:
+            assert f.read() == f"media for {n}"
+    # the manifest still lists EVERY url (the retry/recon list)
+    manifest = open(os.path.join(out, "_media_manifest.txt")).read()
+    assert all(base + n in manifest for n in names)
