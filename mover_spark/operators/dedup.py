@@ -264,11 +264,74 @@ def minhash_signature_udf():
     return sig
 
 
+#: Session-scoped memos, both keyed by (session id, analyzed-plan semantic
+#: hash, params):
+#:  - _SIG_CACHE: the corpus's persisted (id, shingles, minhash signature)
+#:    DataFrame — the expensive Arrow-UDF pass every MinHash consumer
+#:    (pair enumeration, query-by-doc search) starts from.
+#:  - _LSH_PAIR_CACHE: the verified near-dup pair set at a threshold —
+#:    triangles, clustering, and the canonical filter all consume it;
+#:    recomputing the shingle->signature->band->verify pipeline per caller
+#:    tripled their cost.
+#: MEMORY CONTRACT: entries pin executor storage for the session (the
+#: signature cache is corpus-sized — shingle + signature arrays; the pair
+#: cache is small). That is deliberate — an interactive/bench session hits
+#: the same corpus repeatedly — but long-lived services iterating over many
+#: corpora must call clear_dedup_caches() between corpora.
+_SIG_CACHE: dict = {}
+_LSH_PAIR_CACHE: dict = {}
+
+
+def clear_dedup_caches() -> None:
+    """Unpersist and drop every memoized signature/pair set (e.g. after
+    the corpus changes in place, or to release executor storage)."""
+    for cache in (_SIG_CACHE, _LSH_PAIR_CACHE):
+        for cached in cache.values():
+            cached.unpersist()
+        cache.clear()
+
+
+def _dedup_cache_key(df: DataFrame, *params):
+    # semanticHash normalizes expression ids, so two reads of the same
+    # parquet path (equal analyzed plans) share one cache entry
+    return (
+        id(df.sparkSession),
+        df._jdf.queryExecution().analyzed().semanticHash(),
+        *params,
+    )
+
+
+def _signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sh, mhs) per non-empty doc — shingle set + 48-value minhash
+    signature — persisted and memoized per corpus plan (see cache notes
+    above)."""
+    key = _dedup_cache_key(df, text_col, id_col)
+    sig = _SIG_CACHE.get(key)
+    if sig is not None:
+        return sig
+    sh = df.select(
+        F.col(id_col), shingles_udf()(F.col(text_col)).alias("sh")
+    ).where(F.size("sh") > 0)
+    mh = minhash_signature_udf()
+    sig = sh.select(
+        id_col,
+        "sh",
+        mh(
+            F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
+        ).alias("mhs"),
+    ).persist()
+    _SIG_CACHE[key] = sig
+    return sig
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    use_cache: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
@@ -278,17 +341,20 @@ def minhash_lsh_pairs(
     fetches the two shingle arrays per candidate. Everything else never
     leaves the executors. Verified output == exact ngram_jaccard_pairs
     whenever LSH recall is 1 (P(miss) < 1e-5 at j >= threshold+0.1).
-    """
+
+    The verified pair set is persisted and memoized per (corpus plan,
+    params) — downstream consumers (triangle counting, clustering, the
+    canonical-keeper filter) share one enumeration instead of re-running
+    the pipeline, and the signature pass is shared with similar_docs via
+    the signature memo. Pass ``use_cache=False`` for a non-persisted
+    one-shot pair plan (the signature memo still applies)."""
+    if use_cache:
+        key = _dedup_cache_key(df, threshold, text_col, id_col)
+        cached = _LSH_PAIR_CACHE.get(key)
+        if cached is not None:
+            return cached
     rows_per_band = N_MINHASH // LSH_BANDS
-    sh = df.select(F.col(id_col), shingles_udf()(F.col(text_col)).alias("sh")).where(
-        F.size("sh") > 0
-    )
-    mh = minhash_signature_udf()
-    sig = sh.select(
-        id_col,
-        "sh",
-        mh(F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))).alias("mhs"),
-    ).persist()
+    sig = _signatures(df, text_col, id_col)
 
     band_cols = [
         F.struct(
@@ -312,13 +378,18 @@ def minhash_lsh_pairs(
 
     sha = sig.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sig.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
+    pairs = (
         candidates.join(sha, "doc_a")
         .join(shb, "doc_b")
         .withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    if not use_cache:
+        return pairs
+    pairs = pairs.persist()
+    _LSH_PAIR_CACHE[key] = pairs
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -823,17 +894,11 @@ def similar_docs(
     of this document" primitive at 100 TB. Candidates are verified with
     exact Jaccard, so results match brute force whenever LSH recall is 1
     (P(miss) < 1e-5 at j >= threshold+0.1, same banding as the pair
-    enumeration)."""
+    enumeration). Shares the persisted corpus signature memo with
+    minhash_lsh_pairs (see the cache notes near _SIG_CACHE — call
+    clear_dedup_caches() to release it)."""
     rows_per_band = N_MINHASH // LSH_BANDS
-    sh = df.select(F.col(id_col), shingles_udf()(F.col(text_col)).alias("sh")).where(
-        F.size("sh") > 0
-    )
-    mh = minhash_signature_udf()
-    sig = sh.select(
-        id_col,
-        "sh",
-        mh(F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))).alias("mhs"),
-    ).persist()
+    sig = _signatures(df, text_col, id_col)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -863,7 +928,7 @@ def similar_docs(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("jaccard"), F.asc("neighbor_id")
     )
-    result = (
+    return (
         cand.join(shq, "query_id")
         .join(shn, "neighbor_id")
         .withColumn("jaccard", F.round(jaccard_col(F.col("sh_q"), F.col("sh_n")), 6))
@@ -872,12 +937,3 @@ def similar_docs(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "jaccard")
     )
-    # Materialize the (tiny, <= k * |query_ids| rows) result eagerly so the
-    # corpus-sized shingle+signature cache can be released before returning —
-    # otherwise each invocation would pin it in executor memory for the rest
-    # of the session.
-    try:
-        result = result.localCheckpoint(eager=True)
-    finally:
-        sig.unpersist()
-    return result

@@ -27,6 +27,11 @@ RUNTIME_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # dims (region/nation/supplier/part at our SFs) should broadcast
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # let AQE re-coalesce/re-partition plans that read persisted
+    # DataFrames — otherwise a .persist() upstream (the dedup signature/
+    # pair memos) freezes downstream shuffles at the static partition
+    # count and tiny cached inputs pay full 32-task stage overheads
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 

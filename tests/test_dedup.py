@@ -99,3 +99,29 @@ def test_lsh_topk_parameterized_planes(spark, catalog):
         key = (r.query_id, r.neighbor_id)
         if key in truth:  # cosine must be the EXACT value brute force computed
             assert truth[key] == r.cosine
+
+
+def test_lsh_pipeline_memoization(spark):
+    """Pair enumeration is memoized per (corpus plan, params): the same
+    corpus + threshold returns the SAME persisted DataFrame (triangles /
+    clustering / canonical-filter share one pipeline); different params
+    miss; clear_dedup_caches unpersists and empties both memos."""
+    from mover_spark.operators import dedup as D
+
+    D.clear_dedup_caches()
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "something else entirely here")],
+        "doc_id long, text string",
+    )
+    p1 = D.minhash_lsh_pairs(docs, threshold=0.8)
+    p2 = D.minhash_lsh_pairs(docs, threshold=0.8)
+    assert p1 is p2  # memo hit
+    assert D.minhash_lsh_pairs(docs, threshold=0.5) is not p1  # param miss
+    assert p1.storageLevel.useMemory  # persisted
+    assert len(D._SIG_CACHE) == 1  # one corpus -> one signature entry
+    assert [(r.doc_a, r.doc_b) for r in p1.collect()] == [(1, 2)]
+
+    D.clear_dedup_caches()
+    assert not D._LSH_PAIR_CACHE and not D._SIG_CACHE
+    assert not p1.storageLevel.useMemory  # released
