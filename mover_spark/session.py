@@ -27,11 +27,12 @@ RUNTIME_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # dims (region/nation/supplier/part at our SFs) should broadcast
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
-    # let AQE re-coalesce/re-partition plans that read persisted
-    # DataFrames — otherwise a .persist() upstream (the dedup signature/
-    # pair memos) freezes downstream shuffles at the static partition
-    # count and tiny cached inputs pay full 32-task stage overheads
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # NOTE: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning was
+    # tried here (lets AQE coalesce downstream of persisted inputs) and
+    # REVERTED: across the full 132-query suite it regressed unrelated
+    # queries ~2x steady-state (planning-time interaction with the many
+    # accumulated cached plans), far outweighing the small-cached-input
+    # stage-overhead win it bought the dedup consumers.
 }
 
 

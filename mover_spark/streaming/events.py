@@ -261,14 +261,35 @@ def session_batch_parity(spark: SparkSession, sf_dir: str, gap: str = "30 minute
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain a stream with availableNow into a memory sink; returns the
-    finished query (caller reads spark.table(name))."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    finished query (caller reads spark.table(name)).
+
+    State-store sizing: a stateful micro-batch materializes one state-store
+    instance (files, maintenance thread, commit entries) PER shuffle
+    partition per stateful operator — at the batch default of 32 that fixed
+    machinery dominates a small drain's wall clock. The drain therefore
+    clamps ``spark.sql.shuffle.partitions`` (captured at query START, so
+    the batch session conf is restored immediately after .start()) to
+    $SPARK_GRAFT_STREAM_SHUFFLE, default 8. Results are unaffected: every
+    drained query here is order-invariant by construction (decimal sums,
+    exact joins/dedup, quantized state). On a real cluster raise the env
+    to O(executor cores) — state instances parallelize there instead of
+    queueing on one machine."""
+    spark = stream_df.sparkSession
+    import os as _os
+
+    stream_parts = _os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return q
 
