@@ -77,7 +77,9 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3) if len(samples) == reps else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    detail_path = os.path.join(REPO_DIR, "BENCH_DETAIL.json")
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(REPO_DIR, "BENCH_DETAIL.json")
+    )
     with open(detail_path, "w") as f:
         json.dump(
             {
