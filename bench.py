@@ -46,6 +46,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown queries: {unknown}")
+        qs = {n: qs[n] for n in names}
     # Fixed warm-up protocol at the smallest fixture: one query per
     # execution mode (whole-stage codegen agg, Arrow pandas-UDF, Structured
     # Streaming micro-batch) so first-use JIT/interpreter startup lands here
