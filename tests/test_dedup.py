@@ -125,3 +125,30 @@ def test_lsh_pipeline_memoization(spark):
     D.clear_dedup_caches()
     assert not D._LSH_PAIR_CACHE and not D._SIG_CACHE
     assert not p1.storageLevel.useMemory  # released
+
+
+def test_normalized_dedup_window_semantics(spark):
+    """Post-rewrite (groupBy+self-join -> window aggregates): canonical
+    representative is the smallest id per normalized form, every input row
+    survives with its group's variant count, and the plan carries no Join."""
+    from mover_spark.operators.dedup import normalized_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO WORLD"),
+            (4, "entirely different"),
+            (5, ""),
+            (6, "???"),  # canonicalizes to empty -> same group as 5
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.canon_id, r.n_variants) for r in normalized_dedup(df).collect()}
+    assert out == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        4: (4, 1),
+        5: (5, 2), 6: (5, 2),
+    }
+    plan = normalized_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "window rewrite must not reintroduce a join"

@@ -156,3 +156,44 @@ def test_value_window_funcs_semantics(catalog):
                 assert r.first_price == r.o_totalprice
             assert (r.second_price is None) == (len(rs) < 2) or r.second_price == rs[1].o_totalprice
         assert abs(rs[-1].cdist - 1.0) < 1e-9
+
+
+def test_exists_semijoin_agg_rewrite_edges(spark, catalog):
+    """The MAX-pre-aggregate form must agree with the literal correlated
+    left_semi on the fixture AND on constructed edges (order with no lines,
+    order whose only shipdates are null, order with one late line)."""
+    from mover_spark.operators.subqueries import exists_semijoin
+
+    ord_ = catalog.df("orders")
+    late = catalog.df("lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("l_shipdate")
+    )
+    literal = (
+        ord_.join(
+            late,
+            (ord_.o_orderkey == late.o_orderkey)
+            & (late.l_shipdate > ord_.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    got = {r.o_orderpriority: r.n_orders for r in exists_semijoin(catalog).collect()}
+    want = {r.o_orderpriority: r.n_orders for r in literal.collect()}
+    assert got == want and got
+
+    orders = spark.createDataFrame(
+        [(1, "2024-01-10", "P"), (2, "2024-01-10", "P"), (3, "2024-01-10", "P")],
+        "o_orderkey long, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+    lines = spark.createDataFrame(
+        [(2, None), (3, "2024-02-01")],  # 1: no lines; 2: only-null shipdate
+        "l_orderkey long, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz"))
+
+    class _MiniCat:
+        def df(self, name):
+            return {"orders": orders, "lineitem": lines}[name]
+
+    rows = exists_semijoin(_MiniCat()).collect()
+    assert [(r.o_orderpriority, r.n_orders) for r in rows] == [("P", 1)]
