@@ -136,20 +136,40 @@ class Engine:
 
             for row in it:
                 url = row["url"]
-                rel = urllib.parse.urlparse(url).path.lstrip("/")
+                split = urllib.parse.urlsplit(url)
+                rel = split.path.lstrip("/")
                 dest = os.path.join(media_dir, rel)
+                if not rel or rel.endswith("/"):
+                    continue  # no file name to mirror — skip, not crash
                 os.makedirs(os.path.dirname(dest) or media_dir, exist_ok=True)
-                try:
-                    # percent-encode unsafe chars (spaces etc.) for the
-                    # request; '%' stays safe so pre-encoded URLs survive.
-                    # The local mirror path keeps the RAW name.
-                    urllib.request.urlretrieve(
-                        urllib.parse.quote(url, safe=":/%?&="), dest
+                # percent-encode unsafe chars (spaces etc.) in the PATH only;
+                # '%' stays safe so pre-encoded URLs survive, query strings
+                # pass through verbatim ('+'/'=' keep their wire meaning) and
+                # the fragment is dropped (never part of the request). The
+                # local mirror path keeps the RAW name.
+                req = urllib.parse.urlunsplit(
+                    (
+                        split.scheme,
+                        split.netloc,
+                        urllib.parse.quote(split.path, safe="/%"),
+                        split.query,
+                        "",
                     )
+                )
+                # download to a sidecar and promote atomically, so a failed
+                # or interrupted fetch can never leave a partial file AND a
+                # retry run can never delete a previously-downloaded good one
+                part = dest + ".part"
+                try:
+                    urllib.request.urlretrieve(req, part)
+                    os.replace(part, dest)
                 except Exception:
-                    # dead link: skip (see docstring); leave no partial file
-                    if os.path.exists(dest):
-                        os.remove(dest)
+                    # dead link: skip (see docstring); drop only our sidecar
+                    try:
+                        if os.path.isfile(part):
+                            os.remove(part)
+                    except OSError:
+                        pass
 
         urls.foreachPartition(fetch)
 

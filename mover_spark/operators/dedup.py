@@ -132,10 +132,14 @@ def normalized_dedup(
     (The previous groupBy + digest-keyed self-join shuffled both sides and
     re-derived the key per side: measured 3.5x slower at sf1.) Group sizes
     are duplicate-set sizes (tiny), so the window sort is per-key trivial
-    and skew-free at any corpus size."""
+    and skew-free at any corpus size. NULL-text docs (md5 -> null) are
+    dropped, exactly as the previous inner self-join on the digest did —
+    without the filter the window would group every null-digest doc into
+    one bogus duplicate cluster."""
     w = Window.partitionBy("__ck")
     return (
         df.select(F.col(id_col), F.md5(canonical_text_col(text_col)).alias("__ck"))
+        .where(F.col("__ck").isNotNull())
         .select(
             id_col,
             F.min(id_col).over(w).alias("canon_id"),
@@ -289,18 +293,26 @@ _LSH_PAIR_CACHE: dict = {}
 
 def clear_dedup_caches() -> None:
     """Unpersist and drop every memoized signature/pair set (e.g. after
-    the corpus changes in place, or to release executor storage)."""
+    the corpus changes in place, or to release executor storage). Entries
+    whose session has already been stopped can't be unpersisted — they are
+    dropped anyway, so a dead entry can never wedge the cache dirty."""
     for cache in (_SIG_CACHE, _LSH_PAIR_CACHE):
         for cached in cache.values():
-            cached.unpersist()
+            try:
+                cached.unpersist()
+            except Exception:
+                pass  # session already stopped — entry is garbage either way
         cache.clear()
 
 
 def _dedup_cache_key(df: DataFrame, *params):
     # semanticHash normalizes expression ids, so two reads of the same
-    # parquet path (equal analyzed plans) share one cache entry
+    # parquet path (equal analyzed plans) share one cache entry. The
+    # session component is the Spark applicationId — unlike id(session),
+    # it can't be recycled by the allocator after a stop()/getOrCreate()
+    # cycle, so a new session never resurrects a dead session's plans.
     return (
-        id(df.sparkSession),
+        df.sparkSession.sparkContext.applicationId,
         df._jdf.queryExecution().analyzed().semanticHash(),
         *params,
     )

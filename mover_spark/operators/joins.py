@@ -254,9 +254,10 @@ def interval_overlap_join(
     bucket_seconds trades explode factor against candidate density and
     should approximate the typical interval length.
 
-    Input hygiene: malformed intervals (end < start) are DROPPED before the
-    explode — F.sequence(lo, hi) would otherwise silently emit a DESCENDING
-    bucket run and junk candidate rows. An interval spanning more than
+    Input hygiene: malformed intervals (end < start) and intervals whose
+    bounds don't parse to a timestamp (unix_timestamp -> null) are DROPPED
+    before the explode — F.sequence(lo, hi) would otherwise silently emit a
+    DESCENDING bucket run and junk candidate rows. An interval spanning more than
     ``max_buckets_per_interval`` buckets (i.e. vastly longer than
     bucket_seconds) fails fast with a runtime error instead of exploding to
     an unbounded row blow-up; raise the cap or widen bucket_seconds for
@@ -266,8 +267,16 @@ def interval_overlap_join(
     w = F.lit(bucket_seconds)
 
     def bucketed(df, s, e, side):
-        lo = F.floor(F.unix_timestamp(F.col(s)) / w)
-        hi = F.floor(F.unix_timestamp(F.col(e)) / w)
+        # string bounds parse via try_to_timestamp: unparseable values give
+        # null (dropped below) instead of an ANSI DateTimeException killing
+        # the job; typed timestamp/date bounds pass through untouched
+        def ts(c):
+            if dict(df.dtypes)[c] == "string":
+                return F.try_to_timestamp(F.col(c))
+            return F.col(c)
+
+        lo = F.floor(F.unix_timestamp(ts(s)) / w)
+        hi = F.floor(F.unix_timestamp(ts(e)) / w)
         span_ok = F.when(
             hi - lo < F.lit(max_buckets_per_interval),
             hi,
@@ -287,10 +296,18 @@ def interval_overlap_join(
                 )
             ).cast("long")
         )
-        return df.where(F.col(e) >= F.col(s)).select(
-            *[F.col(k) for k in keys],
-            *[F.col(c).alias(f"{side}_{c}") for c in df.columns if c not in keys],
-            F.explode(F.sequence(lo, span_ok)).alias("__bucket"),
+        # un-parseable bounds (unix_timestamp -> null, e.g. a string column
+        # in a non-default format) must DROP like any malformed interval —
+        # a null lo/hi would otherwise fall through the span guard's
+        # not-true branch and fire the misleading span-cap error
+        return (
+            df.where(F.col(e) >= F.col(s))
+            .where(lo.isNotNull() & hi.isNotNull())
+            .select(
+                *[F.col(k) for k in keys],
+                *[F.col(c).alias(f"{side}_{c}") for c in df.columns if c not in keys],
+                F.explode(F.sequence(lo, span_ok)).alias("__bucket"),
+            )
         )
 
     lb = bucketed(left, ls, le, "l")

@@ -104,6 +104,43 @@ def quote_literal(v) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _interpolate(sql: str, params) -> str:
+    """psycopg2-compatible placeholder substitution: only ``%s`` consumes a
+    parameter and only ``%%`` escapes a percent; any OTHER ``%`` is passed
+    through literally (e.g. ``LIKE 'a%'``) — where raw Python %-formatting
+    would raise ``unsupported format character``."""
+    out: list[str] = []
+    it = iter(params)
+    i, n = 0, len(sql)
+    used = 0
+    while i < n:
+        c = sql[i]
+        if c == "%" and i + 1 < n:
+            nxt = sql[i + 1]
+            if nxt == "s":
+                try:
+                    out.append(quote_literal(next(it)))
+                except StopIteration:
+                    raise ValueError(
+                        "query has more %s placeholders than parameters"
+                    ) from None
+                used += 1
+                i += 2
+                continue
+            if nxt == "%":
+                out.append("%")
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    if used != len(params):
+        raise ValueError(
+            f"query expects {used} %s placeholder(s), {len(params)} "
+            "parameter(s) given"
+        )
+    return "".join(out)
+
+
 def execute_values(cur, sql: str, rows) -> None:
     """psycopg2.extras.execute_values-shaped: expand the ``VALUES %s``
     placeholder with inlined literal tuples and run the statement once."""
@@ -152,7 +189,7 @@ class Cursor:
 
     def execute(self, sql: str, params=None) -> None:
         if params:
-            sql = sql % tuple(quote_literal(p) for p in params)
+            sql = _interpolate(sql, params)
         self._conn._ensure_tx()
         self.description, self._rows, self.rowcount = self._conn._query(sql)
         self._idx = 0

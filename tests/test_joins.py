@@ -234,3 +234,29 @@ def test_interval_overlap_join_drops_malformed_and_caps_span(spark):
             bucket_seconds=60,
             max_buckets_per_interval=3,  # rid=10 spans 7h of 1-min buckets
         ).collect()
+
+
+def test_interval_overlap_join_drops_unparseable_string_bounds(spark):
+    """String bounds parse through try_to_timestamp: date-only strings
+    (cast semantics) join correctly, genuinely unparseable bounds DROP like
+    malformed intervals — neither crashes with an ANSI DateTimeException or
+    the misleading span-cap error."""
+    from mover_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-02", "2024-01-03"),            # date-only: parses
+         (2, 1, "2024-01-02 00:00:00", "2024-01-02 02:00:00"),
+         (3, 1, "garbage", "junk")],                    # unparseable: drops
+        "lid long, k long, s string, e string",
+    )
+    right = spark.createDataFrame(
+        [(10, 1, "2024-01-02 01:00:00", "2024-01-02 03:00:00")],
+        "rid long, k long, s string, e string",
+    )
+    got = sorted(
+        (r.l_lid, r.r_rid)
+        for r in interval_overlap_join(
+            left, right, ["k"], ("s", "e"), ("s", "e")
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 10)]

@@ -270,3 +270,21 @@ def test_on_conflict_update_live(pg_dsn, spark, tmp_path):
     )
     got = dict(_run(pg_dsn, "SELECT id, v FROM kv ORDER BY id"))
     assert got == {1: "new", 2: "keep", 3: "add"}
+
+
+def test_minipg_interpolate_matches_psycopg2_placeholder_rules():
+    """Only %s consumes a parameter and %% escapes; a literal % elsewhere
+    (LIKE patterns) passes through — raw Python %-formatting would raise."""
+    import pytest
+
+    from mover_spark.sources.minipg import _interpolate
+
+    assert (
+        _interpolate("SELECT * FROM t WHERE name LIKE 'a%' AND id = %s", (5,))
+        == "SELECT * FROM t WHERE name LIKE 'a%' AND id = 5"
+    )
+    assert _interpolate("SELECT '100%%' || %s", ("x",)) == "SELECT '100%' || 'x'"
+    with pytest.raises(ValueError, match="more %s placeholders"):
+        _interpolate("%s + %s", (1,))
+    with pytest.raises(ValueError, match="expects 1"):
+        _interpolate("%s", (1, 2))

@@ -38,7 +38,7 @@ SHIFTS = {
     "customer": {"c_custkey": 2},
     "supplier": {"s_suppkey": 3},
     "part": {"p_partkey": 4},
-    "events": {"event_id": 1, "user_id": 1},
+    "events": {"event_id": 1, "user_id": 2},  # user_id shares c_custkey's shift
     "documents": {"doc_id": 1},
     "embeddings": {"vec_id": 1},
 }
