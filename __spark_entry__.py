@@ -1387,6 +1387,17 @@ def _q_streaming_session(spark, sf_dir):
     return session_batch_parity(spark, sf_dir)
 
 
+def _q_streaming_neardup_probe(spark, sf_dir):
+    """Streaming near-dup detection: the doc stream (every 5th doc_id)
+    probes a STATIC corpus LSH index via a stateless stream-static band
+    join with per-row emit-once + exact-Jaccard verify — identical under
+    any micro-batching, so the oracle is the exact cross-side pair SQL
+    (same recall argument as batch dedup_minhash_lsh)."""
+    from mover_spark.streaming.neardup import neardup_batch_parity
+
+    return neardup_batch_parity(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "seed_query_scan": _q_seed_query_scan,
@@ -1506,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich_join": _q_streaming_enrich_join,
         "streaming_sliding": _q_streaming_sliding,
         "streaming_interval_left_join": _q_streaming_interval_left_join,
+        "streaming_neardup_probe": _q_streaming_neardup_probe,
         "cohort_retention": _q_cohort_retention,
         "train_val_split": _q_train_val_split,
         "curation_pipeline": _q_curation_pipeline,
@@ -2830,6 +2842,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
             "FROM events JOIN customer ON user_id = c_custkey "
             "GROUP BY event_type, c_mktsegment ORDER BY event_type, c_mktsegment"
+        ),
+        "streaming_neardup_probe": (
+            # stateless stream-static LSH probe == exact cross-side pairs
+            # (recall-1 at the fixture's planted j>=0.9 dup similarity)
+            "WITH " + _SHINGLE_CTE + ", "
+            "s AS (SELECT * FROM d WHERE doc_id % 5 = 0), "
+            "c AS (SELECT * FROM d WHERE doc_id % 5 <> 0) "
+            "SELECT a.doc_id AS doc_stream, b.doc_id AS doc_corpus, "
+            "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) "
+            "AS jaccard "
+            "FROM s a JOIN c b ON true "
+            "WHERE jaccard >= 0.8 ORDER BY doc_stream, doc_corpus"
         ),
         "streaming_interval_left_join": (
             "WITH h AS (SELECT MAX(ts) - INTERVAL 3 HOUR AS h FROM events), "

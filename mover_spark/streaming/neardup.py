@@ -1,0 +1,159 @@
+"""Streaming near-duplicate detection: an incoming document stream probed
+against a STATIC corpus LSH index — the continuous-ingestion twin of the
+batch MinHash pipeline (operators/dedup.py), the shape a training-data
+pipeline needs to reject near-dups of an already-collected corpus as new
+data arrives. (The reference, ulule/mover, is strictly batch — this is
+part of the streaming extension surface, like streaming/events.py.)
+
+Scale design — deliberately STATELESS:
+- The corpus index (signature + band buckets) is a static DataFrame,
+  computed once per session via the shared signature memo; at cluster
+  scale it would live as a bucketed table keyed by (band, bucket).
+- Each micro-batch shingles + minhashes its documents with the SAME
+  Arrow-vectorized UDFs as batch, explodes LSH_BANDS rows per doc, and
+  equi-joins the static index on (band, bucket) — a stream-static inner
+  join, which Structured Streaming executes without any state store.
+- A pair colliding in several bands must be emitted exactly once WITHOUT
+  a stateful distinct: both sides carry their per-band bucket-hash
+  arrays, so "is this the FIRST band where the two signatures agree" is
+  a pure per-row predicate (zip_with equality + array_position) — the
+  same emit-once trick the batch interval-overlap join uses.
+- Survivors verify EXACT Jaccard on the two shingle arrays in-row.
+Result: output is identical no matter how the stream is micro-batched,
+append-mode, zero state — so availableNow over the fixture equals the
+batch cross-side pair enumeration, which the DuckDB oracle checks
+exactly (same recall argument as batch dedup_minhash_lsh:
+P(miss | j >= 0.8+0.1) ~ 3e-6 with 12 bands x 4 rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from mover_spark.operators.dedup import (
+    LSH_BANDS,
+    N_MINHASH,
+    _signatures,
+    jaccard_col,
+    minhash_signature_udf,
+    shingles_udf,
+)
+
+_DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+#: stream/corpus split of the documents fixture: every 5th doc "arrives"
+STREAM_MOD = 5
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents fixture as a file stream (glob: FileStreamSource needs a
+    directory or pattern, and the fixture ships both single-file and
+    directory layouts)."""
+    return spark.readStream.schema(_DOCS_SCHEMA).parquet(
+        f"{sf_dir}/documents.parque*"
+    )
+
+
+def _band_hashes(mhs_col: str = "mhs") -> F.Column:
+    """array<long> of LSH_BANDS bucket hashes — band b hashes its
+    rows-per-band signature slice; equality of element b IS bucket
+    collision in band b."""
+    r = N_MINHASH // LSH_BANDS
+    return F.array(
+        *[
+            F.xxhash64(*[F.col(mhs_col)[b * r + i] for i in range(r)])
+            for b in range(LSH_BANDS)
+        ]
+    )
+
+
+def corpus_lsh_index(corpus: DataFrame) -> DataFrame:
+    """Static probe target: one row per (band, bucket) per corpus doc,
+    carrying the doc's shingles (for exact verify) and its full band-hash
+    array (for the emit-once predicate). Built off the session signature
+    memo, so batch dedup consumers and the stream share one signature
+    pass per corpus."""
+    sig = _signatures(corpus)
+    return sig.select(
+        F.col("doc_id").alias("doc_corpus"),
+        F.col("sh").alias("sh_c"),
+        _band_hashes().alias("bh_c"),
+    ).select(
+        "doc_corpus", "sh_c", "bh_c", F.posexplode("bh_c").alias("band", "bucket")
+    )
+
+
+def neardup_detect_stream(
+    stream_docs: DataFrame, index: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """(doc_stream, doc_corpus, jaccard) for every stream document whose
+    exact Jaccard with a corpus document reaches `threshold`, surfaced by
+    LSH band collision. Stateless — see module docstring."""
+    mh = minhash_signature_udf()
+    MERSENNE_P = (1 << 31) - 1
+    sig = (
+        stream_docs.select(
+            F.col("doc_id").alias("doc_stream"),
+            shingles_udf()(F.col("text")).alias("sh_s"),
+        )
+        .where(F.size("sh_s") > 0)
+        .select(
+            "doc_stream",
+            "sh_s",
+            mh(
+                F.transform(
+                    "sh_s", lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
+                )
+            ).alias("mhs"),
+        )
+        .select("doc_stream", "sh_s", _band_hashes().alias("bh_s"))
+        .select(
+            "doc_stream",
+            "sh_s",
+            "bh_s",
+            F.posexplode("bh_s").alias("band", "bucket"),
+        )
+    )
+    joined = sig.join(index, on=["band", "bucket"])
+    first_band = F.array_position(
+        F.zip_with("bh_s", "bh_c", lambda a, b: a == b), F.lit(True)
+    )
+    return (
+        joined.where(first_band == F.col("band") + 1)  # emit-once per pair
+        .withColumn(
+            "jaccard", F.round(jaccard_col(F.col("sh_s"), F.col("sh_c")), 6)
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_stream", "doc_corpus", "jaccard")
+    )
+
+
+def neardup_batch_parity(
+    spark: SparkSession, sf_dir: str, name: str = "neardup_stream"
+) -> DataFrame:
+    """Drain the detector with availableNow and return the result batch
+    DataFrame — the driver-contract entry (hash-checked against the exact
+    cross-side Jaccard pair SQL)."""
+    from mover_spark.catalog import Catalog
+    from mover_spark.streaming.events import run_to_memory
+
+    docs = Catalog(spark, sf_dir).df("documents")
+    corpus = docs.where(F.col("doc_id") % STREAM_MOD != 0)
+    index = corpus_lsh_index(corpus)
+    stream = read_documents_stream(spark, sf_dir).where(
+        F.col("doc_id") % STREAM_MOD == 0
+    )
+    run_to_memory(
+        neardup_detect_stream(stream, index), name, output_mode="append"
+    )
+    return spark.table(name).orderBy("doc_stream", "doc_corpus")

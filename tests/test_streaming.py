@@ -195,3 +195,46 @@ def test_multi_microbatch_agg_equals_batch(spark, catalog, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_streaming_neardup_multibatch_equals_batch(spark, catalog, tmp_path):
+    """The stateless LSH probe must emit the SAME pair set however the
+    stream is micro-batched (maxFilesPerTrigger=1 over 4 files), with no
+    duplicate emissions — the per-row first-agreeing-band predicate is the
+    emit-once mechanism, there is no stateful distinct to save it."""
+    from mover_spark.streaming.neardup import (
+        STREAM_MOD,
+        corpus_lsh_index,
+        neardup_detect_stream,
+    )
+
+    docs = catalog.df("documents")
+    src = str(tmp_path / "docs_src")
+    stream_side = docs.where(F.col("doc_id") % STREAM_MOD == 0)
+    for i in range(4):
+        stream_side.where(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    corpus = docs.where(F.col("doc_id") % STREAM_MOD != 0)
+    index = corpus_lsh_index(corpus)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_to_memory(
+        neardup_detect_stream(stream, index), "t_neardup_mb", "append"
+    )
+    got = [
+        (r.doc_stream, r.doc_corpus, r.jaccard)
+        for r in spark.table("t_neardup_mb").collect()
+    ]
+    assert len(got) == len(set(got)), "emit-once violated across micro-batches"
+
+    # batch answer: same detector expressed as a plain DataFrame pipeline
+    batch = {
+        (r.doc_stream, r.doc_corpus, r.jaccard)
+        for r in neardup_detect_stream(stream_side, index).collect()
+    }
+    assert set(got) == batch and batch, "stream != batch pair set"
