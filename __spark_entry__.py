@@ -784,7 +784,7 @@ def _q_bloom_prefilter_join(spark, sf_dir):
     cat = _catalog(spark, sf_dir)
     li = cat.df("lineitem")
     hot = cat.df("orders").where(F.col("o_totalprice") > 150000)
-    pre = bloom_semi_join(li, hot, "l_orderkey", "o_orderkey", expected=50000, fpp=0.01)
+    pre = bloom_semi_join(li, hot, "l_orderkey", "o_orderkey", fpp=0.01)
     exact = pre.join(
         hot.select(F.col("o_orderkey").alias("l_orderkey")), on=["l_orderkey"], how="left_semi"
     )
