@@ -1626,11 +1626,15 @@ _SHINGLE_CTE = (
     "ELSE CAST([] AS VARCHAR[]) END AS sh FROM documents)"
 )
 
+#: the len(..)>0 guards mirror the Spark side's size(sh)>0 filter: two
+#: <2-word docs would otherwise divide 0/0 -> NaN, which DuckDB orders
+#: ABOVE every number, so a threshold filter would KEEP the junk row
 _PAIRS_CTE = (
     "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
     "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
     "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard "
-    "FROM d a JOIN d b ON a.doc_id < b.doc_id)"
+    "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+    "WHERE len(a.sh) > 0 AND len(b.sh) > 0)"
 )
 
 _JACCARD_PAIRS_SQL = (
@@ -2853,7 +2857,7 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
             "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) "
             "AS jaccard "
-            "FROM s a JOIN c b ON true "
+            "FROM s a JOIN c b ON len(a.sh) > 0 AND len(b.sh) > 0 "
             "WHERE jaccard >= 0.8 ORDER BY doc_stream, doc_corpus"
         ),
         "streaming_interval_left_join": (

@@ -318,27 +318,39 @@ def _dedup_cache_key(df: DataFrame, *params):
     )
 
 
-def _signatures(
+def signature_projection(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, sh, mhs) per non-empty doc — shingle set + 48-value minhash
-    signature — persisted and memoized per corpus plan (see cache notes
-    above)."""
-    key = _dedup_cache_key(df, text_col, id_col)
-    sig = _SIG_CACHE.get(key)
-    if sig is not None:
-        return sig
+    signature — as a plain (non-persisted) projection. THE one definition
+    of the shingle→hash→minhash chain: batch consumers get it memoized
+    via _signatures; the streaming near-dup probe applies it per
+    micro-batch (a streaming DF can't persist). Any change here reaches
+    both sides at once — a second copy of this chain drifting would make
+    stream and corpus band hashes silently never match."""
     sh = df.select(
         F.col(id_col), shingles_udf()(F.col(text_col)).alias("sh")
     ).where(F.size("sh") > 0)
     mh = minhash_signature_udf()
-    sig = sh.select(
+    return sh.select(
         id_col,
         "sh",
         mh(
             F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
         ).alias("mhs"),
-    ).persist()
+    )
+
+
+def _signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """signature_projection, persisted and memoized per corpus plan (see
+    cache notes above)."""
+    key = _dedup_cache_key(df, text_col, id_col)
+    sig = _SIG_CACHE.get(key)
+    if sig is not None:
+        return sig
+    sig = signature_projection(df, text_col, id_col).persist()
     _SIG_CACHE[key] = sig
     return sig
 

@@ -161,13 +161,23 @@ def bloom_semi_join(
                 )
         yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
 
-    parts = filter_side.select(*_hash_pair(filter_col)).mapInPandas(
-        build, "bitmap binary"
-    ).collect()
-    bitmap = np.zeros(words, dtype=np.uint64)
-    for r in parts:
-        bitmap |= np.frombuffer(r.bitmap, dtype=np.uint64)
-    bc = probe.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+    # OR-merge bitmaps executor-side with treeReduce: the driver receives
+    # ONE bitmap, not one per partition. (A collect() here would pull
+    # n_partitions full-size bitmaps — with an auto-sized filter of 100M
+    # keys that is ~120 MB × partitions, a guaranteed maxResultSize /
+    # driver-OOM failure at exactly the scale auto-sizing targets.)
+    merged = (
+        filter_side.select(*_hash_pair(filter_col))
+        .mapInPandas(build, "bitmap binary")
+        .rdd.map(lambda r: r.bitmap)
+        .treeReduce(
+            lambda a, b: (
+                np.frombuffer(a, dtype=np.uint64)
+                | np.frombuffer(b, dtype=np.uint64)
+            ).tobytes()
+        )
+    )
+    bc = probe.sparkSession.sparkContext.broadcast(merged)
 
     @F.pandas_udf("boolean")
     def might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:

@@ -6,19 +6,24 @@ data arrives. (The reference, ulule/mover, is strictly batch — this is
 part of the streaming extension surface, like streaming/events.py.)
 
 Scale design — deliberately STATELESS:
-- The corpus index (signature + band buckets) is a static DataFrame,
-  computed once per session via the shared signature memo; at cluster
-  scale it would live as a bucketed table keyed by (band, bucket).
-- Each micro-batch shingles + minhashes its documents with the SAME
-  Arrow-vectorized UDFs as batch, explodes LSH_BANDS rows per doc, and
-  equi-joins the static index on (band, bucket) — a stream-static inner
-  join, which Structured Streaming executes without any state store.
-- A pair colliding in several bands must be emitted exactly once WITHOUT
-  a stateful distinct: both sides carry their per-band bucket-hash
-  arrays, so "is this the FIRST band where the two signatures agree" is
-  a pure per-row predicate (zip_with equality + array_position) — the
-  same emit-once trick the batch interval-overlap join uses.
-- Survivors verify EXACT Jaccard on the two shingle arrays in-row.
+- The corpus index is LEAN: (doc, band, bucket, band-hash array) — 12
+  rows of a few longs per doc, no text payload; at cluster scale it
+  lives as a bucketed table keyed by (band, bucket). Shingle arrays are
+  fetched by a SECOND stream-static join only for the few rows that
+  survive banding + emit-once — corpus text is never duplicated 12×
+  across band rows.
+- Each micro-batch shingles + minhashes its documents with THE SAME
+  projection as batch (dedup.signature_projection — one definition, so
+  stream and corpus band hashes can never drift apart), explodes
+  LSH_BANDS rows per doc, and equi-joins the static index on
+  (band, bucket): a stream-static inner join, no state store.
+- A pair colliding in several bands must be emitted exactly once
+  WITHOUT a stateful distinct: both sides carry their per-band
+  bucket-hash arrays, so "is this the FIRST band where the two
+  signatures agree" is a pure per-row predicate (zip_with equality +
+  array_position) — the same emit-once trick the batch interval-overlap
+  join uses.
+- Survivors verify EXACT Jaccard on the two shingle arrays.
 Result: output is identical no matter how the stream is micro-batched,
 append-mode, zero state — so availableNow over the fixture equals the
 batch cross-side pair enumeration, which the DuckDB oracle checks
@@ -37,8 +42,7 @@ from mover_spark.operators.dedup import (
     N_MINHASH,
     _signatures,
     jaccard_col,
-    minhash_signature_udf,
-    shingles_udf,
+    signature_projection,
 )
 
 _DOCS_SCHEMA = StructType(
@@ -77,52 +81,45 @@ def _band_hashes(mhs_col: str = "mhs") -> F.Column:
     )
 
 
-def corpus_lsh_index(corpus: DataFrame) -> DataFrame:
-    """Static probe target: one row per (band, bucket) per corpus doc,
-    carrying the doc's shingles (for exact verify) and its full band-hash
-    array (for the emit-once predicate). Built off the session signature
-    memo, so batch dedup consumers and the stream share one signature
-    pass per corpus."""
+def corpus_lsh_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(index, shingles): the lean probe target — one (band, bucket) row
+    per corpus doc per band carrying only the doc id and its band-hash
+    array — plus the (doc, shingles) side table verification joins
+    against AFTER emit-once pruning. Both build off the session
+    signature memo, so batch dedup consumers and the stream share one
+    signature pass per corpus."""
     sig = _signatures(corpus)
-    return sig.select(
-        F.col("doc_id").alias("doc_corpus"),
-        F.col("sh").alias("sh_c"),
-        _band_hashes().alias("bh_c"),
+    index = sig.select(
+        F.col("doc_id").alias("doc_corpus"), _band_hashes().alias("bh_c")
     ).select(
-        "doc_corpus", "sh_c", "bh_c", F.posexplode("bh_c").alias("band", "bucket")
+        "doc_corpus", "bh_c", F.posexplode("bh_c").alias("band", "bucket")
     )
+    shingles = sig.select(
+        F.col("doc_id").alias("doc_corpus"), F.col("sh").alias("sh_c")
+    )
+    return index, shingles
 
 
 def neardup_detect_stream(
-    stream_docs: DataFrame, index: DataFrame, threshold: float = 0.8
+    stream_docs: DataFrame,
+    index: DataFrame,
+    corpus_shingles: DataFrame,
+    threshold: float = 0.8,
 ) -> DataFrame:
     """(doc_stream, doc_corpus, jaccard) for every stream document whose
     exact Jaccard with a corpus document reaches `threshold`, surfaced by
     LSH band collision. Stateless — see module docstring."""
-    mh = minhash_signature_udf()
-    MERSENNE_P = (1 << 31) - 1
-    sig = (
-        stream_docs.select(
-            F.col("doc_id").alias("doc_stream"),
-            shingles_udf()(F.col("text")).alias("sh_s"),
-        )
-        .where(F.size("sh_s") > 0)
-        .select(
-            "doc_stream",
-            "sh_s",
-            mh(
-                F.transform(
-                    "sh_s", lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
-                )
-            ).alias("mhs"),
-        )
-        .select("doc_stream", "sh_s", _band_hashes().alias("bh_s"))
-        .select(
-            "doc_stream",
-            "sh_s",
-            "bh_s",
-            F.posexplode("bh_s").alias("band", "bucket"),
-        )
+    sig = signature_projection(
+        stream_docs.select(F.col("doc_id"), F.col("text"))
+    ).select(
+        F.col("doc_id").alias("doc_stream"),
+        F.col("sh").alias("sh_s"),
+        _band_hashes().alias("bh_s"),
+    ).select(
+        "doc_stream",
+        "sh_s",
+        "bh_s",
+        F.posexplode("bh_s").alias("band", "bucket"),
     )
     joined = sig.join(index, on=["band", "bucket"])
     first_band = F.array_position(
@@ -130,6 +127,7 @@ def neardup_detect_stream(
     )
     return (
         joined.where(first_band == F.col("band") + 1)  # emit-once per pair
+        .join(corpus_shingles, on=["doc_corpus"])      # late shingle fetch
         .withColumn(
             "jaccard", F.round(jaccard_col(F.col("sh_s"), F.col("sh_c")), 6)
         )
@@ -138,9 +136,13 @@ def neardup_detect_stream(
     )
 
 
-def neardup_batch_parity(
-    spark: SparkSession, sf_dir: str, name: str = "neardup_stream"
-) -> DataFrame:
+#: monotone drain names, same convention as streaming/events.py — a fixed
+#: queryName would collide on concurrent drains and let a holder of run
+#: 1's DataFrame read run 2's partially-filled replacement sink
+_DRAIN_SEQ = [0]
+
+
+def neardup_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the detector with availableNow and return the result batch
     DataFrame — the driver-contract entry (hash-checked against the exact
     cross-side Jaccard pair SQL)."""
@@ -149,11 +151,15 @@ def neardup_batch_parity(
 
     docs = Catalog(spark, sf_dir).df("documents")
     corpus = docs.where(F.col("doc_id") % STREAM_MOD != 0)
-    index = corpus_lsh_index(corpus)
+    index, corpus_shingles = corpus_lsh_index(corpus)
     stream = read_documents_stream(spark, sf_dir).where(
         F.col("doc_id") % STREAM_MOD == 0
     )
+    _DRAIN_SEQ[0] += 1
+    name = f"neardup_stream_{_DRAIN_SEQ[0]}"
     run_to_memory(
-        neardup_detect_stream(stream, index), name, output_mode="append"
+        neardup_detect_stream(stream, index, corpus_shingles),
+        name,
+        output_mode="append",
     )
     return spark.table(name).orderBy("doc_stream", "doc_corpus")

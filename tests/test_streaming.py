@@ -217,14 +217,16 @@ def test_streaming_neardup_multibatch_equals_batch(spark, catalog, tmp_path):
         ).parquet(src)
 
     corpus = docs.where(F.col("doc_id") % STREAM_MOD != 0)
-    index = corpus_lsh_index(corpus)
+    index, corpus_shingles = corpus_lsh_index(corpus)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
     run_to_memory(
-        neardup_detect_stream(stream, index), "t_neardup_mb", "append"
+        neardup_detect_stream(stream, index, corpus_shingles),
+        "t_neardup_mb",
+        "append",
     )
     got = [
         (r.doc_stream, r.doc_corpus, r.jaccard)
@@ -235,6 +237,6 @@ def test_streaming_neardup_multibatch_equals_batch(spark, catalog, tmp_path):
     # batch answer: same detector expressed as a plain DataFrame pipeline
     batch = {
         (r.doc_stream, r.doc_corpus, r.jaccard)
-        for r in neardup_detect_stream(stream_side, index).collect()
+        for r in neardup_detect_stream(stream_side, index, corpus_shingles).collect()
     }
     assert set(got) == batch and batch, "stream != batch pair set"
