@@ -72,6 +72,44 @@ STAR_SIDECAR: dict = {
 }
 
 
+def _footer_schema(path: str):
+    """Parquet footer schema for a file OR directory table (directory:
+    probe the first part file — one footer describes them all)."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(path):
+        parts = sorted(
+            p
+            for p in _glob.glob(_os.path.join(path, "*"))
+            if _os.path.isfile(p) and not _os.path.basename(p).startswith(("_", "."))
+        )
+        if not parts:
+            raise FileNotFoundError(path)
+        path = parts[0]
+    return pq.read_schema(path)
+
+
+def parquet_ts_unit(path_or_glob: str, col: str) -> str:
+    """Time unit ('ns'/'us'/...) of a timestamp column, from the parquet
+    footer. THE one probe shared by the batch reader (read_table) and the
+    streaming sources — two diverging copies of this rule would let batch
+    and stream disagree on the unit and silently break their parity. An
+    int64 physical column is reported as 'ns' (the legacy nanosAsLong
+    rendering of TIMESTAMP(NANOS) fixtures); unknown/missing -> 'us'."""
+    import glob as _glob
+
+    for path in sorted(_glob.glob(path_or_glob)):
+        try:
+            field = _footer_schema(path).field(col)
+        except Exception:
+            continue
+        if pa.types.is_timestamp(field.type):
+            return field.type.unit
+        return "ns"  # int64 physical column => legacy nanos fixture
+    return "us"
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet table, normalizing nanosecond timestamps.
 
@@ -85,7 +123,7 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     try:
-        footer = pq.read_schema(path)
+        footer = _footer_schema(path)
     except Exception:
         return df
     for field in footer:

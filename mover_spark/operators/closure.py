@@ -116,7 +116,18 @@ class _KeySets:
 
     def __init__(self):
         self._sets: dict[tuple[str, tuple[str, ...]], DataFrame] = {}
-        self._since_checkpoint = 0
+        #: per-key-set update counters: the lineage cut must fire on the
+        #: key set whose union chain actually grew 20 layers — one global
+        #: counter let a hot key reset it every round while a
+        #: touched-once-per-iteration set accumulated unbounded lineage
+        #: (linear plan depth -> quadratic planning -> StackOverflow on
+        #: deep FK graphs, exactly what the checkpoint exists to prevent)
+        self._since_checkpoint: dict[tuple[str, tuple[str, ...]], int] = {}
+        #: persisted union components per key set, released when a
+        #: localCheckpoint materializes the union and makes them dead —
+        #: without this every per-edge key batch stays pinned in executor
+        #: storage for the life of the extract
+        self._components: dict[tuple[str, tuple[str, ...]], list[DataFrame]] = {}
 
     def novel(self, table: str, cols: list[str], keys: DataFrame) -> DataFrame:
         """Anti-join `keys` against the seen set, record them, return the new
@@ -130,10 +141,13 @@ class _KeySets:
             keys = keys.join(seen, on=cols, how="left_anti")
         keys = keys.persist()
         self._sets[k] = keys if seen is None else seen.unionByName(keys)
-        self._since_checkpoint += 1
-        if self._since_checkpoint >= 20:  # cut iterative lineage
+        self._components.setdefault(k, []).append(keys)
+        self._since_checkpoint[k] = self._since_checkpoint.get(k, 0) + 1
+        if self._since_checkpoint[k] >= 20:  # cut iterative lineage
             self._sets[k] = self._sets[k].localCheckpoint(eager=True)
-            self._since_checkpoint = 0
+            self._since_checkpoint[k] = 0
+            for comp in self._components.pop(k, []):
+                comp.unpersist()
         return keys
 
     def record(self, table: str, cols: list[str], keys: DataFrame) -> None:
@@ -167,15 +181,28 @@ def extract_closure(
     """
     schema_config = schema_config or {}
     seen = _KeySets()
-    seen_sql: set[str] = set()  # query-text memoization (extractor.go:146-156)
+    # (target table, query text) memoization (extractor.go:146-156)
+    seen_sql: set[tuple[str, str]] = set()
     extracted: dict[str, DataFrame] = {}
     frontiers: list[_Frontier] = []
 
     for t, df in seeds:
         pks = catalog.table(t).primary_keys
-        seen.record(t, pks, df.select(*pks))
-        frontiers.append(_Frontier(t, df.persist(), 0))
-        extracted[t] = df
+        # a seed query may project the PK away (the reference iterates the
+        # row map and simply skips absent attrs, extractor.go:107-129) —
+        # such seeds still expand, they just can't pre-memoize their PKs
+        if all(c in df.columns for c in pks):
+            seen.record(t, pks, df.select(*pks))
+        df = df.persist()
+        frontiers.append(_Frontier(t, df, 0))
+        # same table seeded twice: UNION, don't overwrite — dropping the
+        # first seed's rows from the output while still expanding them
+        # would silently truncate the extract envelope
+        extracted[t] = (
+            df
+            if t not in extracted
+            else extracted[t].unionByName(df, allowMissingColumns=True)
+        )
 
     iteration = 0
     while frontiers:
@@ -185,10 +212,13 @@ def extract_closure(
                 f"closure did not converge in {max_iterations} iterations"
             )
 
-        # Merge same-(table, depth-class) frontiers to cut join count.
-        merged: dict[tuple[str, bool], _Frontier] = {}
+        # Merge same-(table, depth-class, column-set) frontiers to cut join
+        # count (the column set is part of the key so two seeds of one
+        # table with different projections merge with themselves, not
+        # against each other — unionByName would throw).
+        merged: dict[tuple[str, bool, tuple[str, ...]], _Frontier] = {}
         for fr in frontiers:
-            key = (fr.table, fr.depth == 0)
+            key = (fr.table, fr.depth == 0, tuple(sorted(fr.df.columns)))
             if key in merged:
                 prev = merged[key]
                 merged[key] = _Frontier(
@@ -198,7 +228,7 @@ def extract_closure(
                 merged[key] = fr
         frontiers = []
 
-        for (table, _is_seed), fr in merged.items():
+        for (table, _is_seed, _cols), fr in merged.items():
             rows = fr.df
             tmeta = catalog.table(table)
             cfg = schema_config.get(table, SchemaConfig(table))
@@ -231,6 +261,11 @@ def extract_closure(
             for fk in tmeta.foreign_keys:
                 if fk.ref_table not in catalog.tables:
                     continue
+                # a projected seed may lack this FK's columns — skip the
+                # edge like the reference skips attrs absent from the row
+                # map (extractor.go:107-129), don't crash the extract
+                if not all(c in rows.columns for c in fk.cols):
+                    continue
                 cond = F.lit(True)
                 for c in fk.cols:  # nil FK values skipped (extractor.go:107-109)
                     cond = cond & F.col(c).isNotNull()
@@ -249,6 +284,8 @@ def extract_closure(
                     if rk.name == name and rk not in ref_keys:
                         ref_keys.append(rk)
             for rk in ref_keys:
+                if not all(c in rows.columns for c in rk.parent_cols):
+                    continue  # projected frontier lacks the parent columns
                 keys = rows.select(
                     *[F.col(p).alias(c) for p, c in zip(rk.parent_cols, rk.child_cols)]
                 )
@@ -271,7 +308,20 @@ def extract_closure(
                     keys = rows.select(*[F.col(a).alias(c) for c, a in pairs])
                     _fetch(qtable, cols, keys, fr.depth + 1)
                 else:
-                    attrs = sorted(set(ATTR_RE.findall(template)) & set(rows.columns))
+                    tmpl_attrs = set(ATTR_RE.findall(template))
+                    missing = sorted(tmpl_attrs - set(rows.columns))
+                    if missing:
+                        # substituting only the known attrs would leave
+                        # literal '{x}' in the SQL and die later in the
+                        # parser with an opaque error — fail at the config
+                        # boundary with the actual problem instead
+                        raise RuntimeError(
+                            f"config query for {qtable!r} references "
+                            f"attrs {missing} not present on frontier "
+                            f"table {table!r} (columns: "
+                            f"{sorted(rows.columns)}): {template!r}"
+                        )
+                    attrs = sorted(tmpl_attrs)
                     tuples = (
                         rows.select(*attrs)
                         .distinct()
@@ -290,9 +340,14 @@ def extract_closure(
                         sql = template
                         for a in attrs:
                             sql = sql.replace("{%s}" % a, _format_value(vals[a]))
-                        if sql in seen_sql:
+                        # memoize per TARGET table, as the reference keys
+                        # its cache e.extract[tableName][query+args]
+                        # (extractor.go:146-156) — a global key would skip
+                        # the second table when two tables declare an
+                        # identical template
+                        if (qtable, sql) in seen_sql:
                             continue
-                        seen_sql.add(sql)
+                        seen_sql.add((qtable, sql))
                         sub = spark.sql(sql).persist()
                         if sub.isEmpty():
                             sub.unpersist()
@@ -302,17 +357,34 @@ def extract_closure(
                             if qtable not in extracted
                             else extracted[qtable].unionByName(sub)
                         )
-                        frontiers.append(_Frontier(qtable, sub, fr.depth + 1))
+                        # a target outside the catalog still extracts, but
+                        # can't expand (no FK metadata to walk)
+                        if qtable in catalog.tables:
+                            frontiers.append(
+                                _Frontier(qtable, sub, fr.depth + 1)
+                            )
 
     return extracted
 
 
 def _format_value(v) -> str:
-    """Go-%v-style substitution (etl/sanitizer.go:110-124); SQL-quoted."""
+    """Go-%v-style substitution (etl/sanitizer.go:110-124); SQL-quoted.
+    Dates/timestamps quote as ISO literals and bools render as SQL
+    keywords — str() would splice `o_orderdate = 1995-03-15` into the
+    query, which the parser happily evaluates as integer subtraction
+    (1977) and silently matches nothing."""
+    import datetime as _dt
+
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, _dt.datetime):
+        return "'" + v.isoformat(sep=" ") + "'"
+    if isinstance(v, _dt.date):
+        return "'" + v.isoformat() + "'"
     return str(v)
 
 

@@ -51,24 +51,14 @@ def _events_schema(ts_unit: str) -> StructType:
 
 
 def _ts_unit(sf_dir: str) -> str:
-    """Probe the parquet footer for the `ts` time unit, exactly as the batch
-    reader does (catalog.py read_table) — the fixtures have shipped both
-    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) over time, and streams pin an
-    explicit schema so the unit must be decided up front."""
-    import glob as _glob
+    """`ts` time unit of the events fixture — delegates to the catalog's
+    shared footer probe so the batch reader and the stream can never
+    disagree on the unit (the fixtures have shipped both TIMESTAMP(NANOS)
+    and TIMESTAMP(MICROS) over time, and streams pin an explicit schema
+    so the unit must be decided up front)."""
+    from mover_spark.catalog import parquet_ts_unit
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    for path in sorted(_glob.glob(f"{sf_dir}/events.parque*")):
-        try:
-            field = pq.read_schema(path).field("ts")
-        except Exception:
-            continue
-        if pa.types.is_timestamp(field.type):
-            return field.type.unit
-        return "ns"  # int64 physical column => legacy nanos fixture
-    return "us"
+    return parquet_ts_unit(f"{sf_dir}/events.parque*", "ts")
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,10 +119,15 @@ QUANT = 10_000
 def _quantize(values) -> int:
     """round-half-away-from-zero(value * QUANT) summed as int64 — mirrors
     FLOOR(ABS(v)*QUANT + 0.5)*SIGN(v) exactly (numpy's own round() is
-    half-even; Spark/DuckDB round half away from zero)."""
+    half-even; Spark/DuckDB round half away from zero). Null values SKIP,
+    exactly like the batch F.sum they must agree with: the schema's
+    DoubleType is nullable and this is the at-least-once ingest path —
+    without the mask a single NULL renders as NaN, and NaN.astype(int64)
+    is INT64_MIN, silently wrecking the running total."""
     import numpy as np
 
     v = values.to_numpy(dtype="float64")
+    v = v[~np.isnan(v)]
     q = np.floor(np.abs(v) * QUANT + 0.5) * np.sign(v)
     return int(q.astype("int64").sum())
 

@@ -237,3 +237,80 @@ def test_config_query_fallback_cap(spark, catalog, monkeypatch):
     seed_many = catalog.df("nation").where(F.col("n_nationkey") <= 10)
     with pytest.raises(RuntimeError, match="cardinality"):
         extract_closure(spark, catalog, [("nation", seed_many)], cfg)
+
+
+def test_duplicate_seed_tables_union_not_overwrite(spark, catalog):
+    """Two seeds over the same table must BOTH appear in the output (the
+    old dict assignment silently dropped the first seed's rows while
+    still expanding them)."""
+    a = catalog.df("customer").where(F.col("c_custkey").between(1, 5))
+    b = catalog.df("customer").where(F.col("c_custkey").between(100, 104))
+    out = extract_closure(spark, catalog, [("customer", a), ("customer", b)])
+    got = {r.c_custkey for r in out["customer"].select("c_custkey").collect()}
+    assert got == set(range(1, 6)) | set(range(100, 105))
+
+
+def test_projected_seed_skips_absent_fk_edges(spark, catalog):
+    """A seed that projects away FK/PK columns must still extract (the
+    reference iterates the row map and skips absent attrs,
+    extractor.go:107-129) — present FK edges expand, absent ones skip."""
+    seed = (
+        catalog.df("orders")
+        .where(F.col("o_orderkey") <= 100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    out = extract_closure(spark, catalog, [("orders", seed)])
+    assert "customer" in out  # o_custkey FK present -> expanded
+    assert out["orders"].count() == seed.count()
+
+
+def test_format_value_quotes_dates_and_bools():
+    import datetime
+
+    from mover_spark.operators.closure import _format_value
+
+    assert _format_value(datetime.date(1995, 3, 15)) == "'1995-03-15'"
+    assert (
+        _format_value(datetime.datetime(1995, 3, 15, 12, 30))
+        == "'1995-03-15 12:30:00'"
+    )
+    assert _format_value(True) == "TRUE"
+    assert _format_value(False) == "FALSE"
+    assert _format_value(None) == "NULL"
+    assert _format_value("o'brien") == "'o''brien'"
+    assert _format_value(7) == "7"
+
+
+def test_config_query_missing_attr_fails_loudly(spark, catalog):
+    """A fallback template referencing an attr the frontier lacks must
+    raise a clear config error, not leave '{x}' for the SQL parser."""
+    seed = catalog.df("nation").where(F.col("n_nationkey") <= 2)
+    cfg = {
+        "nation": SchemaConfig(
+            "nation",
+            queries=[("region", "SELECT * FROM region WHERE r_comment = {nope} OR 1=0")],
+        )
+    }
+    with pytest.raises(RuntimeError, match="nope.*not present"):
+        extract_closure(spark, catalog, [("nation", seed)], cfg)
+
+
+def test_same_template_two_tables_extracts_both(spark, catalog):
+    """The reference caches per TARGET table (extractor.go:146-156): an
+    identical non-compilable template on two targets must run for both."""
+    seed = catalog.df("nation").where(F.col("n_nationkey") == 1)
+    tmpl = "SELECT * FROM region WHERE r_regionkey = {n_regionkey} OR 1=0"
+    cfg = {
+        "nation": SchemaConfig(
+            "nation", queries=[("region", tmpl), ("region2", tmpl)]
+        )
+    }
+    spark.sql("DROP VIEW IF EXISTS region2")
+    catalog.df("region").createOrReplaceTempView("region2_src")
+    # register an alias view so the second target resolves
+    spark.sql("CREATE TEMP VIEW region2 AS SELECT * FROM region2_src")
+    out = extract_closure(spark, catalog, [("nation", seed)], cfg)
+    assert "region" in out and "region2" in out
+    # region2 gets exactly the config-query row (region additionally
+    # receives nation's FK-fetched parent, so counts differ by design)
+    assert out["region2"].count() == 1
