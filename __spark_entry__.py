@@ -2283,7 +2283,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(value * value AS DECIMAL(30,4))) AS DOUBLE) AS s2 "
             "FROM events GROUP BY event_type), "
             "s AS (SELECT et, s1 / n AS mean_v, "
-            "sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std_v FROM m) "
+            "CASE WHEN n > 1 THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) "
+            "END AS std_v FROM m) "
             "SELECT event_type, COUNT(*) AS n_events, "
             "CAST(SUM(CASE WHEN ABS(value - mean_v) > 3.0 * std_v THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_outliers, "
@@ -2476,10 +2477,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM s GROUP BY user_id, sid"
         ),
         "events_json_props": (
+            # TRY_CAST mirrors the Spark side: malformed props aggregate
+            # as NULL instead of aborting the query
             "SELECT event_type, COUNT(*) AS n_events, "
-            "CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k, "
-            "MIN(CAST(props->>'k' AS INT)) AS min_k, "
-            "MAX(CAST(props->>'k' AS INT)) AS max_k "
+            "CAST(SUM(TRY_CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k, "
+            "MIN(TRY_CAST(props->>'k' AS INT)) AS min_k, "
+            "MAX(TRY_CAST(props->>'k' AS INT)) AS max_k "
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "streaming_session": (
@@ -2671,13 +2674,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, {lang_case} AS pred_lang, {best} AS score FROM s"
         ),
         "text_stats": (
-            "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w, "
-            "length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct, "
+            # empty tokens filtered and \p{L}\p{N} punctuation classes —
+            # both mirror operators/text.py exactly (see its docstrings)
+            "WITH t AS (SELECT doc_id, text, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS w, "
+            "length(regexp_replace(text, '[\\p{L}\\p{N} ]', '', 'g')) AS punct, "
             "length(text) AS tl FROM documents) "
             "SELECT doc_id, len(w) AS n_words, "
-            "ROUND(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 6) AS avg_word_len, "
+            "ROUND(CASE WHEN len(w) > 0 THEN "
+            "CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) END, 6) AS avg_word_len, "
             "ROUND(CASE WHEN tl > 0 THEN CAST(punct AS DOUBLE) / tl ELSE 0.0 END, 6) AS punct_ratio, "
-            f"ROUND(CAST(len(list_filter(w, x -> list_contains({en}, x))) AS DOUBLE) / len(w), 6) AS stopword_ratio, "
+            f"ROUND(CASE WHEN len(w) > 0 THEN "
+            f"CAST(len(list_filter(w, x -> list_contains({en}, x))) AS DOUBLE) / len(w) END, 6) AS stopword_ratio, "
             "ROUND((CAST(LEAST(len(w), 100) AS DOUBLE) / 100.0) * "
             "(1.0 - CASE WHEN tl > 0 THEN CAST(punct AS DOUBLE) / tl ELSE 0.0 END), 6) AS quality_score "
             "FROM t"
@@ -2726,9 +2734,10 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"{scores[lang]} AS s_{lang}" for lang in sorted(markers))
             + " FROM documents), "
             f"l AS (SELECT doc_id, {lang_case} AS pred_lang FROM s), "
-            "t AS (SELECT doc_id, ROUND((CAST(LEAST(len(string_split(text, ' ')), 100) "
+            "t AS (SELECT doc_id, ROUND((CAST(LEAST("
+            "len(list_filter(string_split(text, ' '), x -> x <> '')), 100) "
             "AS DOUBLE) / 100.0) * (1.0 - CASE WHEN length(text) > 0 THEN "
-            "CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) "
+            "CAST(length(regexp_replace(text, '[\\p{L}\\p{N} ]', '', 'g')) AS DOUBLE) "
             "/ length(text) ELSE 0.0 END), 6) AS q FROM documents), "
             "keep AS (SELECT d.doc_id, d.text, d.n_chars FROM documents d "
             "JOIN l USING (doc_id) JOIN t USING (doc_id) "
@@ -2794,15 +2803,19 @@ def oracle_sql() -> dict[str, str]:
             "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
             "'@example.com or 555-123-4567 ssn 123-45-6789' ELSE text END AS t "
             "FROM documents) "
-            "SELECT doc_id, "
+            # counts are ORDERED (each pattern counted on the text as the
+            # earlier redactions left it), matching the Spark side: the
+            # audit must reconcile with the tokens actually written
+            ", t1 AS (SELECT doc_id, "
             "len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email, "
+            "regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t FROM s), "
+            "t2 AS (SELECT doc_id, n_email, "
             "len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn, "
+            "regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS t FROM t1) "
+            "SELECT doc_id, n_email, n_ssn, "
             "len(regexp_extract_all(t, '\\+?\\d[\\d\\- ]{7,14}\\d')) AS n_phone, "
-            "regexp_replace(regexp_replace(regexp_replace(t, "
-            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
-            "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'), "
-            "'\\+?\\d[\\d\\- ]{7,14}\\d', '[PHONE]', 'g') AS clean_text "
-            "FROM s ORDER BY doc_id"
+            "regexp_replace(t, '\\+?\\d[\\d\\- ]{7,14}\\d', '[PHONE]', 'g') AS clean_text "
+            "FROM t2 ORDER BY doc_id"
         ),
         "decontaminate_ngram": (
             "WITH sh AS (SELECT doc_id, unnest(list_transform("

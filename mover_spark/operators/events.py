@@ -211,7 +211,11 @@ def json_prop_stats(cat: Catalog) -> DataFrame:
     """JSON prop extraction + aggregation (mover passes jsonb through
     opaquely; we query into it with get_json_object — JVM-side, codegen)."""
     ev = cat.df("events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast, not cast: under ANSI mode a non-integer prop ({"k": 87.5}
+    # or {"k": "n/a"}) would throw CAST_INVALID_INPUT and kill the whole
+    # aggregation; malformed values must aggregate as NULL (the DuckDB
+    # oracle mirrors with TRY_CAST)
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS int)")
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
@@ -279,9 +283,17 @@ def outlier_events(cat: Catalog, sigmas: float = 3.0) -> DataFrame:
     ).select(
         "et",
         (F.col("s1") / F.col("n")).alias("mean_v"),
-        F.sqrt(
-            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-            / (F.col("n") - 1)
+        # n=1 groups have no sample stddev: guard the (n-1) division —
+        # under the ANSI mode this repo runs, a bare divide would throw
+        # DIVIDE_BY_ZERO for any event type with exactly one event. NULL
+        # matches STDDEV_SAMP's single-row answer on every engine, and a
+        # null std_v makes the 3-sigma comparison null -> no outliers.
+        F.when(
+            F.col("n") > 1,
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
         ).alias("std_v"),
     )
     joined = ev.join(F.broadcast(stats), ev.event_type == stats.et)
@@ -375,6 +387,6 @@ def windowed_funnel(
     )
     return (
         t1.agg(F.count(F.lit(1)).alias("n_step1"))
-        .join(t2.agg(F.count(F.lit(1)).alias("n_step2")))
-        .join(t3.agg(F.count(F.lit(1)).alias("n_step3")))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_step2")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_step3")))
     )

@@ -96,11 +96,16 @@ def brute_force_topk(
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qc"))
         .withColumn("cnorm", F.sqrt(qdot(F.col("qc"), F.col("qc")).cast("double")))
+        .where(F.col("cnorm") > 0)  # zero-norm: cosine undefined; ANSI div guard
         .repartition(par)  # nested-loop parallelism follows the corpus side
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("qq")
-    ).withColumn("qnorm", F.sqrt(qdot(F.col("qq"), F.col("qq")).cast("double")))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("qq")
+        )
+        .withColumn("qnorm", F.sqrt(qdot(F.col("qq"), F.col("qq")).cast("double")))
+        .where(F.col("qnorm") > 0)  # zero-norm: cosine undefined; ANSI div guard
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -204,13 +209,21 @@ def ivf_topk(
     # norms ride along through the join: the per-candidate re-rank then costs
     # ONE dot-product aggregate instead of three (higher-order functions are
     # interpreted, not codegen'd — tripling them tripled the hot-path cost)
-    assigned = c.withColumn(
-        "cnorm", F.sqrt(qdot(F.col("qc"), F.col("qc")).cast("double"))
-    ).withColumn("cid", ranked(F.col("qc"))[0])
+    assigned = (
+        c.withColumn(
+            "cnorm", F.sqrt(qdot(F.col("qc"), F.col("qc")).cast("double"))
+        )
+        .where(F.col("cnorm") > 0)  # zero-norm: cosine undefined; ANSI guard
+        .withColumn("cid", ranked(F.col("qc"))[0])
+    )
     q = queries.select(F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("qq"))
-    probes = q.withColumn(
-        "qnorm", F.sqrt(qdot(F.col("qq"), F.col("qq")).cast("double"))
-    ).withColumn("cid", F.explode(F.slice(ranked(F.col("qq")), 1, n_probe)))
+    probes = (
+        q.withColumn(
+            "qnorm", F.sqrt(qdot(F.col("qq"), F.col("qq")).cast("double"))
+        )
+        .where(F.col("qnorm") > 0)  # zero-norm: cosine undefined; ANSI guard
+        .withColumn("cid", F.explode(F.slice(ranked(F.col("qq")), 1, n_probe)))
+    )
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -259,7 +272,7 @@ def lsh_topk(
 
     probes=0 searches only the query's own bucket; probes=1 additionally
     searches the n_planes hamming-1 buckets (recall up, cost x(n+1) — still
-    linear). `n_planes` defaults to the baked 6-plane/64-bucket setting (the
+    linear); probes=2 adds the C(n_planes, 2) hamming-2 buckets. `n_planes` defaults to the baked 6-plane/64-bucket setting (the
     oracle-checked test-SF configuration); pass
     ``auto_lsh_planes(corpus_size)`` to size buckets to the data instead.
     """
@@ -274,17 +287,33 @@ def lsh_topk(
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qc"))
         .withColumn("cnorm", F.sqrt(qdot(F.col("qc"), F.col("qc")).cast("double")))
+        .where(F.col("cnorm") > 0)  # zero-norm: cosine undefined; ANSI div guard
         .withColumn("bucket", _signature(F.col("qc"), planes))
     )
     q = (
         queries.select(F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("qq"))
         .withColumn("qnorm", F.sqrt(qdot(F.col("qq"), F.col("qq")).cast("double")))
+        .where(F.col("qnorm") > 0)  # zero-norm: cosine undefined; ANSI div guard
         .withColumn("sig", _signature(F.col("qq"), planes))
     )
 
+    # probes = max hamming radius of probed buckets: 0 -> own bucket only,
+    # 1 -> + all single-bit flips, 2 -> + all two-bit flips (C(n,2)); it
+    # previously capped silently at radius 1, making probes=2,3 a no-op lie
+    if probes > 2:
+        raise ValueError(
+            f"lsh_topk supports probe radius 0-2, got {probes} "
+            f"(C(n_planes, r) buckets per query grows combinatorially)"
+        )
     flips = [F.col("sig")]
     if probes >= 1:
         flips += [F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_pl)]
+    if probes >= 2:
+        flips += [
+            F.col("sig").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_pl)
+            for j in range(i + 1, n_pl)
+        ]
     q = q.withColumn("bucket", F.explode(F.array(*flips)))
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -23,7 +23,12 @@ LANG_MARKERS: dict[str, list[str]] = {
     "zh": ["的", "了", "是", "我", "在", "有", "他", "这"],
 }
 
-PUNCT_RE = "[a-zA-Z0-9 ]"
+#: characters that do NOT count as punctuation: any Unicode letter or
+#: digit, plus space. The ASCII-only "[a-zA-Z0-9 ]" scored every CJK or
+#: accented letter as punctuation, flooring quality_score for exactly the
+#: zh/de/es/fr documents lang_id exists to detect. \p{L}/\p{N} parse
+#: identically in Java regex (Spark) and RE2 (DuckDB oracle).
+PUNCT_RE = r"[\p{L}\p{N} ]"
 TOKEN_RE = r"\w+|[^\w\s]"
 
 
@@ -55,8 +60,13 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Quality stats: word count, avg word length, punctuation ratio,
-    stopword ratio, composite quality score in [0,1]."""
-    w = _words(text_col)
+    stopword ratio, composite quality score in [0,1].
+
+    Empty tokens from consecutive/leading/trailing spaces are filtered —
+    counting them inflated n_words and deflated avg_word_len, and made
+    this module disagree with its own siblings (word_freq_topk,
+    repetition_stats, tfidf all filter the empty token)."""
+    w = F.filter(_words(text_col), lambda x: x != "")
     n_words = F.size(w)
     sum_len = F.aggregate(
         F.transform(w, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
@@ -68,9 +78,15 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     return df.select(
         F.col(id_col),
         n_words.alias("n_words"),
-        F.round(sum_len.cast("double") / n_words, 6).alias("avg_word_len"),
+        # all-space text now yields n_words = 0: NULL ratios, not an ANSI
+        # divide-by-zero (pre-filter, split('') gave [''] so n_words >= 1)
+        F.round(
+            F.when(n_words > 0, sum_len.cast("double") / n_words), 6
+        ).alias("avg_word_len"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_hits.cast("double") / n_words, 6).alias("stopword_ratio"),
+        F.round(
+            F.when(n_words > 0, stop_hits.cast("double") / n_words), 6
+        ).alias("stopword_ratio"),
         F.round(
             (F.least(n_words, F.lit(100)).cast("double") / 100.0) * (F.lit(1.0) - punct_ratio),
             6,
@@ -118,7 +134,6 @@ def chunk_documents(
     return df.select(
         F.col(id_col),
         F.posexplode(starts).alias("chunk_idx", "start"),
-        F.length(text_col).alias("n_chars"),
         F.col(text_col),
     ).select(
         id_col,
@@ -138,26 +153,35 @@ def pack_by_token_budget(
     budget) over the global prefix sum of token counts.
 
     The prefix sum is the scalable two-pass formulation — a naive global
-    Window.orderBy would funnel every row through ONE task. Instead: range-
-    partition by id, cumsum within each partition in parallel, then add the
-    (tiny, driver-collected, broadcast) per-partition offsets. The result
-    is identical whatever boundaries the range sampler picks."""
+    Window.orderBy would funnel every row through ONE task. Instead: bucket
+    ids by DETERMINISTIC boundaries (one approx_percentile action), cumsum
+    within each bucket in parallel, then add the (tiny, driver-collected,
+    broadcast) per-bucket offsets. Deterministic bucketing (vs the earlier
+    repartitionByRange + spark_partition_id) means the two passes agree
+    WITHOUT pinning a cached copy of the corpus in executor storage for
+    the rest of the session — the range sampler's boundaries vary run to
+    run, literal boundaries don't."""
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     toks = F.size(F.split(F.col(text_col), " "))
-    local = (
-        df.select(F.col(id_col), toks.alias("n_tokens"))
-        .repartitionByRange(n_parts, F.col(id_col))
-        .withColumn("pid", F.spark_partition_id())
-    )
+    base = df.select(F.col(id_col), toks.alias("n_tokens"))
+    cuts = base.select(
+        F.percentile_approx(
+            id_col, [i / n_parts for i in range(1, n_parts)], 10_000
+        ).alias("c")
+    ).first()["c"] or []
+    pid = F.lit(0)
+    for b in cuts:
+        pid = pid + F.when(F.col(id_col) > F.lit(b), 1).otherwise(0)
+    local = base.withColumn("pid", pid.cast("int"))
     wp = (
         Window.partitionBy("pid")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = local.withColumn("local_cum", F.sum("n_tokens").over(wp)).persist()
+    local = local.withColumn("local_cum", F.sum("n_tokens").over(wp))
     totals = {
         r.pid: r.pt
         for r in local.groupBy("pid").agg(F.sum("n_tokens").alias("pt")).collect()
@@ -277,19 +301,22 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     95-108; a corpus must scrub WITHIN free text). Each pattern family is
     replaced by a typed token ([EMAIL]/[PHONE]/[SSN]), and per-doc hit
     counts ride along for audit. All JVM-side regexp ops — zero Python in
-    the hot path, whole-stage codegen keeps it scan-speed."""
-    out = df.select(
-        F.col(id_col),
-        F.col(text_col),
-        *[
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).alias(f"n_{name}")
-            for name, pat in PII_PATTERNS.items()
-        ],
-    )
-    clean = F.col(text_col)
+    the hot path, whole-stage codegen keeps it scan-speed.
+
+    The audit counts are ORDERED, counting each pattern on the text as
+    the earlier redactions left it — so n_email + n_ssn + n_phone equals
+    the number of tokens actually written into clean_text. Independent
+    counts on the original text double-count overlapping spans (an SSN
+    also matches the looser phone regex) and then disagree with the
+    redactions performed."""
+    cols = [F.col(id_col)]
+    cur = F.col(text_col)
     for name, pat in PII_PATTERNS.items():
-        clean = F.regexp_replace(clean, pat, f"[{name.upper()}]")
-    return out.withColumn("clean_text", clean).drop(text_col)
+        cols.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, f"[{name.upper()}]")
+    return df.select(*cols, cur.alias("clean_text"))
 
 
 def decontaminate(

@@ -235,3 +235,19 @@ def test_triangle_count_known_graphs(spark):
     assert count([(1, 2), (2, 3), (3, 4)]) == 0  # chain
     assert count([(1, 2), (1, 3), (1, 4), (1, 5)]) == 0  # star
     assert count([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)]) == 2
+
+
+def test_zero_norm_vectors_do_not_crash(spark):
+    """A zero-norm embedding (e.g. an empty document's vector) is dropped,
+    not an ANSI DIVIDE_BY_ZERO that kills the whole similarity job."""
+    from mover_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_force_topk(df, df, k=2).collect()
+    ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
+    assert 3 not in ids and out
+    lsh = lsh_topk(df, df, k=2, probes=2).collect()  # probes=2 path too
+    assert all(r.query_id != 3 and r.neighbor_id != 3 for r in lsh)

@@ -197,3 +197,21 @@ def test_exists_semijoin_agg_rewrite_edges(spark, catalog):
 
     rows = exists_semijoin(_MiniCat()).collect()
     assert [(r.o_orderpriority, r.n_orders) for r in rows] == [("P", 1)]
+
+
+def test_outlier_events_single_event_group(spark):
+    """An event type with exactly one event must yield zero outliers, not
+    an ANSI DIVIDE_BY_ZERO from the (n-1) sample-stddev denominator."""
+    from mover_spark.catalog import Catalog
+    from mover_spark.operators.events import outlier_events
+
+    class _Cat:
+        def df(self, name):
+            return spark.createDataFrame(
+                [(1, "rare", 5.0), (2, "dense", 1.0), (3, "dense", 2.0),
+                 (4, "dense", 100.0)],
+                "event_id long, event_type string, value double",
+            )
+
+    rows = {r.event_type: r for r in outlier_events(_Cat()).collect()}
+    assert rows["rare"].n_outliers == 0 and rows["rare"].n_events == 1

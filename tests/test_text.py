@@ -216,3 +216,36 @@ def test_repetition_stats_empty_tokens(spark):
 
     assert rows[3].n_words == 4
     assert rows[3].dup_2gram_frac == round(1.0 - 2.0 / 3.0, 6)  # p q, q p, p q
+
+
+def test_text_stats_unicode_and_empty_tokens(spark):
+    """CJK/accented letters are NOT punctuation; consecutive spaces don't
+    create phantom words; all-space text yields NULL ratios, not a crash."""
+    from mover_spark.operators.text import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "你好 世界"), (2, "héllo  wörld"), (3, "   "), (4, "a!! b??")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_stats(df).collect()}
+    assert out[1].punct_ratio == 0.0 and out[1].n_words == 2
+    assert out[2].n_words == 2 and out[2].punct_ratio == 0.0
+    assert out[2].avg_word_len == 5.0
+    assert out[3].n_words == 0 and out[3].avg_word_len is None
+    assert abs(out[4].punct_ratio - 4 / 7) < 1e-6
+
+
+def test_redact_pii_ordered_counts_reconcile(spark):
+    """An SSN span must count as SSN only — the phone pattern sees the
+    already-redacted text, so audit counts equal tokens written."""
+    from mover_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "ssn 123-45-6789 call +1 555 123 4567 mail a@b.co")],
+        "doc_id long, text string",
+    )
+    r = redact_pii(df).collect()[0]
+    assert (r.n_email, r.n_ssn, r.n_phone) == (1, 1, 1)
+    assert r.clean_text.count("[SSN]") == 1
+    assert r.clean_text.count("[PHONE]") == 1
+    assert r.clean_text.count("[EMAIL]") == 1
