@@ -1927,7 +1927,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "profile_orders": (
             # per-column UNION ALL mirror of the one-pass profile; doubles
-            # render via DECIMAL(18,2) (raw double->VARCHAR differs across
+            # render via DECIMAL(38,2) (raw double->VARCHAR differs across
             # engines), integer sums pinned to BIGINT (DuckDB -> HUGEINT)
             " UNION ALL ".join(
                 "SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
@@ -1936,8 +1936,8 @@ def oracle_sql() -> dict[str, str]:
                 "CAST({r} AS VARCHAR) AS min_val, CAST({R} AS VARCHAR) AS max_val "
                 "FROM orders".format(
                     c=c,
-                    r=(f"CAST(MIN({c}) AS DECIMAL(18,2))" if c == "o_totalprice" else f"MIN({c})"),
-                    R=(f"CAST(MAX({c}) AS DECIMAL(18,2))" if c == "o_totalprice" else f"MAX({c})"),
+                    r=(f"CAST(MIN({c}) AS DECIMAL(38,2))" if c == "o_totalprice" else f"MIN({c})"),
+                    R=(f"CAST(MAX({c}) AS DECIMAL(38,2))" if c == "o_totalprice" else f"MAX({c})"),
                 )
                 for c in [
                     "o_custkey",
@@ -2357,7 +2357,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.c_custkey, c.c_acctbal FROM customer c "
             "WHERE c.c_custkey NOT IN (SELECT c_custkey FROM last) "
             "UNION ALL "
-            "SELECT c_custkey, c_acctbal FROM last WHERE op != 'D' "
+            "SELECT c_custkey, c_acctbal FROM last WHERE op IS DISTINCT FROM 'D' "
             "ORDER BY c_custkey"
         ),
         "scd2_intervals": (

@@ -92,8 +92,11 @@ def apply_changes(
     changelog below the broadcast threshold AQE makes even that join
     shuffle-free."""
     last = latest_snapshot(changes, keys, order_cols, payload + [op_col])
-    survivors = last.where(F.col(f"last_{op_col}") != delete_op).select(
-        *keys, *[F.col(f"last_{c}").alias(c) for c in payload]
-    )
+    # null-safe inequality: a NULL op is an upsert, not a delete — the
+    # plain != evaluated NULL for a null op, dropping the key from base
+    # AND from survivors, i.e. silently deleting it
+    survivors = last.where(
+        ~F.col(f"last_{op_col}").eqNullSafe(delete_op)
+    ).select(*keys, *[F.col(f"last_{c}").alias(c) for c in payload])
     untouched = base.join(last.select(*keys), keys, "left_anti")
     return untouched.select(*keys, *payload).unionByName(survivors)

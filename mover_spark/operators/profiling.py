@@ -21,10 +21,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _render(col: str, dtype: str):
-    c = F.col(col)
+def _render(dtype: str):
+    # decimal(38,2), not (18,2): |x| >= 1e16 (epoch-nanos, large revenue
+    # aggregates) overflowed the narrower type — NULL min/max silently,
+    # or NUMERIC_VALUE_OUT_OF_RANGE under ANSI mode
     if dtype == "double" or dtype.startswith("decimal") or dtype == "float":
-        return lambda x: x.cast("decimal(18,2)").cast("string")
+        return lambda x: x.cast("decimal(38,2)").cast("string")
     return lambda x: x.cast("string")
 
 
@@ -53,21 +55,28 @@ def profile_table(
     fine (column_name is carried as a literal VALUE, not an identifier).
     """
     dtypes = dict(df.dtypes)
-    columns = columns if columns is not None else [c for c in df.columns]
+    if columns is None:
+        # maps are not orderable: min/max on a defaulted map column would
+        # fail the WHOLE profile; explicit `columns` still errors loudly
+        columns = [c for c in df.columns if not dtypes[c].startswith("map<")]
     distinct = (
         F.count_distinct if exact
         else (lambda c: F.approx_count_distinct(c, rsd=rsd))
     )
     profiles = []
     for c in columns:
-        r = _render(c, dtypes[c])
+        r = _render(dtypes[c])
+        # backtick-quote the name: a literal dot would otherwise parse as
+        # nested-field syntax (F.col and df[...] both do) and fail to
+        # resolve; embedded backticks escape by doubling
+        col = F.col("`" + c.replace("`", "``") + "`")
         profiles.append(
             F.struct(
                 F.lit(c).alias("column_name"),
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
-                distinct(F.col(c)).alias("n_distinct"),
-                r(F.min(F.col(c))).alias("min_val"),
-                r(F.max(F.col(c))).alias("max_val"),
+                F.sum(F.when(col.isNull(), 1).otherwise(0)).alias("n_nulls"),
+                distinct(col).alias("n_distinct"),
+                r(F.min(col)).alias("min_val"),
+                r(F.max(col)).alias("max_val"),
             )
         )
     wide = df.agg(F.count(F.lit(1)).alias("n_rows"), F.array(*profiles).alias("p"))

@@ -49,7 +49,10 @@ def hash_split(
     labels = list(splits.items())
     for name, frac in labels[:-1]:
         hi = lo + frac
-        cond = (b >= int(lo * 10_000)) & (b < int(hi * 10_000))
+        # round, not int(): 0.57*10000 is 5699.999... in binary floating
+        # point — truncation silently shaves a bucket off the promised
+        # exact fraction
+        cond = (b >= round(lo * 10_000)) & (b < round(hi * 10_000))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
     last = labels[-1][0]
@@ -59,7 +62,7 @@ def hash_split(
 
 def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     """Stable `fraction` sample by id hash — same rows every run."""
-    return df.where(hash_bucket(id_col) < int(fraction * 10_000))
+    return df.where(hash_bucket(id_col) < round(fraction * 10_000))
 
 
 def cap_per_key(

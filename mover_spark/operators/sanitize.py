@@ -64,7 +64,10 @@ def compile_template(template: str, df: DataFrame) -> Column:
 
     Vectorized equivalent of replaceVar: attrs not present in the row pass
     through verbatim, string values substitute raw, non-strings via CAST to
-    string (Go fmt %d/%v arms).
+    string (Go fmt %d/%v arms). NULL attr values substitute as '<nil>'
+    (fmt %v of a nil interface) — without the coalesce, Spark's concat
+    propagates the NULL through the WHOLE template, silently nulling the
+    replaced column instead of substituting per-attr like the reference.
     """
     parts: list[Column] = []
     pos = 0
@@ -73,7 +76,7 @@ def compile_template(template: str, df: DataFrame) -> Column:
             parts.append(F.lit(template[pos : m.start()]))
         attr = m.group("attr")
         if attr in df.columns:
-            parts.append(F.col(attr).cast("string"))
+            parts.append(F.coalesce(F.col(attr).cast("string"), F.lit("<nil>")))
         else:
             parts.append(F.lit(m.group(0)))
         pos = m.end()
@@ -84,39 +87,65 @@ def compile_template(template: str, df: DataFrame) -> Column:
     return F.concat(*parts) if len(parts) > 1 else parts[0]
 
 
-def _pool_pick(pool: list[str], pk: Column) -> Column:
-    """Deterministic pool lookup: pool[pk % len] — pure JVM, no UDF."""
+def _pool_pick(pool: list[str], key: Column) -> Column:
+    """Deterministic pool lookup: pool[key % len] — pure JVM, no UDF.
+    `key` must already be a nonnegative long (see _pk_index)."""
     arr = F.array(*[F.lit(x) for x in pool])
-    idx = (F.pmod(F.abs(pk.cast("long")), F.lit(len(pool))) + 1).cast("int")
+    idx = (F.pmod(key, F.lit(len(pool))) + 1).cast("int")
     return F.element_at(arr, idx)
 
 
-def fake_column(kind: str, pk: Column, unique: bool = False, locale: str = "") -> Column:
+def _pk_index(pk: Column, dtype: str) -> Column:
+    """Nonnegative long index derived from the PK, for pool picking.
+
+    Numeric PKs pass through raw: _pool_pick's F.pmod is a positive
+    modulo, so pool[pmod(pk, n)] == pool[pk % n] for every nonnegative
+    key the oracle checks, with no abs() (whose -2^63 corner overflows
+    under ANSI). Non-numeric PKs (string / UUID — catalog.py's
+    first-column fallback can hand us any type) hash through xxhash64:
+    the old cast('long') gave NULL (or threw under ANSI), nulling every
+    fake and silently breaking the uniqueness contract."""
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return pk.cast("long")
+    return F.pmod(F.xxhash64(pk.cast("string")), F.lit((1 << 31) - 1))
+
+
+def fake_column(
+    kind: str,
+    pk: Column,
+    unique: bool = False,
+    locale: str = "",
+    key: Column | None = None,
+) -> Column:
     """Deterministic fake value (sanitizer.go:66-93). Uniqueness by
-    construction: suffix the PK instead of the reference's retry loop."""
+    construction: suffix the PK instead of the reference's retry loop.
+    `key` is the nonnegative long pick index (defaults to _pk_index of a
+    numeric pk); the human-readable uniqueness suffix stays the raw PK."""
+    if key is None:
+        key = _pk_index(pk, "bigint")
     pools = FR_POOLS if locale == "fr" else FAKE_POOLS
     if kind == "last_name":
-        out = _pool_pick(pools["last_name"], pk)
+        out = _pool_pick(pools["last_name"], key)
     elif kind == "first_name":
-        out = _pool_pick(pools["first_name"], pk)
+        out = _pool_pick(pools["first_name"], key)
     elif kind == "email":
-        out = F.concat(_pool_pick(pools["email_local"], pk), F.lit("@example.org"))
+        out = F.concat(_pool_pick(pools["email_local"], key), F.lit("@example.org"))
         if unique:
             return F.concat(
-                _pool_pick(pools["email_local"], pk),
+                _pool_pick(pools["email_local"], key),
                 F.lit("-"),
                 pk.cast("string"),
                 F.lit("@example.org"),
             )
     elif kind == "street_address":
         out = F.concat(
-            (F.pmod(F.abs(pk.cast("long")), F.lit(99)) + 1).cast("string"),
+            (F.pmod(key, F.lit(99)) + 1).cast("string"),
             F.lit(" "),
-            _pool_pick(pools["street"], pk),
+            _pool_pick(pools["street"], key),
         )
     elif kind == "phone_number":
         prefix = "+33 6 " if locale == "fr" else "+1 555 "
-        out = F.concat(F.lit(prefix), F.lpad(F.pmod(F.abs(pk.cast("long")), F.lit(99999999)).cast("string"), 8, "0"))
+        out = F.concat(F.lit(prefix), F.lpad(F.pmod(key, F.lit(99999999)).cast("string"), 8, "0"))
     else:  # unknown kind: reference leaves the value untouched
         return pk  # caller handles passthrough; see sanitize_df
     if unique and kind != "email":
@@ -134,7 +163,18 @@ def sanitize_df(
     """PK-dedup + column transforms (sanitizer.go:38-64,95-108)."""
     if dedup:
         df = df.dropDuplicates(primary_keys)
-    pk = F.col(primary_keys[0])
+
+    def _pk_cols():
+        # resolved lazily: only fake rules need a PK, and a caller with
+        # no PK (primary_keys=[]) must still be able to replace/null-out
+        if not primary_keys:
+            raise ValueError(
+                "fake rules need a primary key column to derive "
+                "deterministic values from; primary_keys is empty"
+            )
+        pk = F.col(primary_keys[0])
+        return pk, _pk_index(pk, dict(df.dtypes)[primary_keys[0]])
+
     known_fakes = {"last_name", "first_name", "email", "street_address", "phone_number"}
     for rule in rules:
         if rule.name not in df.columns:
@@ -144,8 +184,12 @@ def sanitize_df(
             df = df.withColumn(rule.name, compile_template(rule.replace, df))
         elif rule.fake:
             if rule.fake in known_fakes:
+                pk, key = _pk_cols()
                 df = df.withColumn(
-                    rule.name, fake_column(rule.fake, pk, unique=rule.unique, locale=locale)
+                    rule.name,
+                    fake_column(
+                        rule.fake, pk, unique=rule.unique, locale=locale, key=key
+                    ),
                 )
             # unknown fake kind: value untouched (sanitizer.go:67-78 switch default)
         elif rule.sanitize:

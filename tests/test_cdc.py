@@ -146,3 +146,18 @@ def test_apply_changes_merge_semantics(spark):
         ).collect()
     }
     assert out == {2: "b2", 3: "c", 9: "new"}
+
+
+def test_apply_changes_null_op_is_upsert(spark):
+    """A NULL op must upsert, not silently delete the key (the plain !=
+    comparison evaluated NULL and dropped the row from both sides)."""
+    from mover_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame([(5, 1.0)], "id long, v double")
+    changes = spark.createDataFrame(
+        [(5, 1, 1, 9.0, None)], "id long, ts long, seq long, v double, op string"
+    )
+    rows = apply_changes(
+        base, changes, keys=["id"], order_cols=["ts", "seq"], payload=["v"]
+    ).collect()
+    assert [(r.id, r.v) for r in rows] == [(5, 9.0)]

@@ -58,3 +58,24 @@ def test_profile_column_order_stable(catalog):
     ords = catalog.df("orders")
     got = [r["column_name"] for r in profile_table(ords).collect()]
     assert got == ords.columns
+
+
+def test_profile_skips_map_columns_and_dotted_names(spark):
+    """Defaulted columns skip unorderable maps; a literal dotted name is
+    one column, not nested-field syntax."""
+    from mover_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [(1, {"a": "b"}, 2.0)], "id long, m map<string,string>, `a.b` double"
+    )
+    rows = {r.column_name for r in profile_table(df).collect()}
+    assert rows == {"id", "a.b"}
+
+
+def test_profile_renders_huge_doubles(spark):
+    """|x| >= 1e16 must render, not overflow decimal(18,2) to NULL."""
+    from mover_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame([(1, 1.5e17)], "id long, big double")
+    row = [r for r in profile_table(df, ["big"]).collect()][0]
+    assert row.max_val is not None and row.max_val.startswith("15000000")

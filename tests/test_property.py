@@ -154,3 +154,15 @@ def test_stratified_sample_exact_sizes_and_stability(spark, catalog):
     ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
     s2 = stratified_sample_exact(docs.repartition(17), "lang", "doc_id", n=20)
     assert {r.doc_id for r in s2.select("doc_id").collect()} == ids1
+
+
+def test_split_boundaries_round_not_truncate(spark):
+    """0.57*10000 is 5699.999... in floating point: the boundary must
+    round to 5700, not truncate a bucket off the promised fraction."""
+    from mover_spark.operators.sampling import deterministic_sample, hash_bucket
+
+    df = spark.range(0, 200_000).withColumnRenamed("id", "k")
+    got = deterministic_sample(df, "k", 0.57)
+    # every bucket below 5700 must be included: find max admitted bucket
+    mx = got.select(F.max(hash_bucket("k")).alias("m")).first()["m"]
+    assert mx == 5699  # buckets 0..5699 = exactly 5700 buckets = 57%

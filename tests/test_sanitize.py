@@ -102,3 +102,50 @@ def test_sanitize_null_keeps_dtype(spark):
     out = sanitize_df(df, [ColumnRule("bal", sanitize=True)], ["id"])
     assert dict(out.dtypes)["bal"] == "double"
     assert out.collect()[0].bal is None
+
+
+def test_template_null_attr_substitutes_nil(spark):
+    """A NULL attribute substitutes as '<nil>' (Go fmt %v of nil), not
+    nulling the entire replaced string via concat propagation."""
+    from mover_spark.operators.sanitize import ColumnRule, sanitize_df
+
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, "bob", "y")], "id long, name string, c string"
+    )
+    out = {
+        r.id: r.c
+        for r in sanitize_df(
+            df, [ColumnRule("c", replace="user-{id}-{name}")], ["id"]
+        ).collect()
+    }
+    assert out == {1: "user-1-<nil>", 2: "user-2-bob"}
+
+
+def test_fake_with_string_pk(spark):
+    """Non-numeric PKs hash to a pick index — the old cast('long') nulled
+    every fake (or threw under ANSI), breaking uniqueness silently."""
+    from mover_spark.operators.sanitize import ColumnRule, sanitize_df
+
+    df = spark.createDataFrame(
+        [("u-a", "x"), ("u-b", "y")], "uid string, email string"
+    )
+    rows = sanitize_df(
+        df, [ColumnRule("email", fake="email", unique=True)], ["uid"]
+    ).collect()
+    vals = {r.email for r in rows}
+    assert all(v and v.endswith("@example.org") for v in vals)
+    assert len(vals) == 2  # unique by PK-suffix construction
+
+
+def test_no_pk_needed_for_replace_and_nullout(spark):
+    """primary_keys=[] must work when no fake rule needs a PK."""
+    from mover_spark.operators.sanitize import ColumnRule, sanitize_df
+
+    df = spark.createDataFrame([(1, "s", "t")], "id long, a string, b string")
+    out = sanitize_df(
+        df,
+        [ColumnRule("a", sanitize=True), ColumnRule("b", replace="z")],
+        [],
+        dedup=False,
+    ).collect()[0]
+    assert out.a is None and out.b == "z"
