@@ -34,10 +34,11 @@ def dsum(col: Column | str, scale: int = 4) -> Column:
 
 
 def davg(col: Column | str) -> Column:
-    # exact decimal sum -> double, then double division: decimal-division
-    # scale rules differ across engines, double division does not
+    # exact decimal sum (dsum — ONE definition of the width/scale) ->
+    # double, then double division: decimal-division scale rules differ
+    # across engines, double division does not
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(25,4)")).cast("double") / F.count(c)
+    return dsum(c) / F.count(c)
 
 
 def pricing_summary(cat: Catalog, ship_before: str = "1998-09-01") -> DataFrame:

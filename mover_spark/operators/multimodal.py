@@ -84,7 +84,9 @@ def image_features(media: DataFrame) -> DataFrame:
 
                     from PIL import Image
 
-                    img = Image.open(io.BytesIO(r["content"]))
+                    # content is nullable: the fake branch guards the same
+                    # way; one NULL row must not kill the whole job
+                    img = Image.open(io.BytesIO(r["content"] or b""))
                     w, h = img.size
                     luma = float(pd.Series(img.convert("L").getdata()).mean()) / 255.0
                 else:
@@ -130,7 +132,10 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
                 w, h = r["width"], r["height"]
                 if w and h and max(w, h) > max_side:
                     scale = max_side / max(w, h)
-                    w, h = int(w * scale), int(h * scale)
+                    # floor of 1 per side: int() truncation on an extreme
+                    # aspect ratio (5000x3 at max_side 256) gave height 0,
+                    # which a real resize or aspect-ratio division rejects
+                    w, h = max(1, int(w * scale)), max(1, int(h * scale))
                 out.append(
                     {"media_id": r["media_id"], "content": r["content"], "width": w, "height": h}
                 )
@@ -152,10 +157,15 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def media_manifest(media: DataFrame) -> DataFrame:
+def media_manifest(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Typed manifest over opaque media rows — byte length, content digest,
     and the frame-plan cardinality for videos. All JVM-side column ops: the
-    binary column is metadata-scanned, its bytes never reach Python."""
+    binary column is metadata-scanned, its bytes never reach Python.
+
+    ``every_ms`` must match the interval passed to frame_sample for the
+    n_frames column to equal that plan's cardinality — it parameterizes
+    the same floor(duration/interval)+1 arithmetic (a hardcoded 1000 here
+    silently disagreed with any non-default sampling rate)."""
     return media.select(
         "media_id",
         "media_type",
@@ -163,7 +173,7 @@ def media_manifest(media: DataFrame) -> DataFrame:
         F.md5("content").alias("content_md5"),
         F.when(
             (F.col("media_type") == "video") & F.col("duration_ms").isNotNull(),
-            F.floor(F.col("duration_ms") / 1000) + 1,  # == size of frame_sample plan
+            F.floor(F.col("duration_ms") / every_ms) + 1,
         ).alias("n_frames"),
     )
 

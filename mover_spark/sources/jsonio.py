@@ -26,8 +26,18 @@ ENVELOPE_MANIFEST = "_envelope.json"
 
 
 def _json_safe(v):
+    import base64
+    import decimal
+
     if hasattr(v, "isoformat"):
         return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        # strict-numeric catalogs carry DecimalType(38,18): render as a
+        # string so no precision is lost in transit (read_envelope casts
+        # back by schema); a float here would defeat strict mode
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
     if isinstance(v, list):
         return [_json_safe(x) for x in v]
     if isinstance(v, dict):
@@ -57,13 +67,10 @@ def write_envelope(
         # non-deterministic upstream (e.g. dropDuplicates) a second run of
         # the plan could disagree with the files on disk
         parts = glob.glob(os.path.join(path, "part-*"))
-        # pass the known schema: an empty table writes only zero-record part
-        # files and a schema-less read.json would fail to infer
-        n = (
-            df.sparkSession.read.schema(df.schema).json(parts).count()
-            if parts
-            else 0
-        )
+        # Spark's JSON writer emits one record per line (JSON Lines), so a
+        # line count IS the row count — no need to re-parse every field of
+        # the extract against the schema just to count it
+        n = df.sparkSession.read.text(parts).count() if parts else 0
         with open(os.path.join(path, ENVELOPE_MANIFEST), "w") as f:
             json.dump({"table_name": table_name, "count": n}, f, indent="\t")
         return path

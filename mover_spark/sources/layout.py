@@ -75,7 +75,13 @@ def compact_parquet(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-    spark.read.parquet(in_path).coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    # repartition, not coalesce: coalesce can only REDUCE partition count,
+    # so with fewer input partitions than the target it silently wrote
+    # fewer files than reported and never split oversized files — the
+    # ceil(total/target) contract needs an exact partition count either way
+    spark.read.parquet(in_path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(out_path)
     return n_files
 
 
@@ -87,10 +93,13 @@ def plan_string(df: DataFrame) -> str:
 
 
 def assert_no_join_exchange(joined: DataFrame) -> None:
-    """Raise if the physical plan shuffles either join input — the check
-    that bucketing actually removed the exchanges."""
+    """Raise if the physical plan SHUFFLES either join input — the check
+    that bucketing actually removed the exchanges. A BroadcastExchange is
+    not a shuffle (no repartitioning of either input) and passes: with the
+    default broadcast threshold a small bucketed dimension legitimately
+    plans as BHJ while still meeting the bucketing goal."""
     plan = plan_string(joined)
-    if "Exchange" in plan:
+    if plan.count("Exchange") - plan.count("BroadcastExchange") > 0:
         raise AssertionError(f"join plan still shuffles:\n{plan}")
 
 
