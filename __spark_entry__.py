@@ -1814,7 +1814,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_nationkey IN (SELECT n_nationkey FROM nation "
             "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')) "
             "SELECT o_year, ROUND("
-            "CAST(SUM(CASE WHEN supp_nation = 'NATION_0' THEN volume END) AS DOUBLE) "
+            "COALESCE(CAST(SUM(CASE WHEN supp_nation = 'NATION_0' THEN volume END) AS DOUBLE), 0.0) "
             "/ CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share "
             "FROM j GROUP BY o_year ORDER BY o_year"
         ),

@@ -79,9 +79,18 @@ class Engine:
             urls = media_dfs[0]
             for extra in media_dfs[1:]:
                 urls = urls.unionByName(extra)
+            if download_media:
+                # the manifest write and the download both evaluate `urls`,
+                # and its lineage is the full closure+sanitize pipeline —
+                # persist so the second pass reads the cache, not a rerun
+                # of the whole extract
+                urls = urls.persist()
             self._write_media_manifest(urls, out_dir)
             if download_media:
-                self._download_media(urls, out_dir)
+                try:
+                    self._download_media(urls, out_dir)
+                finally:
+                    urls.unpersist()
         return results
 
     def _media_urls_df(self, df: DataFrame, rules) -> DataFrame | None:
@@ -138,9 +147,14 @@ class Engine:
                 url = row["url"]
                 split = urllib.parse.urlsplit(url)
                 rel = split.path.lstrip("/")
-                dest = os.path.join(media_dir, rel)
                 if not rel or rel.endswith("/"):
                     continue  # no file name to mirror — skip, not crash
+                dest = os.path.normpath(os.path.join(media_dir, rel))
+                # containment check: a URL path smuggling '../' segments
+                # must not write outside the media mirror (extracted data
+                # is untrusted; this runs on every executor)
+                if not dest.startswith(os.path.normpath(media_dir) + os.sep):
+                    continue
                 os.makedirs(os.path.dirname(dest) or media_dir, exist_ok=True)
                 # percent-encode unsafe chars (spaces etc.) in the PATH only;
                 # '%' stays safe so pre-encoded URLs survive, query strings
@@ -171,7 +185,12 @@ class Engine:
                     except OSError:
                         pass
 
-        urls.foreachPartition(fetch)
+        # distinct: the same media file referenced from several rows must
+        # fetch ONCE — concurrent tasks on one URL would race on the
+        # shared .part sidecar (one task's promote while another still
+        # writes the same inode corrupts the promoted file), and duplicate
+        # fetches are wasted bandwidth regardless
+        urls.distinct().foreachPartition(fetch)
 
     # -- load ------------------------------------------------------------
 
@@ -234,7 +253,12 @@ class Engine:
                     if tname in live_tables and live_tables[tname].primary_keys:
                         pks = live_tables[tname].primary_keys
                 if pks is None:
+                    # a GUESSED key is not a unique constraint: deduping on
+                    # an arbitrary first column (could be 'amount') would
+                    # silently discard rows sharing a value. The guessed
+                    # key still drives upsert targeting, but never dedup.
                     pks = [df.columns[0]]
+                    pk_unique = False
             # Dedupe ONLY when the catalog says the PK is genuinely unique.
             # lineitem's (l_orderkey, l_linenumber) is flagged pk_unique=False
             # and extract/sanitize preserves its duplicate-PK rows; a load

@@ -158,7 +158,19 @@ def salted_join(
 
     Salt is a deterministic hash of the large row's full content, so plans
     stay reproducible run-to-run (no rand()). Result == large.join(small,
-    on, how) exactly; only the physical partitioning differs."""
+    on, how) exactly; only the physical partitioning differs.
+
+    `how` must preserve the small side's replication invariant: each large
+    row carries ONE salt, so joins that emit unmatched SMALL-side rows
+    (right/full outer) would surface the salts-1 replicas that found no
+    partner as phantom null-extended rows — those modes are rejected."""
+    if how.replace("_", "").lower() in ("right", "rightouter", "full", "fullouter", "outer"):
+        raise ValueError(
+            f"salted_join cannot preserve {how!r} semantics: unmatched "
+            "small-side salt replicas would emit phantom rows. Swap the "
+            "sides (salting belongs on the skewed probe side) or use a "
+            "plain join."
+        )
     salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in large.columns])), F.lit(salts))
     l = large.withColumn("__salt", salt.cast("int"))
     s = small.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
@@ -210,18 +222,25 @@ def range_join(
     Each interval explodes to ceil((hi-lo)/width) bucket rows; the join is
     then a plain equi-join on __bucket (hash/broadcast — Catalyst's choice)
     with the exact predicate as a residual filter."""
-    r = right.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / bucket_width).cast("long"),
-                # hi is exclusive: a hi exactly on a bucket edge doesn't
-                # reach into the next bucket
-                F.floor(
-                    (F.col(hi_col) - F.lit(1e-9)) / bucket_width
-                ).cast("long"),
-            )
-        ),
+    # malformed intervals (hi <= lo: empty by the half-open semantics, or
+    # null bounds) DROP before the explode — F.sequence steps -1 when
+    # start > stop, so one corrupt row would otherwise generate a huge
+    # DESCENDING bucket run (the same hazard interval_overlap_join guards)
+    r = (
+        right.where(F.col(hi_col) > F.col(lo_col))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo_col) / bucket_width).cast("long"),
+                    # hi is exclusive: a hi exactly on a bucket edge doesn't
+                    # reach into the next bucket
+                    F.floor(
+                        (F.col(hi_col) - F.lit(1e-9)) / bucket_width
+                    ).cast("long"),
+                )
+            ),
+        )
     )
     l = left.withColumn("__bucket", F.floor(F.col(value_col) / bucket_width).cast("long"))
     return (
@@ -267,16 +286,20 @@ def interval_overlap_join(
     w = F.lit(bucket_seconds)
 
     def bucketed(df, s, e, side):
-        # string bounds parse via try_to_timestamp: unparseable values give
-        # null (dropped below) instead of an ANSI DateTimeException killing
-        # the job; typed timestamp/date bounds pass through untouched
-        def ts(c):
+        # string bounds parse IN PLACE via try_to_timestamp, so bucketing,
+        # the malformed filter, the final overlap predicate AND the output
+        # all see the same typed value. Unparseable values give null
+        # (dropped below) instead of an ANSI DateTimeException killing the
+        # job. Parsing only for bucketing while predicating on the raw
+        # strings would silently drop every pair whose format the default
+        # unix_timestamp pattern can't read (ISO 'T' separators), and
+        # compare mixed formats lexicographically wrong.
+        for c in (s, e):
             if dict(df.dtypes)[c] == "string":
-                return F.try_to_timestamp(F.col(c))
-            return F.col(c)
+                df = df.withColumn(c, F.try_to_timestamp(F.col(c)))
 
-        lo = F.floor(F.unix_timestamp(ts(s)) / w)
-        hi = F.floor(F.unix_timestamp(ts(e)) / w)
+        lo = F.floor(F.unix_timestamp(F.col(s)) / w)
+        hi = F.floor(F.unix_timestamp(F.col(e)) / w)
         span_ok = F.when(
             hi - lo < F.lit(max_buckets_per_interval),
             hi,

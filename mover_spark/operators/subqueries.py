@@ -375,7 +375,10 @@ def disjunctive_revenue(cat: Catalog) -> DataFrame:
 def grouping_sets_agg(cat: Catalog) -> DataFrame:
     """Explicit GROUPING SETS (neither pure rollup nor cube): totals by
     (status), by (priority), and grand total in one scan via SQL grouping
-    sets, with GROUPING() markers."""
+    sets. Subtotal rows are labeled 'ALL' via COALESCE — which conflates a
+    genuine NULL group value with a subtotal marker; fine for these
+    NOT-NULL fixture columns, but a nullable dimension needs GROUPING()
+    markers instead (same caveat applies to cube_agg/rollup_agg)."""
     spark = cat.spark
     cat.df("orders").createOrReplaceTempView("__orders_gs")
     return spark.sql(
@@ -629,13 +632,28 @@ def market_share(cat: Catalog, region: str = "ASIA", part_type: str | None = Non
             F.col("supp_nation"),
         )
     )
-    first_nation = nat.orderBy("n_nationkey").limit(1).collect()[0].n_name
+    first_row = nat.orderBy("n_nationkey").limit(1).collect()
+    if not first_row:
+        raise ValueError("market_share: nation table is empty")
+    first_nation = first_row[0].n_name
     return (
         j.groupBy("o_year")
         .agg(
             (
-                F.sum(F.when(F.col("supp_nation") == first_nation, F.col("volume")))
-                .cast("double")
+                # coalesce to 0: a year where the target nation sold
+                # nothing is a 0% share, not NULL (the conditional sum of
+                # zero matching rows is all-NULLs -> NULL). Coalescing
+                # AFTER the cast keeps the sum itself decimal-exact;
+                # oracle mirrors with COALESCE(CAST(SUM(...)...), 0.0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("supp_nation") == first_nation,
+                            F.col("volume"),
+                        )
+                    ).cast("double"),
+                    F.lit(0.0),
+                )
                 / F.sum("volume").cast("double")
             ).alias("mkt_share_raw"),
         )

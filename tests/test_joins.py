@@ -260,3 +260,54 @@ def test_interval_overlap_join_drops_unparseable_string_bounds(spark):
         ).collect()
     )
     assert got == [(1, 10), (2, 10)]
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """Unmatched small-side salt replicas would emit phantom rows under
+    right/full outer — those modes must be rejected loudly."""
+    import pytest
+
+    from mover_spark.operators.joins import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, "y")], "k long, w string")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="phantom"):
+            salted_join(a, b, on=["k"], how=how)
+
+
+def test_range_join_drops_malformed_intervals(spark):
+    """hi <= lo intervals drop before the explode instead of generating a
+    huge descending bucket sequence."""
+    from mover_spark.operators.joins import range_join
+
+    left = spark.createDataFrame([(1, 25.0)], "id long, v double")
+    right = spark.createDataFrame(
+        [(10, 0.0, 50.0), (11, 1e9, 0.0)],  # 11 malformed (hi < lo)
+        "rid long, lo double, hi double",
+    )
+    got = range_join(left, right, "v").collect()
+    assert [(r.id, r.rid) for r in got] == [(1, 10)]
+
+
+def test_interval_overlap_join_iso_t_string_bounds(spark):
+    """ISO 'T'-separator strings must parse and match: the overlap
+    predicate sees the PARSED timestamps, not raw strings the default
+    unix_timestamp format can't read."""
+    from mover_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-05T10:00:00", "2024-01-05T12:00:00")],
+        "lid long, k long, s string, e string",
+    )
+    right = spark.createDataFrame(
+        [(10, 1, "2024-01-05 11:00:00", "2024-01-05 13:00:00")],  # mixed fmt
+        "rid long, k long, s string, e string",
+    )
+    got = [
+        (r.l_lid, r.r_rid)
+        for r in interval_overlap_join(
+            left, right, ["k"], ("s", "e"), ("s", "e")
+        ).collect()
+    ]
+    assert got == [(1, 10)]
