@@ -106,7 +106,11 @@ def parquet_ts_unit(path_or_glob: str, col: str) -> str:
             continue
         if pa.types.is_timestamp(field.type):
             return field.type.unit
-        return "ns"  # int64 physical column => legacy nanos fixture
+        if pa.types.is_int64(field.type):
+            return "ns"  # int64 physical column => legacy nanos fixture
+        # any other physical type (int32/date/string) is NOT epoch-nanos:
+        # reporting 'ns' here would shift timestamps by orders of magnitude
+        return "us"
     return "us"
 
 
@@ -130,9 +134,12 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
         if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
             if dict(df.dtypes).get(field.name) == "bigint":
                 # NTZ to match the µs-precision tables Spark reads natively
+                # backtick-quote: a column name with a space/dot/hyphen
+                # would otherwise break the expr parse
+                q = "`" + field.name.replace("`", "``") + "`"
                 df = df.withColumn(
                     field.name,
-                    F.expr(f"timestamp_micros({field.name} div 1000)").cast("timestamp_ntz"),
+                    F.expr(f"timestamp_micros({q} div 1000)").cast("timestamp_ntz"),
                 )
     return df
 
@@ -273,10 +280,16 @@ class Catalog:
     def describe(self, name: str) -> list[dict]:
         """One dict per column — the `describe` action (etl/engine.go:89-96)."""
         t = self.tables[name]
-        fk_by_col = {c: fk for fk in t.foreign_keys for c in fk.cols}
+        # pairwise col -> (fk, matching ref_col): a composite FK's second
+        # column must report its OWN referenced column, not ref_cols[0]
+        fk_by_col = {
+            c: (fk, rc)
+            for fk in t.foreign_keys
+            for c, rc in zip(fk.cols, fk.ref_cols)
+        }
         out = []
         for pos, (col, dtype, nullable) in enumerate(t.columns, start=1):
-            fk = fk_by_col.get(col)
+            fk, fk_ref_col = fk_by_col.get(col, (None, None))
             out.append(
                 {
                     "table_name": name,
@@ -285,7 +298,7 @@ class Catalog:
                     "nullable": nullable,
                     "position": pos,
                     "is_primary_key": col in t.primary_keys,
-                    "fk_ref": f"{fk.ref_table}.{fk.ref_cols[0]}" if fk else None,
+                    "fk_ref": f"{fk.ref_table}.{fk_ref_col}" if fk else None,
                 }
             )
         return out

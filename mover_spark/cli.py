@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from . import __version__
@@ -73,16 +74,30 @@ def main(argv: list[str] | None = None) -> int:
         results = engine.extract(args.path, args.query, table=args.table or None,
                                  partitioned=not args.single_file,
                                  download_media=args.download_media)
+        # report counts from the envelopes ON DISK: a count() here would
+        # re-execute the whole closure+sanitize plan per table, and for a
+        # non-deterministic upstream could even disagree with the files
+        # the extract just wrote
+        from .sources.jsonio import envelope_count
+
         for t in sorted(results):
-            print(f"{t}: {results[t].count()} rows")
+            env = (
+                os.path.join(args.path, f"{t}.json")
+                if args.single_file
+                else os.path.join(args.path, t)
+            )
+            print(f"{t}: {envelope_count(env)} rows")
     elif args.action == "load":
         if not args.path:
             p.error("-path is required for load")
         results = engine.load(args.path, target_dir=args.path + "_loaded",
                               dsn=args.dsn or None,
                               on_conflict=args.on_conflict)
+        # honest label: this is the incoming (deduped) batch size; how many
+        # rows actually appended depends on the target's existing rows
+        # (ON CONFLICT semantics), which the sink resolves per partition
         for t in sorted(results):
-            print(f"{t}: {results[t].count()} rows loaded")
+            print(f"{t}: {results[t].count()} rows in batch")
     return 0
 
 

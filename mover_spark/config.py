@@ -50,10 +50,17 @@ class MoverConfig:
         return out
 
     def column_rules(self, table: str) -> list[ColumnRule]:
-        """Sanitizer view of one table's config (config/config.go:30-37)."""
+        """Sanitizer view of one table's config (config/config.go:30-37).
+
+        Duplicate table_name entries resolve LAST-entry-wins, matching
+        schema_configs' dict overwrite — an early return here made the
+        two views read DIFFERENT entries of the same half-duplicated
+        config (closure behavior from the last, sanitize rules from the
+        first), a silent half-merge."""
+        rules: list[ColumnRule] = []
         for s in self.schema:
             if s["table_name"] == table:
-                return [
+                rules = [
                     ColumnRule(
                         name=c["name"],
                         fake=c.get("fake", "") or "",
@@ -64,7 +71,7 @@ class MoverConfig:
                     )
                     for c in s.get("columns", []) or []
                 ]
-        return []
+        return rules
 
     def extra_tables(self) -> list[str]:
         """Tables to always full-scan (etl/engine.go:117-125)."""

@@ -29,6 +29,10 @@ class WordWindows:
     ``... , LATERAL word_windows(text, 10)``."""
 
     def eval(self, text: str, size: int):
+        if not size or size < 1:
+            # a clear error instead of range()'s opaque ValueError on 0 /
+            # silent zero rows on negatives / TypeError on NULL
+            raise ValueError(f"word_windows: size must be >= 1, got {size!r}")
         words = (text or "").split(" ")
         for i in range(0, len(words), size):
             yield i // size, " ".join(words[i : i + size])
@@ -38,15 +42,17 @@ class WordWindows:
 def quantized_rms(v: pd.Series) -> float:
     """Grouped-aggregate pandas UDF (UDAF): root-mean-square of a value
     column. Determinism: values quantize to int64 (scale 100) and the
-    SQUARED integer sum is exact in any accumulation order; every sum stays
-    < 2^53 so the final float steps (divide, sqrt, descale) see identical
-    inputs on every engine/partitioning."""
+    SQUARED integer sum accumulates in arbitrary-precision Python ints —
+    exact in any accumulation order AND immune to int64 wrap (|value|
+    over ~3e7 squared exceeds int64; a wrapped negative sum would feed
+    sqrt a negative and kill the job, or worse return a plausible wrong
+    RMS). NULLs skip, like every SQL aggregate."""
     import numpy as np
 
-    q = np.floor(np.abs(v.to_numpy(dtype="float64")) * _RMS_SCALE + 0.5).astype(
-        "int64"
-    )
-    s = int((q * q).sum())
+    vals = v.to_numpy(dtype="float64")
+    vals = vals[~np.isnan(vals)]
+    q = np.floor(np.abs(vals) * _RMS_SCALE + 0.5).astype("int64")
+    s = int((q.astype(object) * q.astype(object)).sum())
     n = len(q)
     if n == 0:
         return None

@@ -147,3 +147,15 @@ def coerce_to_schema(df: DataFrame, target: DataFrame) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(name))
     return df.select(*cols)
+
+
+def envelope_count(path: str) -> int:
+    """Row count of a written envelope, read from what is ON DISK — the
+    partitioned manifest or the single-file payload header — so reporting
+    never re-executes the extract plan (a re-run of a non-deterministic
+    upstream could disagree with the files actually written)."""
+    if os.path.isdir(path):
+        with open(os.path.join(path, ENVELOPE_MANIFEST)) as f:
+            return int(json.load(f)["count"])
+    with open(path) as f:
+        return int(json.load(f)["count"])
