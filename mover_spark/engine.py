@@ -170,10 +170,16 @@ class Engine:
                         "",
                     )
                 )
-                # download to a sidecar and promote atomically, so a failed
-                # or interrupted fetch can never leave a partial file AND a
-                # retry run can never delete a previously-downloaded good one
-                part = dest + ".part"
+                # download to a PER-TASK-UNIQUE sidecar and promote
+                # atomically, so a failed or interrupted fetch can never
+                # leave a partial file AND a retry run can never delete a
+                # previously-downloaded good one. The uuid suffix matters:
+                # two DIFFERENT urls (netloc/query differ) can map to the
+                # same mirror dest, so a shared dest+'.part' name would
+                # still race even after the distinct() below
+                import uuid
+
+                part = dest + ".part-" + uuid.uuid4().hex
                 try:
                     urllib.request.urlretrieve(req, part)
                     os.replace(part, dest)
@@ -186,10 +192,10 @@ class Engine:
                         pass
 
         # distinct: the same media file referenced from several rows must
-        # fetch ONCE — concurrent tasks on one URL would race on the
-        # shared .part sidecar (one task's promote while another still
-        # writes the same inode corrupts the promoted file), and duplicate
-        # fetches are wasted bandwidth regardless
+        # fetch ONCE — duplicate fetches are wasted bandwidth, and the
+        # last promote wins pointlessly. (Write-safety itself comes from
+        # the per-task-unique sidecar above, which also covers distinct
+        # URLs that mirror to the same dest path.)
         urls.distinct().foreachPartition(fetch)
 
     # -- load ------------------------------------------------------------

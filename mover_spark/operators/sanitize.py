@@ -119,10 +119,17 @@ def fake_column(
 ) -> Column:
     """Deterministic fake value (sanitizer.go:66-93). Uniqueness by
     construction: suffix the PK instead of the reference's retry loop.
-    `key` is the nonnegative long pick index (defaults to _pk_index of a
-    numeric pk); the human-readable uniqueness suffix stays the raw PK."""
+    `key` is the nonnegative long pick index; when omitted, the default
+    try_casts the pk to long and falls back to the xxhash64 branch per
+    row, so a DIRECT call with a string/UUID pk (sanitize_df always
+    passes the catalog dtype) gets hashed picks instead of NULL fakes —
+    or a CAST error under the ANSI mode this repo runs. Numeric pks take
+    the try_cast arm, identical to _pk_index(pk, 'bigint')."""
     if key is None:
-        key = _pk_index(pk, "bigint")
+        key = F.coalesce(
+            pk.try_cast("long"),
+            F.pmod(F.xxhash64(pk.cast("string")), F.lit((1 << 31) - 1)),
+        )
     pools = FR_POOLS if locale == "fr" else FAKE_POOLS
     if kind == "last_name":
         out = _pool_pick(pools["last_name"], key)

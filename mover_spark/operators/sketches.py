@@ -166,17 +166,23 @@ def bloom_semi_join(
     # n_partitions full-size bitmaps — with an auto-sized filter of 100M
     # keys that is ~120 MB × partitions, a guaranteed maxResultSize /
     # driver-OOM failure at exactly the scale auto-sizing targets.)
-    merged = (
+    bitmaps = (
         filter_side.select(*_hash_pair(filter_col))
         .mapInPandas(build, "bitmap binary")
         .rdd.map(lambda r: r.bitmap)
-        .treeReduce(
+    )
+    if bitmaps.isEmpty():
+        # empty / zero-partition filter side: treeReduce would raise
+        # "empty collection"; a zero bitmap gives the correct empty
+        # semi-join result (nothing might_contain)
+        merged = np.zeros(words, dtype=np.uint64).tobytes()
+    else:
+        merged = bitmaps.treeReduce(
             lambda a, b: (
                 np.frombuffer(a, dtype=np.uint64)
                 | np.frombuffer(b, dtype=np.uint64)
             ).tobytes()
         )
-    )
     bc = probe.sparkSession.sparkContext.broadcast(merged)
 
     @F.pandas_udf("boolean")

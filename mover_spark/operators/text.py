@@ -163,19 +163,49 @@ def pack_by_token_budget(
     run, literal boundaries don't."""
     from pyspark.sql.window import Window
 
+    from pyspark.sql.types import NumericType
+
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     toks = F.size(F.split(F.col(text_col), " "))
     base = df.select(F.col(id_col), toks.alias("n_tokens"))
-    cuts = base.select(
-        F.percentile_approx(
-            id_col, [i / n_parts for i in range(1, n_parts)], 10_000
-        ).alias("c")
-    ).first()["c"] or []
+    # the bucketing key must be NUMERIC (percentile_approx) and MONOTONE
+    # in id order (so per-bucket offsets compose into a global prefix
+    # sum). Numeric ids are their own key; string/UUID ids use their
+    # first 7 UTF-8 bytes as a big-endian integer — monotone because
+    # Spark compares strings byte-wise, and 7 bytes (14 hex digits)
+    # always fits a signed long. Ties (shared prefix) just co-bucket and
+    # are ordered by the full id inside the window, which stays correct;
+    # a fully-shared prefix degrades to one bucket, never a wrong answer.
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        bkey = F.col(id_col)
+    else:
+        bkey = F.conv(
+            F.hex(
+                F.rpad(
+                    F.substring(F.encode(F.col(id_col).cast("string"), "UTF-8"), 1, 7),
+                    7,
+                    F.lit(b"\x00"),
+                )
+            ),
+            16,
+            10,
+        ).cast("long")
+    base = base.withColumn("__bkey", bkey)
+    # defaultParallelism==1 would build an EMPTY percentage array (error):
+    # skip bucketing entirely, one bucket is exact there anyway
+    if n_parts > 1:
+        cuts = base.select(
+            F.percentile_approx(
+                "__bkey", [i / n_parts for i in range(1, n_parts)], 10_000
+            ).alias("c")
+        ).first()["c"] or []
+    else:
+        cuts = []
     pid = F.lit(0)
     for b in cuts:
-        pid = pid + F.when(F.col(id_col) > F.lit(b), 1).otherwise(0)
-    local = base.withColumn("pid", pid.cast("int"))
+        pid = pid + F.when(F.col("__bkey") > F.lit(b), 1).otherwise(0)
+    local = base.withColumn("pid", pid.cast("int")).drop("__bkey")
     wp = (
         Window.partitionBy("pid")
         .orderBy(id_col)

@@ -99,7 +99,13 @@ def assert_no_join_exchange(joined: DataFrame) -> None:
     default broadcast threshold a small bucketed dimension legitimately
     plans as BHJ while still meeting the bucketing goal."""
     plan = plan_string(joined)
-    if plan.count("Exchange") - plan.count("BroadcastExchange") > 0:
+    # count only SHUFFLE exchanges: the node renders as bare "Exchange";
+    # "BroadcastExchange" is not a shuffle and "ReusedExchange" (how a
+    # reused broadcast renders) must not count either — naive substring
+    # counting misclassified it and flagged shuffle-free plans
+    import re
+
+    if re.findall(r"(?<!Broadcast)(?<!Reused)Exchange", plan):
         raise AssertionError(f"join plan still shuffles:\n{plan}")
 
 

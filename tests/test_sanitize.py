@@ -149,3 +149,20 @@ def test_no_pk_needed_for_replace_and_nullout(spark):
         dedup=False,
     ).collect()[0]
     assert out.a is None and out.b == "z"
+
+
+def test_fake_column_direct_string_pk_defaults(spark):
+    """Direct fake_column call (no key=) with a string pk: the default
+    key must route through the hash fallback, not cast('long') — which
+    nulled the pick (or threw under ANSI)."""
+    from pyspark.sql import functions as F
+
+    from mover_spark.operators.sanitize import fake_column
+
+    df = spark.createDataFrame([("u-a",), ("u-b",)], "uid string")
+    rows = df.select(
+        fake_column("email", F.col("uid"), unique=True).alias("e")
+    ).collect()
+    vals = {r.e for r in rows}
+    assert all(v and v.endswith("@example.org") for v in vals)
+    assert len(vals) == 2

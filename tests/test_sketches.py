@@ -85,3 +85,12 @@ def test_outlier_events_bounds(catalog):
     for r in rows:
         # outliers are a small minority by construction of the 3-sigma rule
         assert r.n_outliers <= r.n_events * 0.05
+
+
+def test_bloom_semi_join_empty_filter_side(catalog):
+    """Zero-partition filter side (empty createDataFrame) must return an
+    empty result, not raise treeReduce's 'empty collection'."""
+    li = catalog.df("lineitem")
+    empty = catalog.spark.createDataFrame([], "o_orderkey long")
+    out = bloom_semi_join(li, empty, "l_orderkey", "o_orderkey", expected=10)
+    assert out.count() == 0

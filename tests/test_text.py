@@ -249,3 +249,18 @@ def test_redact_pii_ordered_counts_reconcile(spark):
     assert r.clean_text.count("[SSN]") == 1
     assert r.clean_text.count("[PHONE]") == 1
     assert r.clean_text.count("[EMAIL]") == 1
+
+
+def test_token_packing_string_ids(spark):
+    """String doc ids bucket through the monotone byte-prefix proxy —
+    the numeric-only percentile path used to throw on them — and produce
+    the same bins as the numeric-id ordering."""
+    from mover_spark.operators.text import pack_by_token_budget
+
+    sizes = [400, 900, 50, 700, 1200, 10]
+    docs = [(f"doc-{i:04d}", " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = pack_by_token_budget(df, budget=1000).collect()
+    assert sum(r.bin_tokens for r in out) == sum(sizes)
+    bins = {r.bin: r.n_docs for r in out}
+    assert bins == {0: 2, 1: 2, 2: 1, 3: 1}
