@@ -138,10 +138,53 @@ def introspect_catalog(run_sql, schema: str = "public") -> dict:
     return tables
 
 
-def read_seed_query(spark: SparkSession, url: str, query: str, props: dict) -> DataFrame:
-    """S1 over JDBC: push the whole seed query to the source DB —
-    the exact analogue of Dialect.ResultSet (postgres.go:43-60)."""
-    return spark.read.jdbc(url, f"({query}) seed_q", properties=props)
+def read_seed_query(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    props: dict,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    predicates: list[str] | None = None,
+    fetchsize: int = 10_000,
+) -> DataFrame:
+    """S1 over JDBC: push the whole seed query to the source DB — the
+    analogue of Dialect.ResultSet (postgres.go:43-60), but PARTITIONED.
+
+    The reference extracts through one connection (postgres.go:21-35);
+    at scale that single pipe is the extract bottleneck. Three modes:
+
+    - ``partition_column`` + bounds + ``num_partitions``: Spark's native
+      stride split — N concurrent connections, each scanning one key range.
+    - ``predicates``: caller-generated disjoint WHERE clauses (see
+      pgread.range_partition_predicates / hash_partition_predicates), one
+      connection per predicate — the route for keyless or non-numeric keys.
+    - neither: the reference-parity single-connection read.
+
+    ``fetchsize`` defaults to 10k so result sets CURSOR-stream instead of
+    arriving in one driver-side buffer (the JDBC default of 0 means
+    "whole result set at once" on PostgreSQL). When no JDBC driver jar is
+    available, pgread.parallel_read runs the same predicate split through
+    executor-side DB-API connections instead."""
+    props = dict(props)
+    props.setdefault("fetchsize", str(fetchsize))
+    table = f"({query}) seed_q"
+    if partition_column and num_partitions and num_partitions > 1 \
+            and lower_bound is not None and upper_bound is not None:
+        return spark.read.jdbc(
+            url,
+            table,
+            column=partition_column,
+            lowerBound=lower_bound,
+            upperBound=upper_bound,
+            numPartitions=num_partitions,
+            properties=props,
+        )
+    if predicates:
+        return spark.read.jdbc(url, table, predicates=predicates, properties=props)
+    return spark.read.jdbc(url, table, properties=props)
 
 
 # --- upsert sink ------------------------------------------------------------

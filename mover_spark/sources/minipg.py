@@ -205,6 +205,11 @@ class Cursor:
         self._idx += 1
         return row
 
+    def fetchmany(self, size: int = 1000) -> list[tuple]:
+        rows = self._rows[self._idx : self._idx + size]
+        self._idx += len(rows)
+        return rows
+
     def close(self) -> None:
         pass
 
