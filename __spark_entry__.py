@@ -299,16 +299,17 @@ def _q_profile_orders(spark, sf_dir):
 
 
 def _q_profile_orders_approx(spark, sf_dir):
-    """Sketch twin of profile_orders: HLL++ (approx_count_distinct) replaces
-    the exact multi-distinct, so the plan is ONE partial/final aggregate
-    pass with NO Expand(xN) — the profile shape you run first against a
-    100 TB source. No oracle entry (the HLL estimate is not reproducible in
-    DuckDB); accuracy vs the exact profile and the no-Expand plan shape are
-    pinned by tests/test_profiling.py."""
-    from mover_spark.operators.profiling import profile_table
+    """Sketch twin of profile_orders with its accuracy contract checked
+    in-query: exact metrics plus a boolean asserting HLL++
+    (approx_count_distinct — the no-Expand 100-TB first-profile path,
+    plan shape pinned by tests/test_profiling.py) landed within tol of
+    the exact distinct count. Emitting the BOOLEAN instead of the raw
+    estimate makes the query hash-checkable against a DuckDB oracle —
+    previously this was the suite's only rows-only entry."""
+    from mover_spark.operators.profiling import profile_accuracy_check
 
-    return profile_table(
-        _catalog(spark, sf_dir).df("orders"), exact=False
+    return profile_accuracy_check(
+        _catalog(spark, sf_dir).df("orders")
     ).orderBy("column_name")
 
 
@@ -1934,6 +1935,31 @@ def oracle_sql() -> dict[str, str]:
                 "CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
                 "COUNT(DISTINCT {c}) AS n_distinct, "
                 "CAST({r} AS VARCHAR) AS min_val, CAST({R} AS VARCHAR) AS max_val "
+                "FROM orders".format(
+                    c=c,
+                    r=(f"CAST(MIN({c}) AS DECIMAL(38,2))" if c == "o_totalprice" else f"MIN({c})"),
+                    R=(f"CAST(MAX({c}) AS DECIMAL(38,2))" if c == "o_totalprice" else f"MAX({c})"),
+                )
+                for c in [
+                    "o_custkey",
+                    "o_orderdate",
+                    "o_orderkey",
+                    "o_orderpriority",
+                    "o_orderstatus",
+                    "o_totalprice",
+                ]
+            )
+        ),
+        "profile_orders_approx": (
+            # exact profile mirror + the HLL accuracy contract as a pinned
+            # TRUE (the boolean is Spark's sketch hitting its tolerance;
+            # the raw estimate itself is not reproducible cross-engine)
+            " UNION ALL ".join(
+                "SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+                "CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+                "COUNT(DISTINCT {c}) AS n_distinct, "
+                "CAST({r} AS VARCHAR) AS min_val, CAST({R} AS VARCHAR) AS max_val, "
+                "TRUE AS distinct_within_tol "
                 "FROM orders".format(
                     c=c,
                     r=(f"CAST(MIN({c}) AS DECIMAL(38,2))" if c == "o_totalprice" else f"MIN({c})"),

@@ -90,3 +90,43 @@ def profile_table(
         F.col("p.min_val").alias("min_val"),
         F.col("p.max_val").alias("max_val"),
     )
+
+
+def profile_accuracy_check(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    rsd: float = 0.05,
+    tol: float = 0.10,
+) -> DataFrame:
+    """The sketch profile's accuracy contract, checked in-query: the
+    EXACT per-column profile plus a boolean asserting the HLL++ distinct
+    estimate (the ``exact=False`` fast path) landed within ``tol`` of the
+    exact count. Same trick as sketches.approx_distinct_check — the
+    booleans (not the raw estimates) are the query output, so a SQL
+    oracle can reproduce every cell even though no other engine
+    reproduces Spark's HLL bits. Spark's HLL is hash-based and
+    merge-commutative, so the boolean is deterministic per dataset.
+
+    This is the per-SF AUDIT of the sketch twin, so it runs both plans
+    (the exact one includes Catalyst's Expand); production first-profile
+    runs ``profile_table(exact=False)`` alone — the no-Expand shape
+    pinned by tests/test_profiling.py."""
+    exact = profile_table(df, columns, exact=True)
+    approx = profile_table(df, columns, exact=False, rsd=rsd).select(
+        "column_name", F.col("n_distinct").alias("n_approx")
+    )
+    return (
+        exact.join(approx, on=["column_name"])
+        .select(
+            "column_name",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_val",
+            "max_val",
+            (
+                F.abs(F.col("n_approx") - F.col("n_distinct"))
+                <= F.col("n_distinct") * F.lit(tol)
+            ).alias("distinct_within_tol"),
+        )
+    )

@@ -79,3 +79,22 @@ def test_profile_renders_huge_doubles(spark):
     df = spark.createDataFrame([(1, 1.5e17)], "id long, big double")
     row = [r for r in profile_table(df, ["big"]).collect()][0]
     assert row.max_val is not None and row.max_val.startswith("15000000")
+
+
+def test_profile_accuracy_check_contract(catalog):
+    """The contract view emits exact metrics + a TRUE tolerance boolean
+    per column (this is what makes the sketch twin hash-checkable)."""
+    from mover_spark.operators.profiling import profile_accuracy_check
+
+    rows = profile_accuracy_check(catalog.df("orders")).collect()
+    assert len(rows) == len(catalog.df("orders").columns)
+    assert all(r.distinct_within_tol for r in rows)
+    # exact metrics identical to the exact profile
+    from mover_spark.operators.profiling import profile_table
+
+    exact = {r.column_name: r for r in profile_table(catalog.df("orders")).collect()}
+    for r in rows:
+        e = exact[r.column_name]
+        assert (r.n_rows, r.n_nulls, r.n_distinct, r.min_val, r.max_val) == (
+            e.n_rows, e.n_nulls, e.n_distinct, e.min_val, e.max_val
+        )
