@@ -96,6 +96,12 @@ def quote_literal(v) -> str:
     if isinstance(v, (bytes, bytearray)):
         return "'\\x" + bytes(v).hex() + "'::bytea"
     s = str(v)
+    # a NUL can't exist in a PG text value, and worse: the simple-query
+    # message is a NUL-terminated C string, so an embedded NUL would
+    # TRUNCATE the statement mid-literal on the wire — reject loudly
+    # instead of sending a silently-different query
+    if "\x00" in s:
+        raise ValueError("PostgreSQL text values cannot contain NUL (\\x00)")
     # standard_conforming_strings is on by default since PG 9.1: only the
     # single quote needs doubling; backslashes are literal. E'' prefix
     # covers servers configured otherwise.
