@@ -264,7 +264,7 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     machinery dominates a small drain's wall clock. The drain therefore
     clamps ``spark.sql.shuffle.partitions`` (captured at query START, so
     the batch session conf is restored immediately after .start()) to
-    $SPARK_GRAFT_STREAM_SHUFFLE, default 8. Results are unaffected: every
+    $SPARK_GRAFT_STREAM_SHUFFLE, default 4. Results are unaffected: every
     drained query here is order-invariant by construction (decimal sums,
     exact joins/dedup, quantized state). On a real cluster raise the env
     to O(executor cores) — state instances parallelize there instead of
@@ -272,9 +272,26 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     spark = stream_df.sparkSession
     import os as _os
 
-    stream_parts = _os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+    # Short-drain state-store tuning, same capture-at-start bracket as the
+    # shuffle clamp: an availableNow drain runs 1-2 micro-batches and then
+    # discards every store, so background maintenance can never usefully
+    # fire (push it past the drain's lifetime) and only the last commit is
+    # ever read back (retain 2, not 100 checkpoint entries). A long-lived
+    # production stream should NOT inherit these — they are restored
+    # immediately after .start(), exactly like the partition clamp.
+    # Isolated A/B on the stream-stream joins at sf0.1 (32-thread local):
+    # clamp 8 -> 4 plus these two confs took the warm interval-join drains
+    # from 2.7-3.3 s to 2.0-2.8 s (~15-20%).
+    drain_confs = {
+        "spark.sql.shuffle.partitions": _os.environ.get(
+            "SPARK_GRAFT_STREAM_SHUFFLE", "4"
+        ),
+        "spark.sql.streaming.stateStore.maintenanceInterval": "600s",
+        "spark.sql.streaming.minBatchesToRetain": "2",
+    }
+    prev = {k: spark.conf.get(k, None) for k in drain_confs}
+    for k, v in drain_confs.items():
+        spark.conf.set(k, v)
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -284,7 +301,11 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
             .start()
         )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     q.awaitTermination()
     return q
 
