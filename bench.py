@@ -53,6 +53,13 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown queries: {unknown}")
         qs = {n: qs[n] for n in names}
+    excl = os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "").strip()
+    if excl:
+        names = [n.strip() for n in excl.split(",") if n.strip()]
+        unknown = [n for n in names if n not in entrymod.queries()]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_EXCLUDE unknown queries: {unknown}")
+        qs = {n: f for n, f in qs.items() if n not in names}
     # Fixed warm-up protocol at the smallest fixture: one query per
     # execution mode (whole-stage codegen agg, Arrow pandas-UDF, Structured
     # Streaming micro-batch) so first-use JIT/interpreter startup lands here
