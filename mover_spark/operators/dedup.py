@@ -793,8 +793,15 @@ def embedding_cosine_pairs(
     Determinism: integer dots are exact in any order; the raw cosine is a
     single IEEE division (commutative norm product), and the half-up
     round/threshold is applied JVM-side so results match the DuckDB oracle
-    bit-for-bit."""
-    n_blocks = 16
+    bit-for-bit.
+
+    Block count ADAPTS to corpus size (one cheap count) so a block stays
+    ~4k vectors: a fixed 16 blocks put 12.5k vectors (6+ MB of flattened
+    int64 per collect_list row) into single rows at 200k vectors, and the
+    tile join's UnsafeRow copies of those rows heap-OOM'd the sf10
+    capture. Blocking never changes the output — every unordered pair
+    still lands in exactly one tile."""
+    n_blocks = max(16, -(-df.count() // 4096))
     q = df.select(F.col(id_col).alias("vid"), quantized_vec(vec_col).alias("qv")).withColumn(
         "blk", F.pmod(F.col("vid"), F.lit(n_blocks)).cast("int")
     )

@@ -76,6 +76,13 @@ _OID_TO_SPARK = {
 _INTEGRAL_PG_TYPES = ("smallint", "integer", "bigint", "int2", "int4", "int8")
 
 
+def _qident(name: str) -> str:
+    """Double-quote an identifier, doubling embedded quotes — column
+    names are DATA here (they come from a live catalog), never trusted
+    to be bare-word-safe."""
+    return '"' + str(name).replace('"', '""') + '"'
+
+
 def range_partition_predicates(
     column: str, lower: int, upper: int, num_partitions: int
 ) -> list[str]:
@@ -84,7 +91,7 @@ def range_partition_predicates(
     open below (plus the NULL keys) and the last open above, so rows
     outside stale bounds still land somewhere instead of being dropped.
     ``upper`` is exclusive; pass max+1 from a MIN/MAX probe."""
-    col = f'"{column}"'
+    col = _qident(column)
     span = max(0, upper - lower)
     n = max(1, min(num_partitions, span))
     if n == 1:
@@ -110,7 +117,7 @@ def hash_partition_predicates(
     PG's ``%`` follows the dividend, and overflow-safe where ``abs()``
     would die on -2^63); other types hash server-side via
     ``hashtextextended`` (PostgreSQL 11+). NULL keys ride partition 0."""
-    col = f'"{column}"'
+    col = _qident(column)
     if num_partitions <= 1:
         return [f"{col} IS NOT NULL OR {col} IS NULL"]
     n = num_partitions
@@ -133,12 +140,13 @@ def auto_partition_predicates(
     non-integral key -> text-hash mod (each partition full-scans, but
     reads and transfers only 1/N of the rows — still N× the single-pipe
     extract throughput). Empty table -> single trivially-true predicate."""
+    col, tbl = _qident(column), _qident(table)
     if num_partitions <= 1:
-        return [f'"{column}" IS NOT NULL OR "{column}" IS NULL']
+        return [f"{col} IS NOT NULL OR {col} IS NULL"]
     if str(dtype).lower() in _INTEGRAL_PG_TYPES:
-        lo, hi = run_sql(f'SELECT MIN("{column}"), MAX("{column}") FROM "{table}"')[0]
+        lo, hi = run_sql(f"SELECT MIN({col}), MAX({col}) FROM {tbl}")[0]
         if lo is None:
-            return [f'"{column}" IS NOT NULL OR "{column}" IS NULL']
+            return [f"{col} IS NOT NULL OR {col} IS NULL"]
         return range_partition_predicates(column, int(lo), int(hi) + 1, num_partitions)
     return hash_partition_predicates(column, num_partitions, numeric=False)
 
@@ -152,7 +160,7 @@ def describe_query(
     """Spark schema of ``query`` via one driver-side ``LIMIT 0`` round
     trip — the DB-API analogue of the JDBC reader's schema resolution."""
     connect = connection_factory or _default_connect
-    collist = ", ".join(f'"{c}"' for c in columns) if columns else "*"
+    collist = ", ".join(_qident(c) for c in columns) if columns else "*"
     conn = connect(dsn)
     try:
         with conn.cursor() as cur:
@@ -192,7 +200,7 @@ def parallel_read(
 
     schema = describe_query(dsn, query, columns, connection_factory)
     names = [f.name for f in schema.fields]
-    collist = ", ".join(f'"{c}"' for c in names)
+    collist = ", ".join(_qident(c) for c in names)
     preds = list(predicates) or ["TRUE"]
     # parallelize slices the list evenly: exactly one predicate per
     # partition (a DataFrame round-robin repartition would not guarantee
@@ -288,7 +296,7 @@ class DsnCatalog:
             self._dfs[name] = parallel_read(
                 self.spark,
                 self.dsn,
-                f'SELECT * FROM "{name}"',
+                f'SELECT * FROM {_qident(name)}',
                 preds,
                 connection_factory=self._connect,
             )

@@ -128,3 +128,79 @@ def test_auto_predicates_empty_table():
         lambda sql: [(None, None)], "t", "k", "bigint", 4
     )
     assert len(preds) == 1  # trivially-true single partition
+
+
+class _StubCursor:
+    """DB-API cursor stub recording the SQL and serving a fixed
+    description — lets describe_query's OID->Spark mapping and identifier
+    quoting be pinned without any database."""
+
+    def __init__(self, description):
+        self.description = description
+        self.sql = None
+
+    def execute(self, sql):
+        self.sql = sql
+        _StubConn.last_sql = sql
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        pass
+
+
+class _StubConn:
+    last_sql = None
+
+    def __init__(self, description):
+        self._desc = description
+
+    def cursor(self):
+        return _StubCursor(self._desc)
+
+    def close(self):
+        pass
+
+
+def test_describe_query_oid_mapping_and_quoting():
+    from mover_spark.sources.pgread import describe_query
+
+    desc = [
+        ("flag", 16, None, None, None, None, None),
+        ("n", 20, None, None, None, None, None),
+        ("m", 23, None, None, None, None, None),
+        ("x", 701, None, None, None, None, None),
+        ("price", 1700, None, None, None, None, None),
+        ("d", 1082, None, None, None, None, None),
+        ("ts", 1114, None, None, None, None, None),
+        ("tstz", 1184, None, None, None, None, None),
+        ("blob", 17, None, None, None, None, None),
+        ("weird oid", 424242, None, None, None, None, None),
+    ]
+    schema = describe_query(
+        "dsn", "SELECT 1", connection_factory=lambda dsn: _StubConn(desc)
+    )
+    got = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert got == {
+        "flag": "boolean", "n": "bigint", "m": "int", "x": "double",
+        "price": "decimal(38,18)", "d": "date", "ts": "timestamp_ntz",
+        "tstz": "timestamp", "blob": "binary", "weird oid": "string",
+    }
+    assert _StubConn.last_sql == "SELECT * FROM (SELECT 1) mover_src LIMIT 0"
+    # projection quotes identifiers, doubling embedded quotes
+    describe_query(
+        "dsn", "SELECT 1", columns=['a"b', "c"],
+        connection_factory=lambda dsn: _StubConn(desc),
+    )
+    assert _StubConn.last_sql == 'SELECT "a""b", "c" FROM (SELECT 1) mover_src LIMIT 0'
+
+
+def test_qident_quote_doubling_in_predicates():
+    from mover_spark.sources.pgread import (
+        hash_partition_predicates,
+        range_partition_predicates,
+    )
+
+    assert range_partition_predicates('k"x', 0, 8, 2)[0].startswith('"k""x" <')
+    assert '"k""x"' in hash_partition_predicates('k"x', 2, numeric=True)[0]
