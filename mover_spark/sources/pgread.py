@@ -184,18 +184,24 @@ def parallel_read(
     columns: list[str] | None = None,
     connection_factory=None,
     batch_rows: int = 10_000,
+    stream: bool = True,
 ) -> DataFrame:
     """Read ``query`` through ``len(predicates)`` concurrent executor-side
     connections — one disjoint predicate per Spark partition, Arrow-batched
     into pandas frames of ``batch_rows``. Column projection pushes down
     (``columns``); the caller's predicates push down by construction.
 
-    Each partition's result streams through fetchmany batches, but the
-    DB-API drivers buffer a full result set per connection — which is
-    exactly why the PREDICATES bound partition size: size ``predicates``
-    so one partition's rows fit an executor, the same contract as
-    ``spark.sql.files.maxPartitionBytes`` on file scans. One pipe vs N is
-    the whole contrast with the reference's extractor (extractor.go:158)."""
+    Each partition streams through a SERVER-SIDE cursor (DECLARE / FETCH
+    FORWARD ``batch_rows``): executor memory is bounded by one batch, not
+    one partition's full result — the same contract as
+    ``spark.sql.files.maxPartitionBytes`` on file scans, but enforced by
+    the protocol rather than by hoping the predicate split was fine
+    enough. (A plain execute would have the DB-API driver buffer the
+    whole result set per connection — psycopg2's default client-side
+    cursor and the bundled minipg both do.) ``stream=False`` falls back
+    to that buffered single-execute for servers/drivers without cursor
+    support. One pipe vs N concurrent bounded-memory pipes is the whole
+    contrast with the reference's extractor (extractor.go:158)."""
     import pandas as pd
 
     schema = describe_query(dsn, query, columns, connection_factory)
@@ -212,33 +218,52 @@ def parallel_read(
         "part int, pred string",
     )
 
+    def to_pandas(rows):
+        # per-column object Series: pandas dtype inference would
+        # float64-ify nullable int columns (NaN) and corrupt big values;
+        # object columns Arrow-cast exactly per the schema
+        return pd.DataFrame(
+            {
+                name: pd.Series([r[i] for r in rows], dtype="object")
+                for i, name in enumerate(names)
+            }
+        )
+
     def fetch(batches):
         connect = connection_factory or _default_connect
         for pdf in batches:
             for p in pdf["pred"]:
+                select = (
+                    f"SELECT {collist} FROM ({query}) mover_src WHERE ({p})"
+                )
                 conn = connect(dsn)
                 try:
                     with conn.cursor() as cur:
-                        cur.execute(
-                            f"SELECT {collist} FROM ({query}) mover_src "
-                            f"WHERE ({p})"
-                        )
-                        while True:
-                            rows = cur.fetchmany(batch_rows)
-                            if not rows:
-                                break
-                            # per-column object Series: pandas dtype
-                            # inference would float64-ify nullable int
-                            # columns (NaN) and corrupt big values; object
-                            # columns Arrow-cast exactly per the schema
-                            yield pd.DataFrame(
-                                {
-                                    name: pd.Series(
-                                        [r[i] for r in rows], dtype="object"
-                                    )
-                                    for i, name in enumerate(names)
-                                }
+                        if stream:
+                            # DECLARE runs inside the lazy transaction both
+                            # drivers open; the cursor dies with the tx on
+                            # close, so no cleanup statement is needed on
+                            # error paths
+                            cur.execute(
+                                "DECLARE mover_cur NO SCROLL CURSOR FOR "
+                                + select
                             )
+                            while True:
+                                cur.execute(
+                                    f"FETCH FORWARD {int(batch_rows)} "
+                                    "FROM mover_cur"
+                                )
+                                rows = cur.fetchall()
+                                if not rows:
+                                    break
+                                yield to_pandas(rows)
+                        else:
+                            cur.execute(select)
+                            while True:
+                                rows = cur.fetchmany(batch_rows)
+                                if not rows:
+                                    break
+                                yield to_pandas(rows)
                 finally:
                     conn.close()
 

@@ -594,3 +594,52 @@ def test_minipg_literal_roundtrip_fuzz_live(pg_dsn):
             minipg.quote_literal("a\x00b")
     finally:
         conn.close()
+
+
+def test_parallel_read_cursor_streaming_small_batches(pread_pg, spark):
+    """Server-side cursor streaming: batch_rows far below the partition
+    size forces many FETCH FORWARD round trips per connection — executor
+    memory is bounded by one batch — and the result still matches the
+    buffered (stream=False) path and the single-connection read."""
+    from mover_spark.sources.jdbc import dsn_run_sql
+    from mover_spark.sources.pgread import parallel_read, range_partition_predicates
+
+    preds = range_partition_predicates("id", -500, 1500, 4)
+    streamed = parallel_read(
+        spark, pread_pg, 'SELECT * FROM "pread_num"', preds, batch_rows=137
+    )
+    buffered = parallel_read(
+        spark, pread_pg, 'SELECT * FROM "pread_num"', preds,
+        batch_rows=137, stream=False,
+    )
+    got_s = sorted((r.id, r.val, r.amt) for r in streamed.collect())
+    got_b = sorted((r.id, r.val, r.amt) for r in buffered.collect())
+    want = sorted(dsn_run_sql(pread_pg)('SELECT id, val, amt FROM "pread_num"'))
+    assert got_s == want and got_b == want and len(want) == 2000
+
+
+def test_minipg_declare_fetch_wire_flow(pg_dsn):
+    """The DECLARE/FETCH flow at the wire level: a 10-row table fetched 3
+    rows at a time takes exactly ceil(10/3)+1 FETCH round trips and
+    decodes every batch through the per-FETCH RowDescription."""
+    _run(pg_dsn, "DROP TABLE IF EXISTS curfetch",
+         "CREATE TABLE curfetch (i int, t text)",
+         "INSERT INTO curfetch SELECT g, 'r' || g FROM generate_series(1, 10) g")
+    conn = minipg.connect(pg_dsn)
+    try:
+        got, fetches = [], 0
+        with conn.cursor() as cur:
+            cur.execute(
+                "DECLARE c NO SCROLL CURSOR FOR SELECT i, t FROM curfetch ORDER BY i"
+            )
+            while True:
+                cur.execute("FETCH FORWARD 3 FROM c")
+                fetches += 1
+                rows = cur.fetchall()
+                if not rows:
+                    break
+                got.extend(rows)
+        assert fetches == 5  # 3+3+3+1 rows, then the empty terminator
+        assert got == [(i, f"r{i}") for i in range(1, 11)]
+    finally:
+        conn.close()
