@@ -552,11 +552,21 @@ def _q_streaming_running_totals(spark, sf_dir):
     the batch aggregate. State accumulates an int64 fixed-point sum
     (round(value*1e4)), so the total is exact in any arrival order and the
     query hash-checks against a batch DuckDB oracle."""
-    from mover_spark.streaming.events import read_events_stream, run_to_memory, running_totals_stream
+    from mover_spark.streaming.events import (
+        fixture_bytes,
+        read_events_stream,
+        run_to_memory,
+        running_totals_stream,
+    )
 
     totals = running_totals_stream(read_events_stream(spark, sf_dir))
     name = "streaming_running_totals_out"
-    run_to_memory(totals, name, output_mode="update")
+    run_to_memory(
+        totals,
+        name,
+        output_mode="update",
+        input_bytes=fixture_bytes(sf_dir, "events"),
+    )
     out = spark.table(name)
     # update mode emits one row per user per micro-batch; keep the final
     # (cumulative-max) state
@@ -989,12 +999,23 @@ def _q_streaming_dedup(spark, sf_dir):
     simulation); the dedup state keeps first-seen event_ids within the
     watermark, so the drained output aggregates to exactly the batch answer
     over unique events."""
-    from mover_spark.streaming.events import dedup_stream, read_events_stream, run_to_memory
+    from mover_spark.streaming.events import (
+        dedup_stream,
+        fixture_bytes,
+        read_events_stream,
+        run_to_memory,
+    )
 
     ev = read_events_stream(spark, sf_dir)
     dup = ev.unionByName(read_events_stream(spark, sf_dir))
     name = "streaming_dedup_out"
-    run_to_memory(dedup_stream(dup), name, output_mode="append")
+    # the drain ingests the fixture twice (the union), so size state for 2x
+    run_to_memory(
+        dedup_stream(dup),
+        name,
+        output_mode="append",
+        input_bytes=2 * fixture_bytes(sf_dir, "events"),
+    )
     out = spark.table(name)
     return (
         out.groupBy("event_type")
@@ -1010,21 +1031,20 @@ def _q_streaming_interval_join(spark, sf_dir):
     """Watermarked stream-stream join (purchase <- same user's clicks in the
     trailing hour), drained with availableNow; the per-user pair counts
     aggregate to exactly the batch interval-join answer."""
-    from mover_spark.streaming.events import interval_join_stream, run_to_memory
+    from mover_spark.streaming.events import (
+        fixture_bytes,
+        interval_join_stream,
+        run_to_memory,
+    )
 
     name = "streaming_interval_join_out"
-    # stream-stream join state cost scales with state partitions, and the
-    # partition count is pinned at stream start: size it to the micro-batch
-    # volume instead of inheriting the batch-suite setting (32 partitions of
-    # state-store commits per batch is pure overhead at this event rate)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        run_to_memory(
-            interval_join_stream(spark, sf_dir), name, output_mode="append"
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # both join sides ingest the fixture, so size state for 2x source bytes
+    run_to_memory(
+        interval_join_stream(spark, sf_dir),
+        name,
+        output_mode="append",
+        input_bytes=2 * fixture_bytes(sf_dir, "events"),
+    )
     return (
         spark.table(name)
         .groupBy(F.col("l_user").alias("user_id"))
@@ -1039,15 +1059,19 @@ def _q_streaming_enrich_join(spark, sf_dir):
     sums reproduces the batch join+agg answer independent of micro-batch
     arrival order."""
     from mover_spark.operators.analytics import dsum
-    from mover_spark.streaming.events import enrich_join_stream, run_to_memory
+    from mover_spark.streaming.events import (
+        enrich_join_stream,
+        fixture_bytes,
+        run_to_memory,
+    )
 
     name = "streaming_enrich_join_out"
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        run_to_memory(enrich_join_stream(spark, sf_dir), name, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    run_to_memory(
+        enrich_join_stream(spark, sf_dir),
+        name,
+        output_mode="append",
+        input_bytes=fixture_bytes(sf_dir, "events"),
+    )
     return (
         spark.table(name)
         .groupBy("event_type", "c_mktsegment")
@@ -1066,17 +1090,19 @@ def _q_streaming_interval_left_join(spark, sf_dir):
     to the provably-complete horizon (max ts - watermark - lookback) and
     compared against the batch left join under the same bound."""
     from mover_spark.catalog import read_table
-    from mover_spark.streaming.events import interval_left_join_stream, run_to_memory
+    from mover_spark.streaming.events import (
+        fixture_bytes,
+        interval_left_join_stream,
+        run_to_memory,
+    )
 
     name = "streaming_interval_left_join_out"
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        run_to_memory(
-            interval_left_join_stream(spark, sf_dir), name, output_mode="append"
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    run_to_memory(
+        interval_left_join_stream(spark, sf_dir),
+        name,
+        output_mode="append",
+        input_bytes=2 * fixture_bytes(sf_dir, "events"),
+    )
     horizon = (
         read_table(spark, f"{sf_dir}/events.parquet")
         .agg((F.max("ts") - F.expr("INTERVAL 3 HOURS")).alias("h"))

@@ -165,6 +165,10 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
 
 _DRAIN_SEQ = [0]
 
+#: memory-sink tables created by past run_to_memory drains, dropped at the
+#: start of the next drain (see run_to_memory)
+_DRAIN_TABLES: list[str] = []
+
 
 def tumbling_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming query with a batch-checkable answer: ingest the
@@ -191,7 +195,7 @@ def tumbling_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _DRAIN_SEQ[0] += 1
     name = f"streaming_tumbling_{_DRAIN_SEQ[0]}"
-    run_to_memory(agg, name)
+    run_to_memory(agg, name, input_bytes=fixture_bytes(sf_dir, "events"))
     return spark.table(name)
 
 
@@ -220,7 +224,7 @@ def sliding_batch_parity(
     )
     _DRAIN_SEQ[0] += 1
     name = f"streaming_sliding_{_DRAIN_SEQ[0]}"
-    run_to_memory(agg, name)
+    run_to_memory(agg, name, input_bytes=fixture_bytes(sf_dir, "events"))
     return spark.table(name)
 
 
@@ -250,27 +254,93 @@ def session_batch_parity(spark: SparkSession, sf_dir: str, gap: str = "30 minute
     )
     _DRAIN_SEQ[0] += 1
     name = f"streaming_session_{_DRAIN_SEQ[0]}"
-    run_to_memory(agg, name)
+    run_to_memory(agg, name, input_bytes=fixture_bytes(sf_dir, "events"))
     return spark.table(name)
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+def fixture_bytes(sf_dir: str, table: str) -> int:
+    """Total on-disk bytes of ``{sf_dir}/{table}.parque*`` (file or
+    directory layout) — the drain-sizing input for ``run_to_memory``.
+    Returns 0 when the path doesn't resolve (remote/URI sources): the
+    caller then keeps the small-drain default."""
+    import glob as _glob
+    import os as _os
+
+    total = 0
+    for p in _glob.glob(_os.path.join(sf_dir, f"{table}.parque*")):
+        if _os.path.isdir(p):
+            for root, _, files in _os.walk(p):
+                total += sum(
+                    _os.path.getsize(_os.path.join(root, f)) for f in files
+                )
+        else:
+            total += _os.path.getsize(p)
+    return total
+
+
+#: bytes of drained source per state partition: small drains collapse to
+#: the 4-partition floor (state machinery is pure fixed cost there); big
+#: drains scale up to the session's shuffle partitions so the stateful
+#: stage parallelizes. Calibrated by isolated A/B at sf10 (205 MB events,
+#: 32 threads): running-totals drain 49.9 s at 4 partitions vs 12.6 s at
+#: 32 — the fixed clamp that made sf0.1 drains 15-20% faster was a 4x
+#: scale bug two decades up.
+_DRAIN_BYTES_PER_PARTITION = 4 << 20
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    input_bytes: int | None = None,
+):
     """Drain a stream with availableNow into a memory sink; returns the
     finished query (caller reads spark.table(name)).
 
     State-store sizing: a stateful micro-batch materializes one state-store
     instance (files, maintenance thread, commit entries) PER shuffle
     partition per stateful operator — at the batch default of 32 that fixed
-    machinery dominates a small drain's wall clock. The drain therefore
-    clamps ``spark.sql.shuffle.partitions`` (captured at query START, so
-    the batch session conf is restored immediately after .start()) to
-    $SPARK_GRAFT_STREAM_SHUFFLE, default 4. Results are unaffected: every
+    machinery dominates a small drain's wall clock, while a big drain
+    NEEDS the parallelism. The drain therefore sets
+    ``spark.sql.shuffle.partitions`` (captured at query START, so the
+    batch session conf is restored immediately after .start()) from the
+    source size: ``input_bytes / 4 MB`` clamped to [4, session shuffle
+    partitions]; callers pass ``input_bytes=fixture_bytes(sf_dir, ...)``.
+    $SPARK_GRAFT_STREAM_SHUFFLE overrides unconditionally; with neither,
+    the small-drain floor of 4 applies. Results are unaffected: every
     drained query here is order-invariant by construction (decimal sums,
-    exact joins/dedup, quantized state). On a real cluster raise the env
-    to O(executor cores) — state instances parallelize there instead of
-    queueing on one machine."""
+    exact joins/dedup, quantized state). On a real cluster the session
+    shuffle-partition conf is O(total executor cores), so the cap scales
+    with the cluster instead of one machine."""
     spark = stream_df.sparkSession
     import os as _os
+
+    # A memory sink collects its FULL result to the driver and holds it for
+    # the session lifetime; with monotone drain names nothing ever drops
+    # them, so a long session (the bench suite runs 100+ queries in one
+    # JVM) accumulates every past drain's rows as dead heap. Each new drain
+    # therefore drops all previous drains' tables first — by then their
+    # results have been consumed (every caller materializes before the next
+    # drain starts). Re-reading a PRIOR drain's table after a new drain
+    # begins is not supported.
+    while _DRAIN_TABLES:
+        stale = _DRAIN_TABLES.pop()
+        if stale != name:
+            try:
+                spark.catalog.dropTempView(stale)
+            except Exception:
+                pass
+
+    env = _os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        n_state = env
+    elif input_bytes:
+        sess = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
+        n_state = str(
+            max(4, min(sess, input_bytes // _DRAIN_BYTES_PER_PARTITION))
+        )
+    else:
+        n_state = "4"
 
     # Short-drain state-store tuning, same capture-at-start bracket as the
     # shuffle clamp: an availableNow drain runs 1-2 micro-batches and then
@@ -283,9 +353,7 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     # clamp 8 -> 4 plus these two confs took the warm interval-join drains
     # from 2.7-3.3 s to 2.0-2.8 s (~15-20%).
     drain_confs = {
-        "spark.sql.shuffle.partitions": _os.environ.get(
-            "SPARK_GRAFT_STREAM_SHUFFLE", "4"
-        ),
+        "spark.sql.shuffle.partitions": n_state,
         "spark.sql.streaming.stateStore.maintenanceInterval": "600s",
         "spark.sql.streaming.minBatchesToRetain": "2",
     }
@@ -307,6 +375,7 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
             else:
                 spark.conf.set(k, v)
     q.awaitTermination()
+    _DRAIN_TABLES.append(name)
     return q
 
 

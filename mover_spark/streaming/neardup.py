@@ -161,5 +161,10 @@ def neardup_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         neardup_detect_stream(stream, index, corpus_shingles),
         name,
         output_mode="append",
+        # deliberately NOT size-adapted (no input_bytes): this drain is
+        # stateless emit-once — no keyed state to parallelize — and its
+        # cost is the Arrow verify UDF + static index build, which prefer
+        # few fat batches. Isolated A/B at sf10 (78 MB documents, 3 reps):
+        # 21.2 s at the 4-partition floor vs 49.9 s size-adapted.
     )
     return spark.table(name).orderBy("doc_stream", "doc_corpus")
