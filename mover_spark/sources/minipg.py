@@ -102,6 +102,16 @@ def quote_literal(v) -> str:
     # instead of sending a silently-different query
     if "\x00" in s:
         raise ValueError("PostgreSQL text values cannot contain NUL (\\x00)")
+    # lone surrogates (e.g. from undecoded UTF-16 or os.fsdecode) cannot be
+    # UTF-8 encoded: without this guard they crash with UnicodeEncodeError
+    # deep in the wire send — reject with the same clear contract as NUL
+    try:
+        s.encode("utf-8")
+    except UnicodeEncodeError as exc:
+        raise ValueError(
+            "PostgreSQL text values must be UTF-8-encodable "
+            f"(lone surrogate at index {exc.start})"
+        ) from None
     # standard_conforming_strings is on by default since PG 9.1: only the
     # single quote needs doubling; backslashes are literal. E'' prefix
     # covers servers configured otherwise.

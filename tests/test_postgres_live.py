@@ -534,8 +534,14 @@ def test_minipg_literal_roundtrip_fuzz_live(pg_dsn):
 
     conn = minipg.connect(pg_dsn)
 
+    # surrogates (category Cs) are excluded from the ROUNDTRIP strategy —
+    # they are not UTF-8-encodable so they can never be valid PG text;
+    # the clean client-side rejection is asserted separately below
     text_strat = st.text(
-        alphabet=st.characters(blacklist_characters="\x00"), max_size=40
+        alphabet=st.characters(
+            blacklist_characters="\x00", blacklist_categories=("Cs",)
+        ),
+        max_size=40,
     )
     value = st.one_of(
         st.none(),
@@ -592,6 +598,10 @@ def test_minipg_literal_roundtrip_fuzz_live(pg_dsn):
         # and the NUL guard: never silently truncates on the wire
         with pytest.raises(ValueError, match="NUL"):
             minipg.quote_literal("a\x00b")
+        # lone surrogate: clean rejection, not a UnicodeEncodeError
+        # mid-send (hypothesis found this one)
+        with pytest.raises(ValueError, match="surrogate"):
+            minipg.quote_literal("\ud800")
     finally:
         conn.close()
 
