@@ -190,6 +190,23 @@ class Engine:
                             os.remove(part)
                     except OSError:
                         pass
+                # sweep sidecars orphaned by DEAD attempts (task killed
+                # before its except ran — executor OOM/node loss, then
+                # retried under a NEW uuid): without this the mirror
+                # accumulates .part-* junk that directory-walking
+                # consumers would pick up. If a LIVE racer (a different
+                # URL mirroring to the same dest) is mid-download, the
+                # sweep unlinks its sidecar and its os.replace fails into
+                # its except — equivalent to losing the promote race it
+                # could lose anyway (same-dest content is ambiguous by
+                # construction; "last promote wins pointlessly" above).
+                import glob as _glob
+
+                for stale in _glob.glob(dest + ".part-*"):
+                    try:
+                        os.remove(stale)
+                    except OSError:
+                        pass
 
         # distinct: the same media file referenced from several rows must
         # fetch ONCE — duplicate fetches are wasted bandwidth, and the

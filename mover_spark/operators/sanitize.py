@@ -126,10 +126,10 @@ def fake_column(
     or a CAST error under the ANSI mode this repo runs. Numeric pks take
     the try_cast arm, identical to _pk_index(pk, 'bigint')."""
     if key is None:
-        key = F.coalesce(
-            pk.try_cast("long"),
-            F.pmod(F.xxhash64(pk.cast("string")), F.lit((1 << 31) - 1)),
-        )
+        # the fallback arm routes through _pk_index's hash branch so a
+        # future change to the hash scheme can't desynchronize direct
+        # fake_column calls from the sanitize_df path
+        key = F.coalesce(pk.try_cast("long"), _pk_index(pk, "string"))
     pools = FR_POOLS if locale == "fr" else FAKE_POOLS
     if kind == "last_name":
         out = _pool_pick(pools["last_name"], key)

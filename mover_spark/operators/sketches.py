@@ -171,18 +171,17 @@ def bloom_semi_join(
         .mapInPandas(build, "bitmap binary")
         .rdd.map(lambda r: r.bitmap)
     )
-    if bitmaps.isEmpty():
-        # empty / zero-partition filter side: treeReduce would raise
-        # "empty collection"; a zero bitmap gives the correct empty
-        # semi-join result (nothing might_contain)
-        merged = np.zeros(words, dtype=np.uint64).tobytes()
-    else:
-        merged = bitmaps.treeReduce(
-            lambda a, b: (
-                np.frombuffer(a, dtype=np.uint64)
-                | np.frombuffer(b, dtype=np.uint64)
-            ).tobytes()
-        )
+    # treeAggregate, NOT isEmpty()+treeReduce: isEmpty() is take(1), which
+    # launches an extra job that fully builds partition 0's bitmap only for
+    # treeReduce to rebuild it — the zero-value seed is empty-safe (an
+    # empty/zero-partition filter side yields the zero bitmap, i.e. the
+    # correct empty semi-join) in a single job
+    _or = lambda a, b: (  # noqa: E731 — shared seq/comb op
+        np.frombuffer(a, dtype=np.uint64) | np.frombuffer(b, dtype=np.uint64)
+    ).tobytes()
+    merged = bitmaps.treeAggregate(
+        np.zeros(words, dtype=np.uint64).tobytes(), _or, _or
+    )
     bc = probe.sparkSession.sparkContext.broadcast(merged)
 
     @F.pandas_udf("boolean")

@@ -171,6 +171,17 @@ def read_seed_query(
     props = dict(props)
     props.setdefault("fetchsize", str(fetchsize))
     table = f"({query}) seed_q"
+    stride_args = (partition_column, lower_bound, upper_bound, num_partitions)
+    if any(a is not None for a in stride_args) and not all(
+        a is not None for a in stride_args
+    ):
+        # a partial spec silently degrading to the single-connection read
+        # would "work" N times slower with nothing pointing at the cause
+        raise ValueError(
+            "partitioned read needs ALL of partition_column/lower_bound/"
+            f"upper_bound/num_partitions (got {stride_args!r}); drop them "
+            "all for a single-connection read, or use predicates=..."
+        )
     if partition_column and num_partitions and num_partitions > 1 \
             and lower_bound is not None and upper_bound is not None:
         return spark.read.jdbc(

@@ -104,14 +104,18 @@ def quote_literal(v) -> str:
         raise ValueError("PostgreSQL text values cannot contain NUL (\\x00)")
     # lone surrogates (e.g. from undecoded UTF-16 or os.fsdecode) cannot be
     # UTF-8 encoded: without this guard they crash with UnicodeEncodeError
-    # deep in the wire send — reject with the same clear contract as NUL
-    try:
-        s.encode("utf-8")
-    except UnicodeEncodeError as exc:
-        raise ValueError(
-            "PostgreSQL text values must be UTF-8-encodable "
-            f"(lone surrogate at index {exc.start})"
-        ) from None
+    # deep in the wire send — reject with the same clear contract as NUL.
+    # isascii() is a C-speed fast path that skips the validation encode for
+    # the common case on the bulk-load hot path (execute_values inlines
+    # every string cell through here).
+    if not s.isascii():
+        try:
+            s.encode("utf-8")
+        except UnicodeEncodeError as exc:
+            raise ValueError(
+                "PostgreSQL text values must be UTF-8-encodable "
+                f"(lone surrogate at index {exc.start})"
+            ) from None
     # standard_conforming_strings is on by default since PG 9.1: only the
     # single quote needs doubling; backslashes are literal. E'' prefix
     # covers servers configured otherwise.
@@ -336,7 +340,15 @@ class Connection:
                         "!IHIhih", body[off:off + 18]
                     )
                     off += 18
-                    description.append((name, oid, None, None, None, None, None))
+                    # numeric's atttypmod packs (precision << 16 | scale) + 4;
+                    # surface them in the DB-API description slots so schema
+                    # inference (pgread.describe_query) gets the declared
+                    # precision instead of guessing — same slots psycopg2 fills
+                    prec = scale = None
+                    if oid == 1700 and _mod != -1:
+                        m = _mod - 4
+                        prec, scale = (m >> 16) & 0xFFFF, m & 0xFFFF
+                    description.append((name, oid, None, None, prec, scale, None))
                     col_oids.append(oid)
             elif typ == b"D":  # DataRow
                 (ncols,) = struct.unpack("!H", body[:2])

@@ -168,12 +168,21 @@ def describe_query(
             desc = cur.description or []
     finally:
         conn.close()
-    return StructType(
-        [
-            StructField(d[0], _OID_TO_SPARK.get(d[1], StringType()), True)
-            for d in desc
-        ]
-    )
+    def field_type(d):
+        # numeric: use the declared precision/scale from the DB-API
+        # description (psycopg2 and minipg both fill them from atttypmod)
+        # — the hardcoded (38,18) fallback cannot represent a numeric(38,0)
+        # holding 1e21 or >18 fractional digits. Unconstrained `numeric`
+        # (no typmod) keeps the fallback; cast to ::numeric(p,s) or ::text
+        # in the query if its domain exceeds it.
+        if d[1] == 1700:
+            prec, scale = d[4], d[5]
+            if prec and 1 <= int(prec) <= 38 and 0 <= int(scale or 0) <= int(prec):
+                return DecimalType(int(prec), int(scale or 0))
+            return DecimalType(38, 18)
+        return _OID_TO_SPARK.get(d[1], StringType())
+
+    return StructType([StructField(d[0], field_type(d), True) for d in desc])
 
 
 def parallel_read(
@@ -218,16 +227,49 @@ def parallel_read(
         "part int, pred string",
     )
 
+    # columns whose Spark type is string but whose DRIVER value may not be
+    # a str: psycopg2's default typecasters return dict (json/jsonb), list
+    # (arrays), timedelta (interval), time, etc. for OIDs this module maps
+    # to string — without coercion the Arrow cast crashes the task. JSON
+    # containers render as JSON text; everything else via str(). (minipg
+    # passes unmapped types through as text, so this is psycopg2-only.)
+    # Cast ::text in the query for exact server-side rendering.
+    str_idx = {
+        i for i, f in enumerate(schema.fields)
+        if isinstance(f.dataType, StringType)
+    }
+    bin_idx = {
+        i for i, f in enumerate(schema.fields)
+        if isinstance(f.dataType, BinaryType)
+    }
+
+    def _as_text(x):
+        if x is None or isinstance(x, str):
+            return x
+        if isinstance(x, (dict, list)):
+            import json
+
+            return json.dumps(x, separators=(",", ":"), default=str)
+        return str(x)
+
     def to_pandas(rows):
         # per-column object Series: pandas dtype inference would
         # float64-ify nullable int columns (NaN) and corrupt big values;
         # object columns Arrow-cast exactly per the schema
-        return pd.DataFrame(
-            {
-                name: pd.Series([r[i] for r in rows], dtype="object")
-                for i, name in enumerate(names)
-            }
-        )
+        cols = {}
+        for i, name in enumerate(names):
+            vals = [r[i] for r in rows]
+            if i in str_idx and any(
+                v is not None and not isinstance(v, str) for v in vals
+            ):
+                vals = [_as_text(v) for v in vals]
+            elif i in bin_idx:
+                # psycopg2 returns memoryview for bytea
+                vals = [
+                    bytes(v) if isinstance(v, memoryview) else v for v in vals
+                ]
+            cols[name] = pd.Series(vals, dtype="object")
+        return pd.DataFrame(cols)
 
     def fetch(batches):
         connect = connection_factory or _default_connect

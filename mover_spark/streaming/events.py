@@ -374,8 +374,11 @@ def run_to_memory(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    q.awaitTermination()
+    # register for cleanup as soon as the sink table exists — a drain that
+    # FAILS mid-awaitTermination (its caller catches and moves on, as the
+    # bench harness does) must not leak its partial memory sink forever
     _DRAIN_TABLES.append(name)
+    q.awaitTermination()
     return q
 
 

@@ -653,3 +653,52 @@ def test_minipg_declare_fetch_wire_flow(pg_dsn):
         assert got == [(i, f"r{i}") for i in range(1, 11)]
     finally:
         conn.close()
+
+
+def test_parallel_read_numeric_precision_live(pg_dsn, spark):
+    """numeric columns read at their DECLARED precision/scale (from the
+    wire-level atttypmod surfaced in cursor.description): a numeric(30,0)
+    holding 1e21 and a numeric(38,28) with 28 fractional digits both
+    exceed the old hardcoded decimal(38,18) and must round-trip exactly;
+    an unconstrained numeric keeps the documented (38,18) fallback."""
+    from decimal import Decimal
+
+    from mover_spark.sources.pgread import parallel_read, range_partition_predicates
+
+    _run(
+        pg_dsn,
+        "DROP TABLE IF EXISTS pread_dec",
+        "CREATE TABLE pread_dec (id bigint PRIMARY KEY, big numeric(30,0),"
+        " fine numeric(38,28), free numeric)",
+        "INSERT INTO pread_dec SELECT g,"
+        " 1000000000000000000000 + g,"                       # 1e21 + g
+        " g * 0.1234567890123456789012345678,"
+        " g * 1.5"
+        " FROM generate_series(1, 50) g",
+    )
+    df = parallel_read(
+        spark, pg_dsn, 'SELECT * FROM "pread_dec"',
+        range_partition_predicates("id", 1, 51, 3),
+    )
+    types = dict(df.dtypes)
+    assert types["big"] == "decimal(30,0)"
+    assert types["fine"] == "decimal(38,28)"
+    assert types["free"] == "decimal(38,18)"
+    got = {r.id: (r.big, r.fine) for r in df.collect()}
+    assert got[3] == (
+        Decimal("1000000000000000000003"),
+        Decimal("0.3703703670370370367037037034"),
+    )
+    assert len(got) == 50
+
+
+def test_read_seed_query_rejects_partial_partition_spec(spark):
+    """A partial stride spec must raise, not silently degrade to the
+    single-connection read (the exact bottleneck partitioning removes)."""
+    from mover_spark.sources.jdbc import read_seed_query
+
+    with pytest.raises(ValueError, match="partitioned read needs ALL"):
+        read_seed_query(
+            spark, "jdbc:postgresql://x/y", "SELECT 1", {},
+            partition_column="id", num_partitions=8,
+        )
