@@ -201,8 +201,18 @@ class Engine:
                 # could lose anyway (same-dest content is ambiguous by
                 # construction; "last promote wins pointlessly" above).
                 import glob as _glob
+                import re as _re
 
-                for stale in _glob.glob(dest + ".part-*"):
+                # glob.escape: dest comes from the RAW url path, so [ ] * ?
+                # in it must match literally, not as glob classes. The
+                # suffix filter restricts the sweep to OUR uuid4-hex
+                # sidecar shape — a mirrored file legitimately NAMED
+                # *.part-<something> must never be swept.
+                for stale in _glob.glob(_glob.escape(dest) + ".part-*"):
+                    if not _re.fullmatch(
+                        r"\.part-[0-9a-f]{32}", stale[len(dest):]
+                    ):
+                        continue
                     try:
                         os.remove(stale)
                     except OSError:

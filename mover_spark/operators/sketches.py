@@ -173,14 +173,24 @@ def bloom_semi_join(
     )
     # treeAggregate, NOT isEmpty()+treeReduce: isEmpty() is take(1), which
     # launches an extra job that fully builds partition 0's bitmap only for
-    # treeReduce to rebuild it — the zero-value seed is empty-safe (an
-    # empty/zero-partition filter side yields the zero bitmap, i.e. the
-    # correct empty semi-join) in a single job
-    _or = lambda a, b: (  # noqa: E731 — shared seq/comb op
-        np.frombuffer(a, dtype=np.uint64) | np.frombuffer(b, dtype=np.uint64)
-    ).tobytes()
-    merged = bitmaps.treeAggregate(
-        np.zeros(words, dtype=np.uint64).tobytes(), _or, _or
+    # treeReduce to rebuild it. The seed is the EMPTY-BYTES identity, not a
+    # zero bitmap — a full-size zero seed would be pickled into the task
+    # closure and shipped to every executor (~120 MB at the auto-sized
+    # 100M-key scale). An empty/zero-partition filter side aggregates to
+    # the identity, which materializes as the zero bitmap driver-side only.
+    def _or(a, b):
+        if not a:
+            return b
+        if not b:
+            return a
+        return (
+            np.frombuffer(a, dtype=np.uint64)
+            | np.frombuffer(b, dtype=np.uint64)
+        ).tobytes()
+
+    merged = (
+        bitmaps.treeAggregate(b"", _or, _or)
+        or np.zeros(words, dtype=np.uint64).tobytes()
     )
     bc = probe.sparkSession.sparkContext.broadcast(merged)
 

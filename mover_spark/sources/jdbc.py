@@ -172,27 +172,36 @@ def read_seed_query(
     props.setdefault("fetchsize", str(fetchsize))
     table = f"({query}) seed_q"
     stride_args = (partition_column, lower_bound, upper_bound, num_partitions)
-    if any(a is not None for a in stride_args) and not all(
-        a is not None for a in stride_args
-    ):
-        # a partial spec silently degrading to the single-connection read
-        # would "work" N times slower with nothing pointing at the cause
-        raise ValueError(
-            "partitioned read needs ALL of partition_column/lower_bound/"
-            f"upper_bound/num_partitions (got {stride_args!r}); drop them "
-            "all for a single-connection read, or use predicates=..."
-        )
-    if partition_column and num_partitions and num_partitions > 1 \
-            and lower_bound is not None and upper_bound is not None:
-        return spark.read.jdbc(
-            url,
-            table,
-            column=partition_column,
-            lowerBound=lower_bound,
-            upperBound=upper_bound,
-            numPartitions=num_partitions,
-            properties=props,
-        )
+    if any(a is not None for a in stride_args):
+        # a partial OR degenerate spec (empty column name, num_partitions
+        # 0/negative) silently degrading to the single-connection read
+        # would "work" N times slower with nothing pointing at the cause —
+        # the guard mirrors the dispatch's truthiness exactly
+        if not (
+            partition_column
+            and lower_bound is not None
+            and upper_bound is not None
+            and num_partitions
+            and num_partitions >= 1
+        ):
+            raise ValueError(
+                "partitioned read needs ALL of partition_column/lower_bound/"
+                f"upper_bound/num_partitions valid (got {stride_args!r}); "
+                "drop them all for a single-connection read, or use "
+                "predicates=..."
+            )
+        if num_partitions > 1:
+            return spark.read.jdbc(
+                url,
+                table,
+                column=partition_column,
+                lowerBound=lower_bound,
+                upperBound=upper_bound,
+                numPartitions=num_partitions,
+                properties=props,
+            )
+        # num_partitions == 1: an explicit single-partition stride is just
+        # the single-connection read
     if predicates:
         return spark.read.jdbc(url, table, predicates=predicates, properties=props)
     return spark.read.jdbc(url, table, properties=props)
