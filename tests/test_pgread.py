@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from mover_spark.sources.pgread import (
     hash_partition_predicates,
@@ -101,6 +103,65 @@ def test_hash_predicates_single_partition(con):
     assert len(preds) == 1
     total, per, _ = _counts(con, preds)
     assert per[0] == total
+
+
+INT64_MIN, INT64_MAX = -(2**63), 2**63 - 1
+
+_fuzz_keys = st.lists(
+    st.one_of(
+        st.integers(INT64_MIN, INT64_MAX),
+        st.sampled_from([INT64_MIN, INT64_MAX, 0, -1, 1]),
+        st.none(),
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+def _check_cover(keys, preds):
+    """Execute the predicates against DuckDB BIGINT arithmetic (same %
+    and comparison semantics as PG) and assert complete + disjoint."""
+    c = duckdb.connect()
+    try:
+        c.execute("CREATE TABLE t (k BIGINT)")
+        if keys:
+            c.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+        total, per, overlaps = _counts(c, preds)
+        assert sum(per) == total, (keys, preds)
+        assert all(o == 0 for o in overlaps), (keys, preds)
+    finally:
+        c.close()
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    _fuzz_keys,
+    st.integers(INT64_MIN, INT64_MAX),
+    st.integers(0, 2**64),
+    st.integers(1, 9),
+)
+def test_fuzz_range_predicates_int64_extremes(keys, lower, span, n):
+    """Stride generation fuzzed across the whole int64 domain, including
+    upper = INT64_MAX + 1 (a MIN/MAX probe on a table holding the max
+    key passes exactly that) and spans near 2^64: every emitted literal
+    must stay a valid BIGINT and the cover must stay exact for ANY key
+    set — bounds are deliberately decoupled from the keys to model stale
+    or wildly wrong probes."""
+    upper = min(lower + span, INT64_MAX + 1)
+    preds = range_partition_predicates("k", lower, upper, n)
+    for p in preds:  # every literal must fit BIGINT for the server
+        for tok in p.replace("(", " ").replace(")", " ").split():
+            if tok.lstrip("-").isdigit():
+                assert INT64_MIN <= int(tok) <= INT64_MAX, p
+    _check_cover(keys, preds)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_fuzz_keys, st.integers(1, 9))
+def test_fuzz_hash_predicates_int64_extremes(keys, n):
+    """Sign-safe mod cover fuzzed over the whole int64 domain incl.
+    -2^63, where an abs()-based form overflows server-side."""
+    _check_cover(keys, hash_partition_predicates("k", n, numeric=True))
 
 
 def test_auto_predicates_numeric_uses_real_bounds(con):

@@ -166,3 +166,49 @@ def test_split_boundaries_round_not_truncate(spark):
     # every bucket below 5700 must be included: find max admitted bucket
     mx = got.select(F.max(hash_bucket("k")).alias("m")).first()["m"]
     assert mx == 5699  # buckets 0..5699 = exactly 5700 buckets = 57%
+
+
+interval_rows = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 60), st.integers(-5, 15)),
+    min_size=0,
+    max_size=9,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(interval_rows, interval_rows)
+def test_interval_overlap_banding_lossless_and_emit_once(spark, lrows, rrows):
+    """The bucket-banded interval join must equal the brute-force O(n*m)
+    per-key overlap scan EXACTLY — including multiplicity: a pair whose
+    overlap spans several buckets must appear once, not once per shared
+    bucket, and malformed intervals (end < start) must vanish. Small
+    bucket_seconds (7 s vs intervals up to 15 s) forces multi-bucket
+    intervals so the emit-once predicate actually carries weight."""
+    from mover_spark.operators.joins import interval_overlap_join
+
+    def mk(rows, side):
+        data = [(i, k, s, s + d) for i, (k, s, d) in enumerate(rows)]
+        return spark.createDataFrame(
+            data, f"{side}id long, k int, s long, e long"
+        ).select(
+            f"{side}id",
+            "k",
+            F.timestamp_seconds("s").alias("start"),
+            F.timestamp_seconds("e").alias("end"),
+        )
+
+    out = interval_overlap_join(
+        mk(lrows, "l"), mk(rrows, "r"), keys=["k"], bucket_seconds=7
+    )
+    got = sorted((r.l_lid, r.r_rid) for r in out.collect())
+    expect = sorted(
+        (i, j)
+        for i, (lk, ls_, ld) in enumerate(lrows)
+        for j, (rk, rs_, rd) in enumerate(rrows)
+        if ld >= 0
+        and rd >= 0
+        and lk == rk
+        and ls_ <= rs_ + rd
+        and rs_ <= ls_ + ld
+    )
+    assert got == expect
