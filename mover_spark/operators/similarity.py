@@ -202,6 +202,18 @@ def ivf_topk(
             (r.neighbor_id, r.qc)
             for r in c.orderBy("neighbor_id").limit(n_centroids).collect()
         ]
+    if not cents:
+        # empty corpus (or empty trained-centroid list): no cells exist, so
+        # there are no candidates by construction — return the empty result
+        # directly instead of shipping a (0,)-shaped centroid matrix into
+        # the scorer closure (numpy axis-1 ops die on it)
+        return (
+            queries.select(F.col(id_col).alias("query_id"))
+            .withColumn("neighbor_id", F.col("query_id"))
+            .withColumn("rank", F.lit(1).cast("int"))
+            .withColumn("cosine", F.lit(0.0))
+            .limit(0)
+        )
     ranked = _ranked_cells_udf(cents)
 
     from .dedup import qdot

@@ -251,3 +251,19 @@ def test_zero_norm_vectors_do_not_crash(spark):
     assert 3 not in ids and out
     lsh = lsh_topk(df, df, k=2, probes=2).collect()  # probes=2 path too
     assert all(r.query_id != 3 and r.neighbor_id != 3 for r in lsh)
+
+
+def test_ivf_empty_corpus_returns_empty_with_schema(spark):
+    """Empty corpus (a pruned partition, a fresh tenant) must yield an
+    empty top-k with the normal schema — not a numpy AxisError from a
+    (0,)-shaped centroid matrix inside the scorer closure."""
+    schema = "vec_id long, embedding array<float>"
+    corpus = spark.createDataFrame([], schema)
+    queries = spark.createDataFrame([(1, [1.0, 0.0])], schema)
+    out = ivf_topk(corpus, queries, k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "rank", "cosine",
+    ]
+    # and empty queries against a real corpus stays well-formed too
+    assert ivf_topk(queries, corpus, k=5).count() == 0

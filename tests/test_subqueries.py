@@ -215,3 +215,18 @@ def test_outlier_events_single_event_group(spark):
 
     rows = {r.event_type: r for r in outlier_events(_Cat()).collect()}
     assert rows["rare"].n_outliers == 0 and rows["rare"].n_events == 1
+
+
+def test_market_share_empty_tables(spark, catalog):
+    """Q8 over all-empty tables: empty-in -> empty-out with the normal
+    schema, not a driver-side ValueError — an empty dimension after
+    partition pruning must not kill the whole DAG."""
+    from mover_spark.operators.subqueries import market_share
+
+    class EmptyCat:
+        def df(self, name):
+            return catalog.df(name).limit(0)
+
+    out = market_share(EmptyCat())
+    assert out.count() == 0
+    assert out.columns == ["o_year", "mkt_share"]
