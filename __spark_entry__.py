@@ -906,6 +906,20 @@ def _q_train_val_split(spark, sf_dir):
     )
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (exponential
+    race / A-ES): top-10 documents per source, inclusion odds proportional
+    to n_chars, identical selection on every run/partitioning/engine."""
+    from mover_spark.operators.sampling import weighted_sample_topk
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    return (
+        weighted_sample_topk(docs, "n_chars", "doc_id", k=10, strata_col="source")
+        .select("doc_id", "source", "n_chars", "race_key")
+        .orderBy("doc_id")
+    )
+
+
 def _q_redact_pii(spark, sf_dir):
     """PII redaction (free-text twin of mover's column sanitize): PII is
     seeded deterministically into every 5th document, then scrubbed to
@@ -1547,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup_probe": _q_streaming_neardup_probe,
         "cohort_retention": _q_cohort_retention,
         "train_val_split": _q_train_val_split,
+        "weighted_sample_docs": _q_weighted_sample,
         "curation_pipeline": _q_curation_pipeline,
         "token_packing": _q_token_packing,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -2960,6 +2975,21 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes s ON c.cohort_day = s.cohort_day "
             "GROUP BY c.cohort_day, date_diff('day', c.cohort_day, a.active_day), s.cohort_size "
             "ORDER BY c.cohort_day, days_since"
+        ),
+        "weighted_sample_docs": (
+            # exponential-race key (Efraimidis–Spirakis): w / -ln(u) with a
+            # deterministic uniform u from the same mersenne affine hash as
+            # sampling.hash_bucket; rounded to 6dp BEFORE ranking (the rank
+            # order must be engine-portable), ties break by doc_id
+            "WITH r AS (SELECT doc_id, source, n_chars, "
+            "ROUND(CAST(n_chars AS DOUBLE) / (-ln(("
+            "((CAST(doc_id AS BIGINT) % 2147483647) * 506952114) % 2147483647 + 1"
+            ") / 2147483648.0)), 6) AS race_key "
+            "FROM documents WHERE n_chars > 0), "
+            "k AS (SELECT doc_id, source, n_chars, race_key, ROW_NUMBER() OVER ("
+            "PARTITION BY source ORDER BY race_key DESC, doc_id ASC) AS rk FROM r) "
+            "SELECT doc_id, source, n_chars, race_key FROM k WHERE rk <= 10 "
+            "ORDER BY doc_id"
         ),
         "train_val_split": (
             "WITH b AS (SELECT doc_id, n_chars, "

@@ -111,3 +111,78 @@ def stratified_sample_exact(
         .where(F.col("__rk") <= n)
         .drop("__rk")
     )
+
+
+def race_key_col(weight_col: Column | str, id_col: Column | str) -> Column:
+    """Efraimidis–Spirakis exponential-race key for weighted sampling
+    without replacement: rank rows by w / Exp(1), where the Exp(1) draw is
+    -ln(u) with u a DETERMINISTIC uniform derived from the row id. Keeping
+    the top-k by this key is distributionally identical to sequential
+    weighted sampling without replacement (the A-ES result: u^(1/w) order ==
+    w/(-ln u) order), but needs no sequential pass — it is a plain top-k.
+
+    Portability contract (mirrors hash_bucket): the uniform is
+    u = (affine_hash(id) + 1) / 2^31  ∈ (0, 1), every step exact in IEEE
+    double, so Spark and any SQL engine compute the identical key. The key
+    is rounded to 6 decimals BEFORE ranking (same policy as tfidf/jaccard:
+    a 1-ulp libm ln() divergence between engines must not reorder rows);
+    rank ties on the rounded key break by id.
+
+    SQL mirror:
+      ROUND(CAST(w AS DOUBLE) / (-ln(
+        (((CAST(id AS BIGINT) % 2147483647) * 506952114) % 2147483647 + 1)
+        / 2147483648.0)), 6)
+
+    w/(-ln u) grows ~linearly in w (magnitude ~w for median u), so the
+    6-decimal rounding keeps >= 10 significant digits for any realistic
+    weight — ties stay rare and the weighting exact."""
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    ic = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = hash_bucket(ic, buckets=MERSENNE)  # raw affine hash in [0, p)
+    u = (h + F.lit(1)) / F.lit(2147483648.0)  # (0, 1): max (p)/2^31 < 1
+    return F.round(wc.cast("double") / -F.log(u), 6)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the k rows
+    (per stratum, if `strata_col` is given) whose exponential-race key
+    w/(-ln u) is largest — each row's inclusion probability is proportional
+    to its weight among the survivors, yet the selection is a pure function
+    of (id, weight), so it is identical across runs, partitionings, and
+    engines. The training-data use: quality- or length-weighted corpus
+    subsetting where reproducibility is a hard requirement (rand()-based
+    sampling moves rows whenever the partitioning changes).
+
+    Rows with NULL or non-positive weight are excluded (a zero-weight row
+    must never be sampled; -ln(u)/w is undefined at w <= 0).
+
+    Scale shape: the global form is orderBy(key).limit(k) — Spark plans
+    TakeOrderedAndProject, a per-partition top-k heap + driver merge of
+    k-row slivers, NO global sort. The stratified form is one window rank
+    inside the stratum partition — a single shuffle on the stratum key,
+    with WindowGroupLimit pruning each partition to its top-k before the
+    rank evaluates. Adds a `race_key` column (the rounded ranking key) so
+    the selection is auditable and oracle-checkable."""
+    keyed = df.where(F.col(weight_col) > 0).withColumn(
+        "race_key", race_key_col(weight_col, id_col)
+    )
+    if strata_col is None:
+        return keyed.orderBy(
+            F.col("race_key").desc(), F.col(id_col).asc()
+        ).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("race_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -156,6 +156,81 @@ def test_stratified_sample_exact_sizes_and_stability(spark, catalog):
     assert {r.doc_id for r in s2.select("doc_id").collect()} == ids1
 
 
+def test_weighted_sample_topk_exact_reproducible_and_weighted(spark, catalog):
+    """weighted_sample_topk: the selected set IS the top-k by the race key
+    (verified against an independent pure-Python recomputation of the
+    Efraimidis–Spirakis key), exactly k per stratum, stable across
+    repartitioning, and zero/NULL-weight rows never selected."""
+    import math
+
+    from mover_spark.operators.sampling import A, MERSENNE, weighted_sample_topk
+
+    docs = catalog.df("documents")
+    s1 = weighted_sample_topk(docs, "n_chars", "doc_id", k=10, strata_col="source")
+    got = {(r.source, r.doc_id): r.race_key for r in s1.collect()}
+
+    # independent mirror: same affine hash, same key formula, same rounding
+    rows = docs.select("doc_id", "source", "n_chars").collect()
+    by_src = {}
+    for r in rows:
+        if r.n_chars is None or r.n_chars <= 0:
+            continue
+        u = ((r.doc_id % MERSENNE) * A % MERSENNE + 1) / 2147483648.0
+        key = round(r.n_chars / -math.log(u), 6)
+        by_src.setdefault(r.source, []).append((key, r.doc_id))
+    want = {}
+    for src, ks in by_src.items():
+        for key, did in sorted(ks, key=lambda t: (-t[0], t[1]))[:10]:
+            want[(src, did)] = key
+    assert set(got) == set(want)
+    for sk, key in got.items():
+        assert abs(key - want[sk]) < 1e-9, sk
+
+    # stability across partitioning
+    s2 = weighted_sample_topk(
+        docs.repartition(13), "n_chars", "doc_id", k=10, strata_col="source"
+    )
+    assert {(r.source, r.doc_id) for r in s2.collect()} == set(got)
+
+    # global (no strata) form: exactly k, and it is the global top-k
+    g = weighted_sample_topk(docs, "n_chars", "doc_id", k=25)
+    gkeys = sorted((r.race_key for r in g.collect()), reverse=True)
+    allkeys = sorted((k for ks in by_src.values() for k, _ in ks), reverse=True)
+    assert len(gkeys) == 25 and gkeys == allkeys[:25]
+
+    # zero/NULL weights are excluded, never sampled
+    poisoned = docs.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None)).when(
+            F.col("doc_id") % 3 == 1, F.lit(0)
+        ).otherwise(F.col("n_chars")),
+    )
+    p = weighted_sample_topk(poisoned, "n_chars", "doc_id", k=10, strata_col="source")
+    assert all(r.doc_id % 3 == 2 for r in p.collect())
+
+
+def test_race_key_matches_duckdb():
+    """The race-key formula (docstring SQL mirror) computes bit-identically
+    in DuckDB — the contract the weighted_sample_docs oracle rides on."""
+    import math
+
+    import duckdb
+
+    from mover_spark.operators.sampling import A, MERSENNE
+
+    con = duckdb.connect()
+    for did, w in [(0, 1), (1, 7), (2**62, 12345), (977, 10**9), (31337, 3)]:
+        u = ((did % MERSENNE) * A % MERSENNE + 1) / 2147483648.0
+        want = round(w / -math.log(u), 6)
+        got = con.sql(
+            f"SELECT ROUND(CAST({w} AS DOUBLE) / (-ln(("
+            f"((CAST({did} AS BIGINT) % 2147483647) * 506952114) % 2147483647 + 1"
+            f") / 2147483648.0)), 6)"
+        ).fetchone()[0]
+        assert got == want, (did, w, got, want)
+    con.close()
+
+
 def test_split_boundaries_round_not_truncate(spark):
     """0.57*10000 is 5699.999... in floating point: the boundary must
     round to 5700, not truncate a bucket off the promised fraction."""
