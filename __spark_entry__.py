@@ -906,6 +906,17 @@ def _q_train_val_split(spark, sf_dir):
     )
 
 
+def _q_collocation_pmi(spark, sf_dir):
+    """Top-40 adjacent-word collocations by PMI over the corpus: array
+    transform builds bigrams row-side, two count shuffles, broadcast
+    population totals, TakeOrderedAndProject top-k."""
+    from mover_spark.operators.text import collocation_pmi
+
+    return collocation_pmi(
+        _catalog(spark, sf_dir).df("documents"), k=40, min_count=5
+    )
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (exponential
     race / A-ES): top-10 documents per source, inclusion odds proportional
@@ -1562,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "train_val_split": _q_train_val_split,
         "weighted_sample_docs": _q_weighted_sample,
+        "collocation_pmi": _q_collocation_pmi,
         "curation_pipeline": _q_curation_pipeline,
         "token_packing": _q_token_packing,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -2975,6 +2987,27 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes s ON c.cohort_day = s.cohort_day "
             "GROUP BY c.cohort_day, date_diff('day', c.cohort_day, a.active_day), s.cohort_size "
             "ORDER BY c.cohort_day, days_since"
+        ),
+        "collocation_pmi": (
+            # PMI with the EXACT double-division order of the Spark plan:
+            # ln((n_pair/n_bi) / ((ca/n_uni) * (cb/n_uni))), round 6dp;
+            # DuckDB's parallel unnest zips the two slices positionally
+            "WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x != '') AS w "
+            "FROM documents), "
+            "uni AS (SELECT unnest(w) AS term FROM w), "
+            "ucnt AS (SELECT term, COUNT(*) AS c FROM uni GROUP BY term), "
+            "nu AS (SELECT COUNT(*) AS n_uni FROM uni), "
+            "bi AS (SELECT unnest(list_slice(w, 1, len(w) - 1)) AS w1, "
+            "unnest(list_slice(w, 2, len(w))) AS w2 FROM w WHERE len(w) >= 2), "
+            "bcnt AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bi GROUP BY w1, w2 "
+            "HAVING COUNT(*) >= 5), "
+            "nb AS (SELECT COUNT(*) AS n_bi FROM bi) "
+            "SELECT w1, w2, n_pair, "
+            "ROUND(ln((CAST(n_pair AS DOUBLE) / n_bi) / "
+            "((ca.c / CAST(n_uni AS DOUBLE)) * (cb.c / CAST(n_uni AS DOUBLE)))), 6) AS pmi "
+            "FROM bcnt JOIN ucnt ca ON bcnt.w1 = ca.term "
+            "JOIN ucnt cb ON bcnt.w2 = cb.term, nu, nb "
+            "ORDER BY pmi DESC, w1, w2 LIMIT 40"
         ),
         "weighted_sample_docs": (
             # exponential-race key (Efraimidis–Spirakis): w / -ln(u) with a

@@ -402,6 +402,83 @@ def decontaminate(
     return train.join(contaminated, on=[id_col], how="left_anti")
 
 
+def collocation_pmi(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level collocation mining: top-k adjacent word pairs by
+    pointwise mutual information, PMI = ln(p(ab) / (p(a)·p(b))) with
+    p(ab) over the bigram population and p(a), p(b) over the unigram
+    population. The classic phrase-mining primitive for tokenizer vocab
+    curation ("new york", "machine learning" score high; "of the" scores
+    near zero despite its raw count).
+
+    Plan shape at scale: bigrams come from an ARRAY transform inside the
+    row (slice + element_at — no self-join, no window over the corpus),
+    then two count shuffles (bigram-keyed, unigram-keyed); the unigram
+    table joins back by term key (vocab-sized, AQE broadcasts it when it
+    fits); the two population totals are 1-row aggregates broadcast via
+    crossJoin, never a driver count. `min_count` prunes the long tail
+    BEFORE the joins, and the final top-k is orderBy+limit —
+    TakeOrderedAndProject, a per-partition heap, no global sort.
+
+    Determinism: counts are integers; the score is double divisions in a
+    FIXED order + one ln + round(6) (the oracle mirrors the exact
+    operation order), ties rank by the pair text."""
+    toks = df.select(
+        F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("w")
+    )
+    uni = toks.select(F.explode("w").alias("term"))
+    ucnt = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    big = (
+        toks.where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, size(w) - 1), "
+                    "(x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    n_bi = big.agg(F.count(F.lit(1)).alias("n_bi"))
+    bcnt = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    ca = ucnt.select(F.col("term").alias("w1"), F.col("c").alias("ca"))
+    cb = ucnt.select(F.col("term").alias("w2"), F.col("c").alias("cb"))
+    scored = (
+        bcnt.join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.col("n_bi"))
+                    / (
+                        (F.col("ca") / F.col("n_uni").cast("double"))
+                        * (F.col("cb") / F.col("n_uni").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(k)
+
+
 def tfidf_top_terms(
     df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -103,6 +103,37 @@ def test_repetition_stats_constructed(spark):
     assert got[2].dup_2gram_frac is None
 
 
+def test_collocation_pmi_hand_computed(spark):
+    """PMI on a corpus small enough to verify by hand: 'b c' is a perfect
+    collocation (b always precedes c), 'a a' is anti-correlated filler.
+    Also pins the edge rules: single-word docs contribute unigrams but no
+    bigrams, empty tokens are dropped, min_count prunes rare pairs."""
+    import math
+
+    from mover_spark.operators.text import collocation_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "b c a b c"), (2, "a  b c"), (3, "a a b c"), (4, "a")],
+        "doc_id long, text string",
+    )
+    # unigrams: a=5, b=4, c=4 -> n_uni=13; bigrams (per doc, adjacent):
+    # d1: (b,c)(c,a)(a,b)(b,c)  d2: (a,b)(b,c)  d3: (a,a)(a,b)(b,c)
+    # -> n_bi=9; counts: (b,c)=4 (a,b)=3 (c,a)=1 (a,a)=1
+    got = {(r.w1, r.w2): r for r in collocation_pmi(docs, k=10, min_count=2).collect()}
+    assert set(got) == {("b", "c"), ("a", "b")}
+    assert got[("b", "c")].n_pair == 4
+    assert got[("b", "c")].pmi == round(math.log((4 / 9) / ((4 / 13) * (4 / 13))), 6)
+    assert got[("a", "b")].pmi == round(math.log((3 / 9) / ((5 / 13) * (4 / 13))), 6)
+
+    # ordering + k: top-1 is the highest-PMI pair
+    top = collocation_pmi(docs, k=1, min_count=1).collect()
+    assert (top[0].w1, top[0].w2) == ("b", "c")
+
+    # top-k plans as TakeOrderedAndProject (heap), never a global sort
+    plan = collocation_pmi(docs, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_cap_per_key_deterministic_and_capped(spark, catalog):
     """Quota sampling keeps <= n per key and the SAME rows regardless of
     physical partitioning."""
