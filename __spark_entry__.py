@@ -906,6 +906,22 @@ def _q_train_val_split(spark, sf_dir):
     )
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup: today's crawl increment (sources src0/src1)
+    deduped AGAINST the fixed base corpus (every other source) — exact
+    digest anti-join + cross-corpus MinHash band join, never base×base."""
+    from mover_spark.operators.dedup import dedup_against_base
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    new = docs.where(F.col("source").isin("src0", "src1"))
+    base = docs.where(~F.col("source").isin("src0", "src1"))
+    return (
+        dedup_against_base(new, base, threshold=0.8)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def _q_collocation_pmi(spark, sf_dir):
     """Top-40 adjacent-word collocations by PMI over the corpus: array
     transform builds bigrams row-side, two count shuffles, broadcast
@@ -1574,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": _q_train_val_split,
         "weighted_sample_docs": _q_weighted_sample,
         "collocation_pmi": _q_collocation_pmi,
+        "dedup_incremental": _q_dedup_incremental,
         "curation_pipeline": _q_curation_pipeline,
         "token_packing": _q_token_packing,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -2987,6 +3004,30 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes s ON c.cohort_day = s.cohort_day "
             "GROUP BY c.cohort_day, date_diff('day', c.cohort_day, a.active_day), s.cohort_size "
             "ORDER BY c.cohort_day, days_since"
+        ),
+        "dedup_incremental": (
+            # survivors of the new batch: no exact digest match in base
+            # AND no base doc with exact jaccard >= 0.8 (LSH recall is 1
+            # at the threshold, same argument as dedup_minhash_lsh)
+            "WITH nw AS (SELECT * FROM documents WHERE source IN ('src0', 'src1')), "
+            "bs AS (SELECT * FROM documents WHERE source NOT IN ('src0', 'src1')), "
+            "ex AS (SELECT DISTINCT n.doc_id FROM nw n JOIN bs b "
+            "ON md5(n.text) = md5(b.text)), "
+            "dn AS (SELECT doc_id, CASE WHEN len(string_split(text, ' ')) >= 2 THEN "
+            "list_distinct(list_transform(range(1, len(string_split(text, ' '))), "
+            "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) "
+            "ELSE CAST([] AS VARCHAR[]) END AS sh FROM nw), "
+            "db AS (SELECT doc_id, CASE WHEN len(string_split(text, ' ')) >= 2 THEN "
+            "list_distinct(list_transform(range(1, len(string_split(text, ' '))), "
+            "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) "
+            "ELSE CAST([] AS VARCHAR[]) END AS sh FROM bs), "
+            "nr AS (SELECT DISTINCT a.doc_id FROM dn a JOIN db b "
+            "ON len(a.sh) > 0 AND len(b.sh) > 0 AND "
+            "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8) "
+            "SELECT doc_id, lang, source, n_chars FROM nw "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM ex) "
+            "AND doc_id NOT IN (SELECT doc_id FROM nr) ORDER BY doc_id"
         ),
         "collocation_pmi": (
             # PMI with the EXACT double-division order of the Spark plan:

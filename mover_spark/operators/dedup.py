@@ -355,6 +355,26 @@ def _signatures(
     return sig
 
 
+def _band_bucket_rows(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bucket) LSH band rows from a signature projection —
+    band b's bucket is the xxhash64 of its rows-per-band signature slice,
+    the SAME values streaming/neardup._band_hashes computes, so batch and
+    stream band collisions agree by construction."""
+    rows_per_band = N_MINHASH // LSH_BANDS
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                *[F.col("mhs")[bi * rows_per_band + r] for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for bi in range(LSH_BANDS)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -382,19 +402,8 @@ def minhash_lsh_pairs(
         cached = _LSH_PAIR_CACHE.get(key)
         if cached is not None:
             return cached
-    rows_per_band = N_MINHASH // LSH_BANDS
     sig = _signatures(df, text_col, id_col)
-
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.xxhash64(*[F.col("mhs")[bi * rows_per_band + r] for r in range(rows_per_band)]).alias("bucket"),
-        )
-        for bi in range(LSH_BANDS)
-    ]
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = _band_bucket_rows(sig, id_col)
 
     left = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     right = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
@@ -419,6 +428,64 @@ def minhash_lsh_pairs(
     pairs = pairs.persist()
     _LSH_PAIR_CACHE[key] = pairs
     return pairs
+
+
+def dedup_against_base(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental corpus dedup: keep only the NEW-batch docs that neither
+    exactly nor nearly duplicate the BASE corpus — the production shape
+    where yesterday's 100 TB corpus is fixed and today's crawl increment
+    must be deduped AGAINST it without re-enumerating base×base pairs.
+
+    Two pruning phases, both sublinear in |base|×|new|:
+    - exact: content-digest anti-join (md5(text)); the base side is a
+      digest-only projection, so no base text moves.
+    - near: MinHash band buckets of NEW join band buckets of BASE — a
+      cross-corpus equi-join on (band, bucket), never a self-join and
+      never all-pairs — then exact-Jaccard verification at `threshold`
+      (recall argument as minhash_lsh_pairs: P(miss) < 1e-5 at
+      j >= threshold+0.1 with 12 bands × 4 rows).
+
+    The base signature pass is persisted and memoized per corpus plan
+    (_signatures), so successive increments deduped against the same base
+    in one session pay the base scan once. Within-batch duplicates are out
+    of scope here — compose with exact_dedup / dedup_keep_canonical on the
+    increment itself.
+
+    Docs under 2 words have empty shingle sets and are exempt from the
+    near phase (the exact phase still catches byte-identical copies) —
+    mirrored by the oracle's len(sh) > 0 guards."""
+    base_fp = base_df.select(F.md5(F.col(text_col)).alias("__fp")).distinct()
+    survivors = new_df.join(
+        base_fp, F.md5(F.col(text_col)) == F.col("__fp"), "left_anti"
+    )
+
+    sig_new = _signatures(new_df, text_col, id_col)
+    sig_base = _signatures(base_df, text_col, id_col)
+    bn = _band_bucket_rows(sig_new, id_col).select(
+        F.col(id_col).alias("doc_new"), "band", "bucket"
+    )
+    bb = _band_bucket_rows(sig_base, id_col).select(
+        F.col(id_col).alias("doc_base"), "band", "bucket"
+    )
+    cand = bn.join(bb, on=["band", "bucket"]).select("doc_new", "doc_base").distinct()
+    sha = sig_new.select(F.col(id_col).alias("doc_new"), F.col("sh").alias("sh_n"))
+    shb = sig_base.select(F.col(id_col).alias("doc_base"), F.col("sh").alias("sh_b"))
+    near = (
+        cand.join(sha, "doc_new")
+        .join(shb, "doc_base")
+        .where(F.round(jaccard_col(F.col("sh_n"), F.col("sh_b")), 6) >= threshold)
+        .select("doc_new")
+        .distinct()
+    )
+    return survivors.join(
+        near, survivors[id_col] == near["doc_new"], "left_anti"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -152,3 +152,55 @@ def test_normalized_dedup_window_semantics(spark):
     }
     plan = normalized_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, "window rewrite must not reintroduce a join"
+
+
+def test_dedup_against_base_exact_near_and_exemptions(spark):
+    """Incremental dedup drops new docs that exactly OR nearly duplicate
+    the base, keeps genuinely new content, and exempts sub-2-word docs
+    from the near phase (exact phase still catches identical bytes)."""
+    from mover_spark.operators.dedup import dedup_against_base
+
+    base = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "completely different base document about spark engines"),
+            (102, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # exact copy of base 100 -> dropped by the digest phase
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            # near-dup of base 100 (one word appended: 9 of 10 bigrams
+            # shared, j = 0.9) -> caught by the near phase
+            (2, "the quick brown fox jumps over the lazy dog today extra"),
+            # fresh content -> survives
+            (3, "an entirely unrelated new crawl document right here"),
+            # single word, byte-equal to base 102 -> exact phase catches it
+            (4, "tiny"),
+            # single word, not in base: empty shingles, survives
+            (5, "fresh"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup_against_base(new, base, threshold=0.8).collect()}
+    assert kept == {3, 5}
+
+    # survivors carry the full new-batch schema, base rows never leak out
+    out = dedup_against_base(new, base, threshold=0.8)
+    assert out.columns == new.columns
+
+    # a second increment against the SAME base plan reuses the memoized
+    # base signatures (no new cache entry for the base side)
+    from mover_spark.operators.dedup import _SIG_CACHE
+
+    n_entries = len(_SIG_CACHE)
+    new2 = spark.createDataFrame(
+        [(7, "another brand new increment document arrives")],
+        "doc_id long, text string",
+    )
+    kept2 = {r.doc_id for r in dedup_against_base(new2, base).collect()}
+    assert kept2 == {7}
+    # one NEW entry (new2's signatures); the base entry was reused
+    assert len(_SIG_CACHE) == n_entries + 1
