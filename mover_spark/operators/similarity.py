@@ -256,6 +256,282 @@ def ivf_topk(
     )
 
 
+PQ_M = 8  # subspaces: dim 64 -> 8 per sub-quantizer
+PQ_CODES = 16  # codewords per subspace in the deterministic (oracle) mode
+
+
+def pq_codebooks_deterministic(
+    corpus: DataFrame,
+    n_codes: int = PQ_CODES,
+    m: int = PQ_M,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic PQ codebooks: subspace m's codewords are the m-th
+    sub-slices of the n_codes smallest-id corpus vectors, in QUANTIZED
+    integer space — reproducible on any engine, so the whole ADC ranking
+    is oracle-checkable (the same move as ivf_topk's deterministic coarse
+    quantizer). Returns an int64 array shaped (m, n_codes', dsub) with
+    n_codes' = min(n_codes, |corpus|)."""
+    rows = (
+        corpus.select(F.col(id_col), quantized_vec(vec_col).alias("qv"))
+        .orderBy(id_col)
+        .limit(n_codes)
+        .collect()
+    )
+    if not rows:
+        return np.zeros((m, 0, 0), dtype=np.int64)
+    V = np.array([r.qv for r in rows], dtype=np.int64)  # (n', dim)
+    dsub = V.shape[1] // m
+    # (m, n', dsub): subspace-major
+    return np.stack([V[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    n_codes: int = 256,
+    m: int = PQ_M,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """K-means sub-quantizers (one pyspark.ml KMeans per subspace over the
+    quantized sub-vectors) — the real-recall codebooks for production use.
+    Same contract as train_ivf_centroids: better geometry, same plan;
+    recall-tested rather than hash-checked (k-means output depends on the
+    ml library's iteration details, which no SQL oracle can mirror)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    qv = corpus.select(quantized_vec(vec_col).alias("qv"))
+    first = qv.select(F.size("qv").alias("n")).first()
+    if first is None:
+        return np.zeros((m, 0, 0), dtype=np.int64)
+    dsub = first.n // m
+    books = []
+    for j in range(m):
+        feats = qv.select(
+            array_to_vector(
+                F.slice("qv", j * dsub + 1, dsub).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(k=n_codes, seed=seed, maxIter=max_iter).fit(feats)
+        books.append(np.array([c for c in model.clusterCenters()], dtype=np.float64))
+    return np.stack(books)  # (m, n_codes, dsub), float64
+
+
+def _pq_encode_udf(cb: np.ndarray):
+    """struct(codes array<int>, cnorm_sq long) per quantized vector: codes
+    are per-subspace L2-argmin codeword indices (ties -> smallest code,
+    matching the oracle's ORDER BY d, code), cnorm_sq is the squared norm
+    of the RECONSTRUCTED vector — both pure integer math when the
+    codebooks are (int-exact dots never round)."""
+    m, n_codes, dsub = cb.shape
+    # (m, n_codes) codeword squared norms, precomputed once per executor
+    cw_sq = (cb.astype(np.float64) ** 2).sum(axis=2)
+
+    @F.pandas_udf("struct<codes: array<int>, cnorm_sq: long>")
+    def enc(batch: pd.Series) -> pd.DataFrame:
+        V = np.array(batch.tolist(), dtype=np.int64)  # (n, dim)
+        n = V.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        rec_sq = np.zeros(n, dtype=np.float64)
+        for j in range(m):
+            S = V[:, j * dsub : (j + 1) * dsub].astype(np.float64)
+            # argmin_c |s - c|^2 == argmin_c (|c|^2 - 2 s.c); ties -> the
+            # SMALLEST code: np.argmin returns the first minimum index
+            d2 = cw_sq[j][None, :] - 2.0 * (S @ cb[j].astype(np.float64).T)
+            best = np.argmin(d2, axis=1)
+            codes[:, j] = best
+            rec_sq += cw_sq[j][best]
+        return pd.DataFrame(
+            {"codes": list(codes), "cnorm_sq": np.rint(rec_sq).astype(np.int64)}
+        )
+
+    return enc
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 4,
+    codebooks: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ANN: ADC (asymmetric distance computation)
+    scan over compressed codes, then an exact re-rank of the survivors.
+
+    Why this is THE 100-TB shape: each corpus vector compresses to PQ_M
+    one-byte codes (64 float32s -> 8 bytes, 32×), so the scan phase reads
+    the code table instead of the embedding column — 100 TB of floats
+    becomes ~3 TB of codes — and each query scores a candidate with PQ_M
+    lookup-table gathers instead of a 64-element dot product. Only the
+    refine×k survivors per query ever touch their original vectors.
+
+    Plan shape: encoding is one narrow Arrow kernel over the corpus (no
+    shuffle); scoring is mapInPandas over code partitions with the query
+    lookup tables shipped in the closure (queries are small by
+    definition) — each partition emits only its own plausible top-R rows
+    per query (score >= partition Rth-best minus the 6-dp rounding
+    margin, so partition pruning can NEVER change the global answer);
+    the global top-R cut and the exact refine are ordinary broadcast
+    joins + one per-query window.
+
+    Determinism: integer ADC dots and reconstructed norms come out of the
+    kernels; ALL float ranking math (round(dot/(qnorm*cnorm), 6)) happens
+    in the Spark plan with the same operation order as the SQL oracle.
+    Default codebooks are deterministic (pq_codebooks_deterministic);
+    pass train_pq_codebooks(...) output for real-recall production use."""
+    from .dedup import qdot
+
+    cb = codebooks if codebooks is not None else pq_codebooks_deterministic(
+        corpus, vec_col=vec_col, id_col=id_col
+    )
+    if cb.shape[1] == 0:
+        return (
+            queries.select(F.col(id_col).alias("query_id"))
+            .withColumn("neighbor_id", F.col("query_id"))
+            .withColumn("rank", F.lit(1).cast("int"))
+            .withColumn("cosine", F.lit(0.0))
+            .limit(0)
+        )
+    m, n_codes, dsub = cb.shape
+    enc = _pq_encode_udf(cb)
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"), enc(quantized_vec(vec_col)).alias("e")
+    ).select("neighbor_id", "e.codes", "e.cnorm_sq")
+
+    # queries are small by definition: collect once, ship LUTs in-closure
+    qrows = (
+        queries.select(F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("qq"))
+        .orderBy("query_id")
+        .collect()
+    )
+    if not qrows:
+        return codes.select(
+            F.col("neighbor_id").alias("query_id"),
+            "neighbor_id",
+            F.lit(1).cast("int").alias("rank"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
+    Q = np.array([r.qq for r in qrows], dtype=np.int64)  # (nq, dim)
+    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    qnorm = np.sqrt((Q.astype(np.float64) ** 2).sum(axis=1))
+    keep = qnorm > 0  # zero-norm query: cosine undefined (ANSI guard)
+    Q, qids, qnorm = Q[keep], qids[keep], qnorm[keep]
+    nq = len(qids)
+    if nq == 0:
+        return codes.select(
+            F.col("neighbor_id").alias("query_id"),
+            "neighbor_id",
+            F.lit(1).cast("int").alias("rank"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
+    # LUT[q][j][c] = dot(query q's subspace j, codeword c) — int-exact
+    lut = np.stack(
+        [
+            Q[:, j * dsub : (j + 1) * dsub].astype(np.float64)
+            @ cb[j].astype(np.float64).T
+            for j in range(m)
+        ],
+        axis=1,
+    )  # (nq, m, n_codes)
+    r_cut = max(k * refine, k)
+
+    def score_partition(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cn_sq = pdf["cnorm_sq"].to_numpy(dtype=np.int64)
+            cn = np.sqrt(cn_sq.astype(np.float64))
+            ok = cn > 0
+            # ADC: gather per subspace, sum — (nq, n)
+            dots = np.zeros((nq, C.shape[0]), dtype=np.float64)
+            for j in range(m):
+                dots += lut[:, j, :][:, C[:, j]]
+            out_q, out_n, out_d, out_c = [], [], [], []
+            for qi in range(nq):
+                s = np.where(ok & (nid != qids[qi]), dots[qi] / np.where(ok, cn, 1.0), -np.inf)
+                live = np.isfinite(s)
+                n_live = int(live.sum())
+                if n_live == 0:
+                    continue
+                if n_live > r_cut:
+                    kth = np.partition(s, -r_cut)[-r_cut]
+                else:
+                    kth = s[live].min()
+                # margin: a row can only displace a kept one after 6-dp
+                # rounding if its cos is within 1e-6 — i.e. its unnormalized
+                # score within 2e-6 * qnorm of the cut
+                sel = np.flatnonzero(s >= kth - 2e-6 * qnorm[qi])
+                out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
+                out_n.append(nid[sel])
+                out_d.append(np.rint(dots[qi][sel]).astype(np.int64))
+                out_c.append(cn_sq[sel])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "approx_dot": np.concatenate(out_d),
+                    "cnorm_sq": np.concatenate(out_c),
+                }
+            )
+
+    cand = codes.mapInPandas(
+        score_partition,
+        "query_id long, neighbor_id long, approx_dot long, cnorm_sq long",
+    )
+
+    qdf = (
+        queries.select(F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("qq"))
+        .withColumn("qnorm", F.sqrt(qdot(F.col("qq"), F.col("qq")).cast("double")))
+        .where(F.col("qnorm") > 0)
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("approx_cos"), F.asc("neighbor_id"))
+    shortlist = (
+        cand.join(F.broadcast(qdf), "query_id")
+        .withColumn(
+            "approx_cos",
+            F.round(
+                F.col("approx_dot").cast("double")
+                / (F.col("qnorm") * F.sqrt(F.col("cnorm_sq").cast("double"))),
+                6,
+            ),
+        )
+        .withColumn("arank", F.row_number().over(wr))
+        .where(F.col("arank") <= r_cut)
+    )
+
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qc"))
+        .withColumn("cnorm", F.sqrt(qdot(F.col("qc"), F.col("qc")).cast("double")))
+        .where(F.col("cnorm") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        shortlist.select("query_id", "neighbor_id", "qq", "qnorm")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                qdot(F.col("qq"), F.col("qc")).cast("double")
+                / (F.col("qnorm") * F.col("cnorm")),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def _signature(qv: Column, planes: list[list[int]] | None = None) -> Column:
     """Random-hyperplane signature of a quantized vector (one bit per plane)."""
     planes = planes if planes is not None else HYPERPLANES

@@ -267,3 +267,62 @@ def test_ivf_empty_corpus_returns_empty_with_schema(spark):
     ]
     # and empty queries against a real corpus stays well-formed too
     assert ivf_topk(queries, corpus, k=5).count() == 0
+
+
+def test_pq_topk_recall_stability_and_edges(spark, catalog):
+    """PQ/ADC: deterministic-codebook recall@10 vs exact brute force is
+    well above chance (16 codewords x 8 subspaces on random vectors is the
+    worst case for PQ), trained sub-quantizers beat the deterministic
+    books, partition pruning never changes the answer (the 6-dp rounding
+    margin proof), and empty inputs return the empty schema."""
+    from mover_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = catalog.df("embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=10).collect()}
+    got = pq_topk(emb, q, k=10, refine=4).collect()
+    pq = {(r.query_id, r.neighbor_id) for r in got}
+    assert len(got) == len(bf) == 100
+    recall = len(bf & pq) / len(bf)
+    assert recall >= 0.5, recall
+
+    # partition pruning is invariant: a different physical partitioning
+    # prunes different per-partition shortlists but the same global answer
+    pq_re = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(emb.repartition(7), q, k=10, refine=4).collect()
+    }
+    assert pq_re == pq
+
+    # trained sub-quantizers (k-means per subspace) >= deterministic books
+    cb = train_pq_codebooks(emb, n_codes=32, max_iter=5)
+    assert cb.shape == (8, 32, 8)
+    pq_tr = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(emb, q, k=10, refine=4, codebooks=cb).collect()
+    }
+    assert len(bf & pq_tr) / len(bf) >= recall
+
+    # per-query output is exactly k, rank is 1..k, cosine non-increasing
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, 11))
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+    # edges: empty corpus and empty query set return the empty schema
+    schema = "vec_id long, embedding array<float>"
+    empty = spark.createDataFrame([], schema)
+    out = pq_topk(empty, q, k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "rank", "cosine",
+    ]
+    assert pq_topk(emb, empty, k=5).count() == 0
