@@ -916,6 +916,17 @@ def _q_train_val_split(spark, sf_dir):
     )
 
 
+def _q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (|A∩B|/|A| >= 0.9): quote /
+    doc-inside-doc detection via the asymmetric prefix filter — only
+    A-side prefixes explode, exact verification, lossless."""
+    from mover_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _catalog(spark, sf_dir).df("documents"), threshold=0.9
+    ).orderBy("doc_inner", "doc_outer")
+
+
 def _q_dedup_incremental(spark, sf_dir):
     """Incremental dedup: today's crawl increment (sources src0/src1)
     deduped AGAINST the fixed base corpus (every other source) — exact
@@ -1602,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": _q_weighted_sample,
         "collocation_pmi": _q_collocation_pmi,
         "dedup_incremental": _q_dedup_incremental,
+        "containment_pairs": _q_containment_pairs,
         "curation_pipeline": _q_curation_pipeline,
         "token_packing": _q_token_packing,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -3062,6 +3074,21 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes s ON c.cohort_day = s.cohort_day "
             "GROUP BY c.cohort_day, date_diff('day', c.cohort_day, a.active_day), s.cohort_size "
             "ORDER BY c.cohort_day, days_since"
+        ),
+        "containment_pairs": (
+            # exact asymmetric containment: |A∩B| / |A| over distinct
+            # bigram shingles, ordered pairs, a != b
+            "WITH d AS (SELECT doc_id, CASE WHEN len(string_split(text, ' ')) >= 2 THEN "
+            "list_distinct(list_transform(range(1, len(string_split(text, ' '))), "
+            "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) "
+            "ELSE CAST([] AS VARCHAR[]) END AS sh FROM documents) "
+            "SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer, "
+            "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) "
+            "AS containment "
+            "FROM d a JOIN d b ON a.doc_id != b.doc_id "
+            "WHERE len(a.sh) > 0 AND len(b.sh) > 0 "
+            "AND ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) >= 0.9 "
+            "ORDER BY doc_inner, doc_outer"
         ),
         "dedup_incremental": (
             # survivors of the new batch: no exact digest match in base

@@ -233,6 +233,101 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT shingle containment |A∩B| / |A| >= threshold for all ORDERED
+    pairs (a contained-in b) — the asymmetric near-dup relation Jaccard
+    misses: a short document quoted inside a much larger one has tiny
+    Jaccard but containment ~1. The LLM-pipeline use: quote/subset
+    detection and killing wrapper pages that embed a whole source doc.
+
+    Candidate generation is the asymmetric prefix filter (the set
+    containment join literature's standard move): sort each doc's
+    shingles by ascending global frequency; a pair can reach overlap
+    ceil(t·|A|) only if one of A's first |A| - ceil(t·|A|) + 1 rarest
+    shingles appears in B — so only A-side PREFIXES explode, while the
+    B side indexes all its tokens (no symmetric size bound exists: the
+    container may be arbitrarily large, only |B| >= ceil(t·|A|) prunes).
+    A shared token at rare-first positions (i, j) further bounds the
+    remaining overlap by 1 + min(|A|-i, |B|-j) (positional filter).
+    Candidates verify exactly on hashed shingle arrays. Lossless —
+    output identical to brute force."""
+    sh = (
+        df.select(F.col(id_col).alias("doc"), shingles_udf()(F.col(text_col)).alias("sh"))
+        .where(F.size("sh") > 0)
+        .persist()
+    )
+    tok = sh.select("doc", F.explode("sh").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    docs = (
+        tok.join(freq, "tok")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list(F.struct("freq", "tok"))).alias("sorted_sh"))
+        .withColumn("n", F.size("sorted_sh"))
+    )
+    # required overlap o = ceil(t * n_a); A explodes only its first
+    # n_a - o + 1 rare tokens, B explodes everything
+    a = (
+        docs.withColumn(
+            "prefix",
+            F.slice(
+                F.col("sorted_sh"),
+                1,
+                (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int"),
+            ),
+        )
+        .select("doc", "n", F.posexplode("prefix").alias("pos", "p"))
+        .select(
+            F.col("doc").alias("doc_inner"),
+            F.col("n").alias("n_a"),
+            (F.col("pos") + 1).alias("i"),
+            F.col("p.tok").alias("tok"),
+        )
+    )
+    b = docs.select(
+        "doc", "n", F.posexplode("sorted_sh").alias("pos", "p")
+    ).select(
+        F.col("doc").alias("doc_outer"),
+        F.col("n").alias("n_b"),
+        (F.col("pos") + 1).alias("j"),
+        F.col("p.tok").alias("tok"),
+    )
+    candidates = (
+        a.join(b, "tok")
+        .where(
+            (F.col("doc_inner") != F.col("doc_outer"))
+            & (F.col("n_b") >= F.ceil(F.col("n_a") * F.lit(threshold)))
+            & (
+                (1 + F.least(F.col("n_a") - F.col("i"), F.col("n_b") - F.col("j")))
+                >= F.ceil(F.col("n_a") * F.lit(threshold))
+            )
+        )
+        .select("doc_inner", "doc_outer")
+        .distinct()
+    )
+    hsh = sh.select("doc", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
+    sha = hsh.select(F.col("doc").alias("doc_inner"), F.col("hs").alias("hs_a"))
+    shb = hsh.select(F.col("doc").alias("doc_outer"), F.col("hs").alias("hs_b"))
+    return (
+        candidates.join(sha, "doc_inner")
+        .join(shb, "doc_outer")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("double")
+                / F.size("hs_a"),
+                6,
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("doc_inner", "doc_outer", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (scale path)
 # ---------------------------------------------------------------------------

@@ -204,3 +204,48 @@ def test_dedup_against_base_exact_near_and_exemptions(spark):
     assert kept2 == {7}
     # one NEW entry (new2's signatures); the base entry was reused
     assert len(_SIG_CACHE) == n_entries + 1
+
+
+def test_containment_pairs_asymmetric_and_lossless(spark, catalog):
+    """Containment catches a short doc quoted inside a long one (Jaccard
+    far below any dedup threshold), emits the ordered direction only, and
+    the prefix-filtered plan is lossless vs a brute-force recomputation."""
+    from mover_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    inner = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} w{i+1}" for i in range(0, 60, 2))
+    docs = spark.createDataFrame(
+        [
+            (1, inner),
+            (2, filler + " " + inner + " " + filler.upper()),
+            (3, "totally unrelated content about spark plans and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_inner, r.doc_outer): r.containment
+           for r in containment_pairs(docs, threshold=0.9).collect()}
+    # doc 1's shingles all appear in doc 2 except the two seam bigrams
+    # broken by the splice -- containment 5/6? No: "alpha beta"... all 5
+    # internal bigrams of doc 1 appear intact inside doc 2 -> c = 1.0
+    assert (1, 2) in got and got[(1, 2)] >= 0.9
+    assert (2, 1) not in got, "the big doc is NOT contained in the small one"
+    assert not any(3 in p for p in got)
+    # and the SAME pair is invisible to symmetric Jaccard at 0.8
+    j = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, 0.8).collect()}
+    assert (1, 2) not in j and (2, 1) not in j
+
+    # lossless on the fixture: prefix-filtered == brute force (collected
+    # via the exact definition on shingle sets)
+    from mover_spark.operators.dedup import shingles_udf
+
+    fixture = catalog.df("documents")
+    fast = {(r.doc_inner, r.doc_outer, r.containment)
+            for r in containment_pairs(fixture, threshold=0.9).collect()}
+    sh = {r.doc_id: set(r.sh) for r in fixture.select(
+        "doc_id", shingles_udf()(F.col("text")).alias("sh")).collect() if r.sh}
+    brute = set()
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a != b and sa and round(len(sa & sb) / len(sa), 6) >= 0.9:
+                brute.add((a, b, round(len(sa & sb) / len(sa), 6)))
+    assert fast == brute
