@@ -917,13 +917,13 @@ def _q_train_val_split(spark, sf_dir):
 
 
 def _q_containment_pairs(spark, sf_dir):
-    """Asymmetric containment near-dup pairs (|A∩B|/|A| >= 0.9): quote /
+    """Asymmetric containment near-dup pairs (|A∩B|/|A| >= 0.95): quote /
     doc-inside-doc detection via the asymmetric prefix filter — only
     A-side prefixes explode, exact verification, lossless."""
     from mover_spark.operators.dedup import containment_pairs
 
     return containment_pairs(
-        _catalog(spark, sf_dir).df("documents"), threshold=0.9
+        _catalog(spark, sf_dir).df("documents"), threshold=0.95
     ).orderBy("doc_inner", "doc_outer")
 
 
@@ -3087,7 +3087,7 @@ def oracle_sql() -> dict[str, str]:
             "AS containment "
             "FROM d a JOIN d b ON a.doc_id != b.doc_id "
             "WHERE len(a.sh) > 0 AND len(b.sh) > 0 "
-            "AND ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) >= 0.9 "
+            "AND ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) >= 0.95 "
             "ORDER BY doc_inner, doc_outer"
         ),
         "dedup_incremental": (

@@ -255,13 +255,22 @@ def containment_pairs(
     A shared token at rare-first positions (i, j) further bounds the
     remaining overlap by 1 + min(|A|-i, |B|-j) (positional filter).
     Candidates verify exactly on hashed shingle arrays. Lossless —
-    output identical to brute force."""
+    output identical to brute force (up to the same ~n_sh²/2^64 hash
+    collision caveat as ngram_jaccard_pairs: shingles are xxhash64'd ONCE
+    up front, so every downstream shuffle, sort, join key, and intersect
+    works on longs instead of bigram strings — the single biggest
+    constant-factor cost on a shingle-heavy corpus)."""
     sh = (
-        df.select(F.col(id_col).alias("doc"), shingles_udf()(F.col(text_col)).alias("sh"))
-        .where(F.size("sh") > 0)
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.transform(
+                shingles_udf()(F.col(text_col)), lambda s: F.xxhash64(s)
+            ).alias("hs"),
+        )
+        .where(F.size("hs") > 0)
         .persist()
     )
-    tok = sh.select("doc", F.explode("sh").alias("tok"))
+    tok = sh.select("doc", F.explode("hs").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     docs = (
         tok.join(freq, "tok")
@@ -309,9 +318,8 @@ def containment_pairs(
         .select("doc_inner", "doc_outer")
         .distinct()
     )
-    hsh = sh.select("doc", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
-    sha = hsh.select(F.col("doc").alias("doc_inner"), F.col("hs").alias("hs_a"))
-    shb = hsh.select(F.col("doc").alias("doc_outer"), F.col("hs").alias("hs_b"))
+    sha = sh.select(F.col("doc").alias("doc_inner"), F.col("hs").alias("hs_a"))
+    shb = sh.select(F.col("doc").alias("doc_outer"), F.col("hs").alias("hs_b"))
     return (
         candidates.join(sha, "doc_inner")
         .join(shb, "doc_outer")
