@@ -916,6 +916,22 @@ def _q_train_val_split(spark, sf_dir):
     )
 
 
+def _q_unigram_xent(spark, sf_dir):
+    """Perplexity-proxy quality score: per-doc unigram cross-entropy vs
+    the corpus LM, order-invariant via 1e-9-grain integer log-prob sums."""
+    from mover_spark.operators.text import unigram_xent
+
+    return unigram_xent(_catalog(spark, sf_dir).df("documents")).orderBy("doc_id")
+
+
+def _q_doc_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty: fraction of its distinct bigrams with
+    corpus document frequency 1 (fresh content vs templated boilerplate)."""
+    from mover_spark.operators.text import doc_novelty
+
+    return doc_novelty(_catalog(spark, sf_dir).df("documents")).orderBy("doc_id")
+
+
 def _q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dup pairs (|A∩B|/|A| >= 0.95): quote /
     doc-inside-doc detection via the asymmetric prefix filter — only
@@ -1614,6 +1630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocation_pmi": _q_collocation_pmi,
         "dedup_incremental": _q_dedup_incremental,
         "containment_pairs": _q_containment_pairs,
+        "unigram_xent": _q_unigram_xent,
+        "doc_novelty": _q_doc_novelty,
         "curation_pipeline": _q_curation_pipeline,
         "token_packing": _q_token_packing,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -3074,6 +3092,33 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes s ON c.cohort_day = s.cohort_day "
             "GROUP BY c.cohort_day, date_diff('day', c.cohort_day, a.active_day), s.cohort_size "
             "ORDER BY c.cohort_day, days_since"
+        ),
+        "unigram_xent": (
+            # per-term log-prob quantized to 1e-9-grain BIGINT (ONE
+            # rounding of ln(c/N)*1e9), per-doc INTEGER sum -> the float
+            # reduction is order-invariant on both engines
+            "WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+            "FROM documents), "
+            "t AS (SELECT doc_id, term FROM tt WHERE term != ''), "
+            "c AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term), "
+            "n AS (SELECT COUNT(*) AS n_corpus FROM t), "
+            "lp AS (SELECT term, CAST(ROUND(ln(CAST(c AS DOUBLE) / n_corpus) * 1e9) "
+            "AS BIGINT) AS lp FROM c, n) "
+            "SELECT doc_id, COUNT(*) AS n_tokens, "
+            "ROUND(-((CAST(SUM(lp.lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1e9), 6) "
+            "AS xent FROM t JOIN lp ON t.term = lp.term "
+            "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "doc_novelty": (
+            "WITH s AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "range(1, len(string_split(text, ' '))), "
+            "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS sh "
+            "FROM documents), "
+            "f AS (SELECT sh, COUNT(*) AS df FROM s GROUP BY sh) "
+            "SELECT s.doc_id, COUNT(*) AS n_shingles, "
+            "ROUND(CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) "
+            "AS novelty FROM s JOIN f ON s.sh = f.sh "
+            "GROUP BY s.doc_id ORDER BY s.doc_id"
         ),
         "containment_pairs": (
             # exact asymmetric containment: |A∩B| / |A| over distinct

@@ -402,6 +402,87 @@ def decontaminate(
     return train.join(contaminated, on=[id_col], how="left_anti")
 
 
+def unigram_xent(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus language
+    model: H(d) = -(1/n_d) Σ_i ln(count(w_i)/N) over token occurrences —
+    the perplexity-proxy quality filter (CCNet-style: gibberish and
+    boilerplate score far from the corpus median; no external LM needed).
+
+    Determinism at scale: a float Σ ln over shuffled rows is
+    partition-order dependent, so each term's log-probability is scaled
+    to a 1e-9-granular BIGINT once (one rounding of ln(count/N)·1e9) and
+    the per-doc reduction is an INTEGER sum — order-invariant on any
+    engine, same move as corr_stats' decimal moments. Two shuffles
+    total (term counts, per-doc sum); the term table joins back by key.
+
+    SQL mirror per term: CAST(ROUND(ln(CAST(c AS DOUBLE) / N) * 1e9)
+    AS BIGINT); per doc: ROUND(-((CAST(SUM(lp) AS DOUBLE) / n_d) / 1e9), 6).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).where(F.col("term") != "")
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n_total = tok.agg(F.count(F.lit(1)).alias("n_corpus"))
+    lp = cnt.crossJoin(F.broadcast(n_total)).select(
+        "term",
+        F.round(F.log(F.col("c").cast("double") / F.col("n_corpus")) * 1e9)
+        .cast("bigint")
+        .alias("lp"),
+    )
+    return (
+        tok.join(lp, "term")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("s"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                -(F.col("s").cast("double") / F.col("n_tokens").cast("double")) / 1e9, 6
+            ).alias("xent"),
+        )
+    )
+
+
+def doc_novelty(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    bigram shingles that occur in no other document (corpus document
+    frequency 1) — high novelty marks genuinely fresh content, ~0 marks
+    templated/duplicated boilerplate even when no single pair crosses a
+    dedup threshold. Integer ratio -> exactly portable.
+
+    Shape: one (doc, shingle)-distinct explode, one shingle-keyed df
+    count, one join back, one per-doc aggregate — all map-side
+    combinable."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(slice(split({text_col}, ' '), 1, "
+                    f"greatest(size(split({text_col}, ' ')) - 1, 0)), "
+                    f"(x, i) -> concat(x, ' ', element_at(split({text_col}, ' '), i + 2)))"
+                )
+            )
+        ).alias("sh"),
+    )
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            F.round(
+                F.col("n_unique").cast("double") / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
 def collocation_pmi(
     df: DataFrame,
     k: int = 50,

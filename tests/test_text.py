@@ -134,6 +134,55 @@ def test_collocation_pmi_hand_computed(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_unigram_xent_hand_computed(spark):
+    """Cross-entropy on a countable corpus: repeated common words score
+    LOW (predictable), a doc of corpus-rare words scores HIGH; values
+    match the quantized-integer formula exactly and empty tokens drop."""
+    import math
+
+    from mover_spark.operators.text import unigram_xent
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a b  b"), (3, "c d")],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=6, b=2, c=1, d=1 -> N=10
+    got = {r.doc_id: r for r in unigram_xent(docs).collect()}
+
+    def lp(c, n=10):
+        return round(math.log(c / n) * 1e9)
+
+    assert got[1].n_tokens == 4
+    assert got[1].xent == round(-((4 * lp(6)) / 4) / 1e9, 6)
+    assert got[2].n_tokens == 4  # the double space contributes no token
+    assert got[2].xent == round(-((2 * lp(6) + 2 * lp(2)) / 4) / 1e9, 6)
+    assert got[3].xent == round(-((lp(1) + lp(1)) / 2) / 1e9, 6)
+    # rare-word doc is the most surprising, boilerplate the least
+    assert got[3].xent > got[2].xent > got[1].xent
+
+
+def test_doc_novelty_hand_computed(spark):
+    """Novelty = fraction of a doc's distinct bigrams with corpus df 1:
+    a fully-templated copy scores 0, fresh content scores 1, and
+    single-word docs vanish (no bigrams)."""
+    from mover_spark.operators.text import doc_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z"),          # bigrams: "x y", "y z"
+            (2, "x y z"),          # exact copy -> df 2 for both
+            (3, "x y fresh one"),  # "x y" df 3; "y fresh", "fresh one" df 1
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in doc_novelty(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].novelty == 0.0 and got[2].novelty == 0.0
+    assert got[3].n_shingles == 3
+    assert got[3].novelty == round(2 / 3, 6)
+
+
 def test_cap_per_key_deterministic_and_capped(spark, catalog):
     """Quota sampling keeps <= n per key and the SAME rows regardless of
     physical partitioning."""
