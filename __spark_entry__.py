@@ -916,6 +916,18 @@ def _q_train_val_split(spark, sf_dir):
     )
 
 
+def _q_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup stats (Lee et al. 2022 semantics): per doc,
+    how many tokens sit inside an 8-token span whose text occurred
+    earlier in the corpus (global first occurrence wins, self-repetition
+    counts) — gram explode + min-agg + interval-union window."""
+    from mover_spark.operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(
+        _catalog(spark, sf_dir).df("documents"), min_len=8
+    ).orderBy("doc_id")
+
+
 def _q_unigram_xent(spark, sf_dir):
     """Perplexity-proxy quality score: per-doc unigram cross-entropy vs
     the corpus LM, order-invariant via 1e-9-grain integer log-prob sums."""
@@ -1631,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "containment_pairs": _q_containment_pairs,
         "unigram_xent": _q_unigram_xent,
+        "substring_dedup_stats": _q_substring_dedup,
         "doc_novelty": _q_doc_novelty,
         "curation_pipeline": _q_curation_pipeline,
         "token_packing": _q_token_packing,
@@ -3092,6 +3105,30 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes s ON c.cohort_day = s.cohort_day "
             "GROUP BY c.cohort_day, date_diff('day', c.cohort_day, a.active_day), s.cohort_size "
             "ORDER BY c.cohort_day, days_since"
+        ),
+        "substring_dedup_stats": (
+            # 8-gram first-occurrence marking (order key doc*2^20+pos, one
+            # scalar MIN) + per-doc interval union of marked [pos, pos+8)
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "g AS (SELECT doc_id, "
+            "unnest(list_transform(range(1, len(w) - 6), "
+            "p -> array_to_string(list_slice(w, p, p + 7), ' '))) AS gram, "
+            "unnest(range(1, len(w) - 6)) AS pos FROM d), "
+            "f AS (SELECT gram, MIN(doc_id * 1048576 + pos) AS fk FROM g GROUP BY gram), "
+            "dup AS (SELECT g.doc_id, g.pos FROM g JOIN f ON g.gram = f.gram "
+            "WHERE g.doc_id * 1048576 + g.pos != f.fk), "
+            "cov AS (SELECT doc_id, pos, MAX(pos + 8) OVER (PARTITION BY doc_id "
+            "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end "
+            "FROM dup), "
+            "rem AS (SELECT doc_id, SUM(GREATEST(pos + 8 - GREATEST(pos, "
+            "COALESCE(prev_end, 0)), 0)) AS n_removed FROM cov GROUP BY doc_id), "
+            "base AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens "
+            "FROM documents) "
+            "SELECT b.doc_id, b.n_tokens, "
+            "CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed, "
+            "ROUND(CAST(COALESCE(r.n_removed, 0) AS DOUBLE) / b.n_tokens, 6) "
+            "AS pct_removed FROM base b LEFT JOIN rem r ON b.doc_id = r.doc_id "
+            "ORDER BY b.doc_id"
         ),
         "unigram_xent": (
             # per-term log-prob quantized to 1e-9-grain BIGINT (ONE

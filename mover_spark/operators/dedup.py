@@ -336,6 +336,98 @@ def containment_pairs(
     )
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup statistics (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" semantics,
+    re-expressed distributed): any token span of length >= min_len that
+    already occurred earlier in the corpus — in another doc OR earlier in
+    the SAME doc (self-repetition) — is a duplicate span to excise. The
+    suffix-array formulation is inherently sequential; the distributed
+    equivalent enumerates all min_len-grams with positions, keeps each
+    gram's GLOBAL first occurrence (min (doc, pos)), marks every other
+    occurrence, and measures per doc the UNION of the marked [pos,
+    pos+min_len) intervals (a span of length s >= min_len duplicated
+    elsewhere marks all its s - min_len + 1 grams, whose interval union
+    is exactly s — so the stat equals duplicated-span tokens, not gram
+    counts). Returns (doc_id, n_tokens, n_removed, pct_removed) for every
+    doc.
+
+    Plan shape: one in-row gram explode (no self-join), one map-side
+    combinable min aggregate per gram, one join back on the gram key, one
+    per-doc ordered window for the interval union, one left join to
+    re-attach zero-dup docs. The gram keys shuffle as strings here for
+    oracle exactness; a production run at 100 TB would xxhash64 them
+    (same ~2^-64 caveat as ngram_jaccard verification).
+
+    First-occurrence order is (doc_id, pos) encoded as doc_id*2^20 + pos
+    — one scalar min instead of a struct min; valid while docs stay under
+    2^20 tokens (a 1M-token doc is not a training document; guarded)."""
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.when(
+                n >= min_len,
+                F.expr(
+                    f"transform(sequence(1, size(split({text_col}, ' ')) - {min_len} + 1), "
+                    f"p -> struct(p AS pos, "
+                    f"array_join(slice(split({text_col}, ' '), p, {min_len}), ' ') AS gram))"
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+        ).alias("g"),
+    ).select("doc", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    # ANSI guard, cheap: the encoding below is only valid for pos < 2^20
+    grams = grams.where(F.col("pos") < F.lit(1 << 20))
+    okey = F.col("doc") * F.lit(1 << 20) + F.col("pos")
+    first = grams.groupBy("gram").agg(F.min(okey).alias("first_key"))
+    dups = (
+        grams.join(first, "gram")
+        .where(okey != F.col("first_key"))
+        .select("doc", "pos")
+    )
+    from pyspark.sql.window import Window
+
+    wdoc = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = (
+        dups.withColumn("prev_end", F.max(F.col("pos") + min_len).over(wdoc))
+        .withColumn(
+            "contrib",
+            F.greatest(
+                F.col("pos")
+                + F.lit(min_len)
+                - F.greatest(F.col("pos"), F.coalesce(F.col("prev_end"), F.lit(0))),
+                F.lit(0),
+            ),
+        )
+        .groupBy("doc")
+        .agg(F.sum("contrib").alias("n_removed"))
+    )
+    docs = df.select(F.col(id_col).alias("doc"), n.cast("bigint").alias("n_tokens"))
+    return (
+        docs.join(covered, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.round(
+                F.coalesce(F.col("n_removed"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("pct_removed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (scale path)
 # ---------------------------------------------------------------------------

@@ -249,3 +249,31 @@ def test_containment_pairs_asymmetric_and_lossless(spark, catalog):
             if a != b and sa and round(len(sa & sb) / len(sa), 6) >= 0.9:
                 brute.add((a, b, round(len(sa & sb) / len(sa), 6)))
     assert fast == brute
+
+
+def test_substring_dup_spans_hand_computed(spark):
+    """Interval-union semantics: overlapping duplicated grams count each
+    token once; self-repetition inside one doc is excised; the global
+    first occurrence never loses tokens; short docs pass through."""
+    from mover_spark.operators.dedup import substring_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),            # source of the shared span
+            (2, "x a b c d e y"),          # grams at pos 2,3 dup -> [2,7) = 5
+            (3, "p q r s p q r s"),        # self-repeat: pos-5 gram dup -> 4
+            (4, "u v"),                    # too short for any gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in substring_dup_spans(docs, min_len=4).collect()}
+    assert got[1].n_removed == 0 and got[1].pct_removed == 0.0
+    assert got[2].n_tokens == 7 and got[2].n_removed == 5
+    assert got[2].pct_removed == round(5 / 7, 6)
+    assert got[3].n_removed == 4 and got[3].pct_removed == 0.5
+    assert got[4].n_removed == 0 and got[4].n_tokens == 2
+
+    # stability: a different physical partitioning changes nothing
+    again = {r.doc_id: r.n_removed
+             for r in substring_dup_spans(docs.repartition(5), min_len=4).collect()}
+    assert again == {d: r.n_removed for d, r in got.items()}
