@@ -360,9 +360,11 @@ def substring_dup_spans(
     Plan shape: one in-row gram explode (no self-join), one map-side
     combinable min aggregate per gram, one join back on the gram key, one
     per-doc ordered window for the interval union, one left join to
-    re-attach zero-dup docs. The gram keys shuffle as strings here for
-    oracle exactness; a production run at 100 TB would xxhash64 them
-    (same ~2^-64 caveat as ngram_jaccard verification).
+    re-attach zero-dup docs. Gram keys are xxhash64'd in-row — the MIN
+    aggregate and the join-back shuffle longs, never 8-token strings
+    (keys are internal only; same ~2^-64 collision caveat as
+    ngram_jaccard verification, and the string-keyed oracle would catch
+    one).
 
     First-occurrence order is (doc_id, pos) encoded as doc_id*2^20 + pos
     — one scalar min instead of a struct min; valid while docs stay under
@@ -377,9 +379,9 @@ def substring_dup_spans(
                 F.expr(
                     f"transform(sequence(1, size(split({text_col}, ' ')) - {min_len} + 1), "
                     f"p -> struct(p AS pos, "
-                    f"array_join(slice(split({text_col}, ' '), p, {min_len}), ' ') AS gram))"
+                    f"xxhash64(array_join(slice(split({text_col}, ' '), p, {min_len}), ' ')) AS gram))"
                 ),
-            ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+            ).otherwise(F.array().cast("array<struct<pos:int,gram:bigint>>"))
         ).alias("g"),
     ).select("doc", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
     # ANSI guard, cheap: the encoding below is only valid for pos < 2^20

@@ -452,16 +452,22 @@ def doc_novelty(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     Shape: one (doc, shingle)-distinct explode, one shingle-keyed df
     count, one join back, one per-doc aggregate — all map-side
-    combinable."""
+    combinable. Shingles are xxhash64'd in-row so the df-count shuffle
+    and the join-back key are longs, never bigram strings (the key only
+    exists internally; same ~n²/2^64 collision caveat as the dedup
+    family — the string-keyed DuckDB oracle would catch one)."""
     sh = df.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(slice(split({text_col}, ' '), 1, "
-                    f"greatest(size(split({text_col}, ' ')) - 1, 0)), "
-                    f"(x, i) -> concat(x, ' ', element_at(split({text_col}, ' '), i + 2)))"
-                )
+            F.transform(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(slice(split({text_col}, ' '), 1, "
+                        f"greatest(size(split({text_col}, ' ')) - 1, 0)), "
+                        f"(x, i) -> concat(x, ' ', element_at(split({text_col}, ' '), i + 2)))"
+                    )
+                ),
+                lambda s: F.xxhash64(s),
             )
         ).alias("sh"),
     )
