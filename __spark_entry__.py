@@ -916,6 +916,15 @@ def _q_train_val_split(spark, sf_dir):
     )
 
 
+def _q_streaming_quality_gate(spark, sf_dir):
+    """Online perplexity-proxy gate: stream docs scored in-row against a
+    literal-map LM built from the static corpus — stateless append mode,
+    no state store, hash-checked against the SQL LM mirror."""
+    from mover_spark.streaming.quality import quality_gate_parity
+
+    return quality_gate_parity(spark, sf_dir).orderBy("doc_id")
+
+
 def _q_substring_dedup(spark, sf_dir):
     """Exact-substring dedup stats (Lee et al. 2022 semantics): per doc,
     how many tokens sit inside an 8-token span whose text occurred
@@ -1644,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "unigram_xent": _q_unigram_xent,
         "substring_dedup_stats": _q_substring_dedup,
+        "streaming_quality_gate": _q_streaming_quality_gate,
         "doc_novelty": _q_doc_novelty,
         "curation_pipeline": _q_curation_pipeline,
         "token_packing": _q_token_packing,
@@ -3105,6 +3115,29 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes s ON c.cohort_day = s.cohort_day "
             "GROUP BY c.cohort_day, date_diff('day', c.cohort_day, a.active_day), s.cohort_size "
             "ORDER BY c.cohort_day, days_since"
+        ),
+        "streaming_quality_gate": (
+            # static-corpus LM (doc_id % 5 != 0), stream docs (% 5 == 0)
+            # scored by quantized-integer log-prob sums; OOV terms take
+            # the floor lp ln(1/N); passed compares the ROUNDED score
+            "WITH cor AS (SELECT text FROM documents WHERE doc_id % 5 != 0), "
+            "tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM cor), "
+            "t AS (SELECT term FROM tok WHERE term != ''), "
+            "c AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term), "
+            "n AS (SELECT COUNT(*) AS n_corpus FROM t), "
+            "lp AS (SELECT term, CAST(ROUND(ln(CAST(c AS DOUBLE) / n_corpus) * 1e9) "
+            "AS BIGINT) AS lp FROM c, n), "
+            "oov AS (SELECT CAST(ROUND(ln(1.0 / n_corpus) * 1e9) AS BIGINT) AS o FROM n), "
+            "st AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+            "FROM documents WHERE doc_id % 5 = 0), "
+            "s2 AS (SELECT doc_id, term FROM st WHERE term != ''), "
+            "sc AS (SELECT s2.doc_id, COUNT(*) AS n_tokens, "
+            "ROUND(-((CAST(SUM(COALESCE(lp.lp, oov.o)) AS DOUBLE) / "
+            "CAST(COUNT(*) AS DOUBLE)) / 1e9), 6) AS xent "
+            "FROM s2 LEFT JOIN lp ON s2.term = lp.term CROSS JOIN oov "
+            "GROUP BY s2.doc_id) "
+            "SELECT doc_id, n_tokens, xent, (xent <= 3.75) AS passed FROM sc "
+            "ORDER BY doc_id"
         ),
         "substring_dedup_stats": (
             # 8-gram first-occurrence marking (order key doc*2^20+pos, one

@@ -240,3 +240,55 @@ def test_streaming_neardup_multibatch_equals_batch(spark, catalog, tmp_path):
         for r in neardup_detect_stream(stream_side, index, corpus_shingles).collect()
     }
     assert set(got) == batch and batch, "stream != batch pair set"
+
+
+def test_quality_gate_scores_and_guards(spark, catalog):
+    """xent_gate_stream's in-row scorer matches the hand-computed
+    quantized formula (incl. the OOV floor), zero-token docs drop, the
+    vocab cap raises loudly, and the drained parity query returns every
+    streamed doc exactly once with both gate outcomes represented."""
+    import math
+
+    from mover_spark.streaming.quality import (
+        VOCAB_CAP,
+        _round_half_away,
+        corpus_lm,
+        quality_gate_parity,
+        xent_gate_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(10, "a a a b"), (11, "a b")], "doc_id long, text string"
+    )
+    lm, oov = corpus_lm(corpus)
+    # counts: a=4, b=2, N=6
+    assert lm == {
+        "a": _round_half_away(math.log(4 / 6) * 1e9),
+        "b": _round_half_away(math.log(2 / 6) * 1e9),
+    }
+    assert oov == _round_half_away(math.log(1 / 6) * 1e9)
+
+    probe = spark.createDataFrame(
+        [(1, "a b"), (2, "zz a"), (3, ""), (4, " ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in xent_gate_stream(probe, lm, oov).collect()}
+    assert set(got) == {1, 2}, "token-less docs must drop"
+    assert got[1].xent == round(-((lm["a"] + lm["b"]) / 2) / 1e9, 6)
+    assert got[2].xent == round(-((oov + lm["a"]) / 2) / 1e9, 6)
+    assert got[2].xent > got[1].xent, "OOV must score as more surprising"
+
+    big = spark.range(VOCAB_CAP + 2).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("w"), F.col("id")).alias("text")
+    )
+    try:
+        corpus_lm(big)
+        raise AssertionError("VOCAB_CAP must raise")
+    except ValueError as e:
+        assert "VOCAB_CAP" in str(e)
+
+    out = quality_gate_parity(spark, SF_DIR).collect()
+    docs = catalog.df("documents")
+    n_stream = docs.where((F.col("doc_id") % 5 == 0)).count()
+    assert len(out) == n_stream, "exactly one score per streamed doc"
+    assert len({r.doc_id for r in out}) == len(out)
