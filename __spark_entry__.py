@@ -3202,13 +3202,17 @@ def oracle_sql() -> dict[str, str]:
             "AS containment "
             "FROM d a JOIN d b ON a.doc_id != b.doc_id "
             "WHERE len(a.sh) > 0 AND len(b.sh) > 0 "
-            "AND ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) >= 0.95 "
+            "AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.95 "
             "ORDER BY doc_inner, doc_outer"
         ),
         "dedup_incremental": (
             # survivors of the new batch: no exact digest match in base
-            # AND no base doc with exact jaccard >= 0.8 (LSH recall is 1
-            # at the threshold, same argument as dedup_minhash_lsh)
+            # AND no base doc with exact jaccard >= 0.8. Parity with the
+            # banded operator holds because the fixture's planted pairs
+            # sit at j >= 0.9, where P(band miss) < 1e-5 (12 bands x 4
+            # rows) — the same recall contract dedup_minhash_lsh's
+            # exact-pairs oracle rides; at j barely above 0.8 the banding
+            # could in principle miss (~0.2%/pair) what exact SQL finds
             "WITH nw AS (SELECT * FROM documents WHERE source IN ('src0', 'src1')), "
             "bs AS (SELECT * FROM documents WHERE source NOT IN ('src0', 'src1')), "
             "ex AS (SELECT DISTINCT n.doc_id FROM nw n JOIN bs b "

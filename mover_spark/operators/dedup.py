@@ -320,19 +320,22 @@ def containment_pairs(
     )
     sha = sh.select(F.col("doc").alias("doc_inner"), F.col("hs").alias("hs_a"))
     shb = sh.select(F.col("doc").alias("doc_outer"), F.col("hs").alias("hs_b"))
+    # acceptance compares the UNROUNDED ratio — the same quantity the
+    # prefix/size/positional bounds prune on (ceil(t*n_a) <=> c/n_a >= t
+    # for integer c), so pruning and verification can never disagree at a
+    # rounding boundary; the rounded value is display-only
+    ratio = (
+        F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("double")
+        / F.size("hs_a")
+    )
     return (
         candidates.join(sha, "doc_inner")
         .join(shb, "doc_outer")
-        .withColumn(
-            "containment",
-            F.round(
-                F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("double")
-                / F.size("hs_a"),
-                6,
-            ),
+        .withColumn("__r", ratio)
+        .where(F.col("__r") >= threshold)
+        .select(
+            "doc_inner", "doc_outer", F.round(F.col("__r"), 6).alias("containment")
         )
-        .where(F.col("containment") >= threshold)
-        .select("doc_inner", "doc_outer", "containment")
     )
 
 
@@ -368,25 +371,47 @@ def substring_dup_spans(
 
     First-occurrence order is (doc_id, pos) encoded as doc_id*2^20 + pos
     — one scalar min instead of a struct min; valid while docs stay under
-    2^20 tokens (a 1M-token doc is not a training document; guarded)."""
+    2^20 tokens (a 1M-token doc is not a training document). The guard is
+    LOUD: a longer doc raises mid-plan instead of silently dropping its
+    tail grams (which would both undercount and misattribute first
+    occurrences); doc_id >= 2^43 likewise errors via ANSI overflow."""
     w = F.split(F.col(text_col), " ")
     n = F.size(w)
-    grams = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.when(
-                n >= min_len,
-                F.expr(
-                    f"transform(sequence(1, size(split({text_col}, ' ')) - {min_len} + 1), "
-                    f"p -> struct(p AS pos, "
-                    f"xxhash64(array_join(slice(split({text_col}, ' '), p, {min_len}), ' ')) AS gram))"
-                ),
-            ).otherwise(F.array().cast("array<struct<pos:int,gram:bigint>>"))
-        ).alias("g"),
-    ).select("doc", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
-    # ANSI guard, cheap: the encoding below is only valid for pos < 2^20
-    grams = grams.where(F.col("pos") < F.lit(1 << 20))
-    okey = F.col("doc") * F.lit(1 << 20) + F.col("pos")
+    # the token array binds to a COLUMN before the lambda uses it: an
+    # expression inside a higher-order-function body is re-evaluated per
+    # element (Spark hoists nothing out of lambdas), so slice(split(text))
+    # in the gram builder would re-split the whole document once PER GRAM
+    # — O(n_tokens²) work per doc
+    grams = (
+        df.select(F.col(id_col).alias("doc"), w.alias("__w"))
+        .select(
+            "doc",
+            F.explode(
+                F.when(
+                    F.size("__w") >= min_len,
+                    F.expr(
+                        f"transform(sequence(1, size(__w) - {min_len} + 1), "
+                        f"p -> struct(p AS pos, "
+                        f"xxhash64(array_join(slice(__w, p, {min_len}), ' ')) AS gram))"
+                    ),
+                ).otherwise(F.array().cast("array<struct<pos:int,gram:bigint>>"))
+            ).alias("g"),
+        )
+        .select("doc", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    # the scalar encoding is only valid for pos < 2^20: fail LOUDLY on a
+    # longer doc rather than silently truncating its gram stream
+    okey = F.when(
+        F.col("pos") < F.lit(1 << 20), F.col("doc") * F.lit(1 << 20) + F.col("pos")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "substring_dup_spans: document exceeds 2^20 tokens; the "
+                "doc*2^20+pos first-occurrence encoding cannot represent it — "
+                "chunk the document or widen the encoding"
+            )
+        ).cast("long")
+    )
     first = grams.groupBy("gram").agg(F.min(okey).alias("first_key"))
     dups = (
         grams.join(first, "gram")

@@ -421,8 +421,11 @@ def unigram_xent(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).where(F.col("term") != "")
-    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    n_total = tok.agg(F.count(F.lit(1)).alias("n_corpus"))
+    # persist the vocab-sized count table: N is then SUM(c) over it — one
+    # corpus explode builds the whole LM instead of a second full scan
+    # just to count tokens
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
+    n_total = cnt.agg(F.sum("c").alias("n_corpus"))
     lp = cnt.crossJoin(F.broadcast(n_total)).select(
         "term",
         F.round(F.log(F.col("c").cast("double") / F.col("n_corpus")) * 1e9)
@@ -456,18 +459,13 @@ def doc_novelty(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     and the join-back key are longs, never bigram strings (the key only
     exists internally; same ~n²/2^64 collision caveat as the dedup
     family — the string-keyed DuckDB oracle would catch one)."""
+    from .dedup import shingles_udf
+
     sh = df.select(
         F.col(id_col),
         F.explode(
             F.transform(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(slice(split({text_col}, ' '), 1, "
-                        f"greatest(size(split({text_col}, ' ')) - 1, 0)), "
-                        f"(x, i) -> concat(x, ' ', element_at(split({text_col}, ' '), i + 2)))"
-                    )
-                ),
-                lambda s: F.xxhash64(s),
+                shingles_udf()(F.col(text_col)), lambda s: F.xxhash64(s)
             )
         ).alias("sh"),
     )

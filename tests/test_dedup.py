@@ -246,7 +246,7 @@ def test_containment_pairs_asymmetric_and_lossless(spark, catalog):
     brute = set()
     for a, sa in sh.items():
         for b, sb in sh.items():
-            if a != b and sa and round(len(sa & sb) / len(sa), 6) >= 0.9:
+            if a != b and sa and len(sa & sb) / len(sa) >= 0.9:
                 brute.add((a, b, round(len(sa & sb) / len(sa), 6)))
     assert fast == brute
 
@@ -277,3 +277,20 @@ def test_substring_dup_spans_hand_computed(spark):
     again = {r.doc_id: r.n_removed
              for r in substring_dup_spans(docs.repartition(5), min_len=4).collect()}
     assert again == {d: r.n_removed for d, r in got.items()}
+
+
+def test_substring_dup_spans_raises_on_mega_doc(spark):
+    """A doc past the 2^20-token encoding limit must raise loudly, never
+    silently drop its tail grams (which would undercount and misattribute
+    first occurrences)."""
+    import pytest
+
+    from mover_spark.operators.dedup import substring_dup_spans
+
+    n = (1 << 20) + 8
+    docs = spark.createDataFrame(
+        [(1, " ".join("t" + str(i % 97) for i in range(n)))],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="exceeds 2\\^20 tokens"):
+        substring_dup_spans(docs, min_len=8).collect()
