@@ -287,3 +287,81 @@ def test_interval_overlap_banding_lossless_and_emit_once(spark, lrows, rrows):
         and rs_ <= ls_ + ld
     )
     assert got == expect
+
+
+# small random corpora over a tiny alphabet: maximal shingle collisions,
+# repeated spans, and every doc-length edge (0, 1, exactly min_len words)
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+    ).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus_strategy)
+def test_substring_dup_spans_matches_python_reference(spark, texts):
+    """substring_dup_spans == a sequential pure-Python re-implementation
+    of the first-occurrence interval-union semantics, on corpora built to
+    collide (4-letter alphabet, docs shorter/equal/longer than min_len)."""
+    from mover_spark.operators.dedup import substring_dup_spans
+
+    L = 3
+    docs = list(enumerate(texts))
+    first = {}
+    marks = {}
+    for did, text in docs:
+        w = text.split(" ")
+        for p in range(1, len(w) - L + 2):
+            g = " ".join(w[p - 1 : p - 1 + L])
+            if g in first:
+                marks.setdefault(did, []).append(p)
+            else:
+                first[g] = (did, p)
+    want = {}
+    for did, text in docs:
+        n = len(text.split(" "))
+        covered = 0
+        prev_end = 0
+        for p in sorted(marks.get(did, [])):
+            covered += max(p + L - max(p, prev_end), 0)
+            prev_end = max(prev_end, p + L)
+        want[did] = (n, covered, round(covered / n, 6))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.pct_removed)
+        for r in substring_dup_spans(sdf, min_len=L).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus_strategy)
+def test_containment_pairs_matches_brute_force_random(spark, texts):
+    """containment_pairs (prefix-filtered) == brute force on random
+    collision-heavy corpora, at a threshold low enough that the size and
+    positional bounds all engage."""
+    from mover_spark.operators.dedup import containment_pairs
+
+    docs = list(enumerate(texts))
+    sh = {}
+    for did, text in docs:
+        w = text.split(" ")
+        s = {f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)}
+        if s:
+            sh[did] = s
+    want = set()
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a != b and len(sa & sb) / len(sa) >= 0.6:
+                want.add((a, b, round(len(sa & sb) / len(sa), 6)))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_inner, r.doc_outer, r.containment)
+        for r in containment_pairs(sdf, threshold=0.6).collect()
+    }
+    assert got == want

@@ -43,6 +43,14 @@ AUDIT = [
     "dedup_normalized",
     "tfidf_top_terms",
     "outlier_events",
+    "weighted_sample_docs",
+    "collocation_pmi",
+    "dedup_incremental",
+    "ann_topk_pq",
+    "containment_pairs",
+    "unigram_xent",
+    "doc_novelty",
+    "substring_dedup_stats",
     "q9_nation_year_profit",
     "q11_part_value_share",
     "q16_part_supplier_counts",
