@@ -649,6 +649,22 @@ def _q_ann_pq(spark, sf_dir):
     return pq_topk(emb, emb.where(F.col("vec_id") < 10), k=10, refine=4)
 
 
+def _q_ann_pq_filtered(spark, sf_dir):
+    """Filtered vector search: same PQ/ADC index discipline, corpus
+    restricted by a metadata predicate (label IN (0,1,2)) BEFORE encoding
+    — the filter prunes the code scan itself, it is not post-filtering of
+    an unfiltered top-k (which silently under-fills k)."""
+    from mover_spark.operators.similarity import pq_topk
+
+    emb = _catalog(spark, sf_dir).df("embeddings")
+    return pq_topk(
+        emb.where(F.col("label").isin(0, 1, 2)),
+        emb.where(F.col("vec_id") < 10),
+        k=10,
+        refine=4,
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     from mover_spark.operators.dedup import dedup_clusters
 
@@ -1617,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_pq": _q_ann_pq,
+        "ann_topk_pq_filtered": _q_ann_pq_filtered,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
         "dedup_triangles": _q_dedup_triangles,
@@ -1836,6 +1853,64 @@ def _lsh_sig_sql(col: str) -> str:
             f"s -> s[1] * s[2])) >= 0 THEN {1 << j} ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def _pq_oracle_sql(corpus_where: str = "") -> str:
+    """PQ/ADC oracle builder: 16 deterministic codewords per subspace (the
+    smallest-id CORPUS vectors' sub-slices), L2-argmin encoding (ties ->
+    smallest code), integer ADC dots + reconstructed norms, top-40
+    shortlist by rounded approx cosine, exact-cosine refine top-10.
+    `corpus_where` restricts the searchable corpus (filtered vector
+    search); queries stay the unfiltered vec_id < 10 set."""
+    return (
+        "WITH " + _QVEC_CTE + ", "
+        + (
+            f"qc AS (SELECT q.vec_id, q.qv FROM q JOIN embeddings e "
+            f"ON q.vec_id = e.vec_id {corpus_where}), "
+            if corpus_where
+            else "qc AS (SELECT vec_id, qv FROM q), "
+        ) +
+        "cw AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, qv "
+        "FROM qc ORDER BY vec_id LIMIT 16), "
+        "ms AS (SELECT unnest(range(0, 8)) AS m), "
+        "dist AS (SELECT v.vec_id, ms.m, c.code, "
+        "list_sum(list_transform(range(1, 9), i -> "
+        "(v.qv[ms.m * 8 + i] - c.qv[ms.m * 8 + i]) * "
+        "(v.qv[ms.m * 8 + i] - c.qv[ms.m * 8 + i]))) AS d "
+        "FROM qc v CROSS JOIN ms CROSS JOIN cw c), "
+        "enc AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn "
+        "FROM dist) WHERE rn = 1), "
+        "cn AS (SELECT e.vec_id, SUM(list_sum(list_transform(range(1, 9), "
+        "i -> c.qv[e.m * 8 + i] * c.qv[e.m * 8 + i]))) AS cnorm_sq "
+        "FROM enc e JOIN cw c ON e.code = c.code GROUP BY e.vec_id), "
+        "qr AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 10), "
+        "qn AS (SELECT query_id, "
+        "sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS qnorm "
+        "FROM qr), "
+        "ad AS (SELECT u.query_id, e.vec_id AS neighbor_id, "
+        "SUM(list_sum(list_transform(range(1, 9), i -> "
+        "u.qv[e.m * 8 + i] * c.qv[e.m * 8 + i]))) AS approx_dot "
+        "FROM qr u CROSS JOIN enc e JOIN cw c ON e.code = c.code "
+        "WHERE e.vec_id != u.query_id GROUP BY 1, 2), "
+        "ac AS (SELECT a.query_id, a.neighbor_id, "
+        "ROUND(CAST(a.approx_dot AS DOUBLE) / "
+        "(qn.qnorm * sqrt(CAST(cn.cnorm_sq AS DOUBLE))), 6) AS approx_cos "
+        "FROM ad a JOIN qn ON a.query_id = qn.query_id "
+        "JOIN cn ON a.neighbor_id = cn.vec_id "
+        "WHERE cn.cnorm_sq > 0 AND qn.qnorm > 0), "
+        "short AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_cos DESC, "
+        "neighbor_id ASC) AS rn FROM ac) WHERE rn <= 40), "
+        "ref AS (SELECT s.query_id, s.neighbor_id, "
+        f"ROUND({_qcos('uq.qv', 'cv.qv')}, 6) AS cosine "
+        "FROM short s JOIN qr uq ON s.query_id = uq.query_id "
+        "JOIN qc cv ON s.neighbor_id = cv.vec_id) "
+        'SELECT query_id, neighbor_id, "rank", cosine FROM '
+        "(SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER ("
+        'PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS "rank" '
+        'FROM ref) WHERE "rank" <= 10'
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2737,53 +2812,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) "
             'SELECT query_id, neighbor_id, "rank", cosine FROM r WHERE "rank" <= 10'
         ),
-        "ann_topk_pq": (
-            # PQ/ADC mirror: 16 deterministic codewords per subspace (the
-            # smallest-id vectors' sub-slices), L2-argmin encoding (ties ->
-            # smallest code), integer ADC dots + reconstructed norms, top-40
-            # shortlist by rounded approx cosine, exact-cosine refine top-10
-            "WITH " + _QVEC_CTE + ", "
-            "cw AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, qv "
-            "FROM q ORDER BY vec_id LIMIT 16), "
-            "ms AS (SELECT unnest(range(0, 8)) AS m), "
-            "dist AS (SELECT v.vec_id, ms.m, c.code, "
-            "list_sum(list_transform(range(1, 9), i -> "
-            "(v.qv[ms.m * 8 + i] - c.qv[ms.m * 8 + i]) * "
-            "(v.qv[ms.m * 8 + i] - c.qv[ms.m * 8 + i]))) AS d "
-            "FROM q v CROSS JOIN ms CROSS JOIN cw c), "
-            "enc AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, "
-            "ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn "
-            "FROM dist) WHERE rn = 1), "
-            "cn AS (SELECT e.vec_id, SUM(list_sum(list_transform(range(1, 9), "
-            "i -> c.qv[e.m * 8 + i] * c.qv[e.m * 8 + i]))) AS cnorm_sq "
-            "FROM enc e JOIN cw c ON e.code = c.code GROUP BY e.vec_id), "
-            "qr AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 10), "
-            "qn AS (SELECT query_id, "
-            "sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS qnorm "
-            "FROM qr), "
-            "ad AS (SELECT u.query_id, e.vec_id AS neighbor_id, "
-            "SUM(list_sum(list_transform(range(1, 9), i -> "
-            "u.qv[e.m * 8 + i] * c.qv[e.m * 8 + i]))) AS approx_dot "
-            "FROM qr u CROSS JOIN enc e JOIN cw c ON e.code = c.code "
-            "WHERE e.vec_id != u.query_id GROUP BY 1, 2), "
-            "ac AS (SELECT a.query_id, a.neighbor_id, "
-            "ROUND(CAST(a.approx_dot AS DOUBLE) / "
-            "(qn.qnorm * sqrt(CAST(cn.cnorm_sq AS DOUBLE))), 6) AS approx_cos "
-            "FROM ad a JOIN qn ON a.query_id = qn.query_id "
-            "JOIN cn ON a.neighbor_id = cn.vec_id "
-            "WHERE cn.cnorm_sq > 0 AND qn.qnorm > 0), "
-            "short AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, "
-            "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_cos DESC, "
-            "neighbor_id ASC) AS rn FROM ac) WHERE rn <= 40), "
-            "ref AS (SELECT s.query_id, s.neighbor_id, "
-            f"ROUND({_qcos('uq.qv', 'cv.qv')}, 6) AS cosine "
-            "FROM short s JOIN qr uq ON s.query_id = uq.query_id "
-            "JOIN q cv ON s.neighbor_id = cv.vec_id) "
-            'SELECT query_id, neighbor_id, "rank", cosine FROM '
-            "(SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER ("
-            'PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS "rank" '
-            'FROM ref) WHERE "rank" <= 10'
-        ),
+        "ann_topk_pq": _pq_oracle_sql(),
+        "ann_topk_pq_filtered": _pq_oracle_sql("WHERE e.label IN (0, 1, 2)"),
         "ann_topk_ivf": (
             "WITH " + _QVEC_CTE + ", "
             "cent AS (SELECT vec_id AS cid, qv AS qcent FROM q ORDER BY vec_id LIMIT 16), "

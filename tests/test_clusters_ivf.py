@@ -326,3 +326,22 @@ def test_pq_topk_recall_stability_and_edges(spark, catalog):
         "query_id", "neighbor_id", "rank", "cosine",
     ]
     assert pq_topk(emb, empty, k=5).count() == 0
+
+
+def test_pq_filtered_search_prunes_before_ranking(spark, catalog):
+    """Filtered vector search restricts the corpus BEFORE encoding: every
+    neighbor satisfies the predicate, each query still gets a FULL k
+    (post-filtering an unfiltered top-k would under-fill), and the result
+    equals brute force over the filtered corpus."""
+    from mover_spark.operators.similarity import brute_force_topk, pq_topk
+
+    emb = catalog.df("embeddings")
+    corpus = emb.where(F.col("label").isin(0, 1, 2))
+    q = emb.where(F.col("vec_id") < 10)
+    got = pq_topk(corpus, q, k=10, refine=4).collect()
+    assert len(got) == 100, "full k per query even under the filter"
+    allowed = {r.vec_id for r in corpus.select("vec_id").collect()}
+    assert all(r.neighbor_id in allowed for r in got)
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(corpus, q, k=10).collect()}
+    hits = sum((r.query_id, r.neighbor_id) in bf for r in got)
+    assert hits / len(got) >= 0.5, "recall vs filtered brute force"
