@@ -418,8 +418,6 @@ def substring_dup_spans(
         .where(okey != F.col("first_key"))
         .select("doc", "pos")
     )
-    from pyspark.sql.window import Window
-
     wdoc = (
         Window.partitionBy("doc")
         .orderBy("pos")

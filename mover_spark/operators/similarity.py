@@ -79,6 +79,19 @@ def train_ivf_centroids(
     return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
 
 
+def _empty_topk(df: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row result with the (query_id, neighbor_id, rank, cosine)
+    schema every top-k operator returns — the shared degenerate-input exit
+    (empty corpus, empty query set, all-zero-norm queries)."""
+    return (
+        df.select(F.col(id_col).alias("query_id"))
+        .withColumn("neighbor_id", F.col("query_id"))
+        .withColumn("rank", F.lit(1).cast("int"))
+        .withColumn("cosine", F.lit(0.0))
+        .limit(0)
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -207,13 +220,7 @@ def ivf_topk(
         # there are no candidates by construction — return the empty result
         # directly instead of shipping a (0,)-shaped centroid matrix into
         # the scorer closure (numpy axis-1 ops die on it)
-        return (
-            queries.select(F.col(id_col).alias("query_id"))
-            .withColumn("neighbor_id", F.col("query_id"))
-            .withColumn("rank", F.lit(1).cast("int"))
-            .withColumn("cosine", F.lit(0.0))
-            .limit(0)
-        )
+        return _empty_topk(queries, id_col)
     ranked = _ranked_cells_udf(cents)
 
     from .dedup import qdot
@@ -391,13 +398,7 @@ def pq_topk(
         corpus, vec_col=vec_col, id_col=id_col
     )
     if cb.shape[1] == 0:
-        return (
-            queries.select(F.col(id_col).alias("query_id"))
-            .withColumn("neighbor_id", F.col("query_id"))
-            .withColumn("rank", F.lit(1).cast("int"))
-            .withColumn("cosine", F.lit(0.0))
-            .limit(0)
-        )
+        return _empty_topk(queries, id_col)
     m, n_codes, dsub = cb.shape
     enc = _pq_encode_udf(cb)
     codes = corpus.select(
@@ -411,12 +412,7 @@ def pq_topk(
         .collect()
     )
     if not qrows:
-        return codes.select(
-            F.col("neighbor_id").alias("query_id"),
-            "neighbor_id",
-            F.lit(1).cast("int").alias("rank"),
-            F.lit(0.0).alias("cosine"),
-        ).limit(0)
+        return _empty_topk(queries, id_col)
     Q = np.array([r.qq for r in qrows], dtype=np.int64)  # (nq, dim)
     qids = np.array([r.query_id for r in qrows], dtype=np.int64)
     qnorm = np.sqrt((Q.astype(np.float64) ** 2).sum(axis=1))
@@ -424,12 +420,7 @@ def pq_topk(
     Q, qids, qnorm = Q[keep], qids[keep], qnorm[keep]
     nq = len(qids)
     if nq == 0:
-        return codes.select(
-            F.col("neighbor_id").alias("query_id"),
-            "neighbor_id",
-            F.lit(1).cast("int").alias("rank"),
-            F.lit(0.0).alias("cosine"),
-        ).limit(0)
+        return _empty_topk(queries, id_col)
     # LUT[q][j][c] = dot(query q's subspace j, codeword c) — int-exact
     lut = np.stack(
         [

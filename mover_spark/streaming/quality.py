@@ -83,24 +83,28 @@ def xent_gate_stream(
     in-row scoring against the literal LM map. Documents with zero
     non-empty tokens are dropped (undefined score), matching the batch
     operator."""
-    if lm:
-        entries = []
-        for t, v in sorted(lm.items()):
-            entries.append(F.lit(t))
-            entries.append(F.lit(v))
-        m = F.create_map(*entries)
-        lookup = lambda t: F.coalesce(F.element_at(m, t), F.lit(oov))  # noqa: E731
-    else:
-        lookup = lambda t: F.lit(oov)  # noqa: E731
+    entries = []
+    for t, v in sorted(lm.items()):
+        entries.append(F.lit(t))
+        entries.append(F.lit(v))
+    # an empty LM degenerates cleanly: element_at on the empty map is NULL
+    # for every key, so coalesce scores everything at the OOV floor
+    m = F.create_map(*entries)
+    # bind the token array to a column ONCE: referencing the split+filter
+    # expression from both size() and aggregate() would tokenize each
+    # document twice per row
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    n = F.size(toks)
+    n = F.size(F.col("__toks"))
     s = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + lookup(t)
+        F.col("__toks"),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.coalesce(F.element_at(m, t), F.lit(oov)),
     )
     xent = F.round(-(s.cast("double") / n.cast("double")) / F.lit(1e9), 6)
     return (
-        stream_docs.select(
-            F.col("doc_id"),
+        stream_docs.select(F.col("doc_id"), toks.alias("__toks"))
+        .select(
+            "doc_id",
             n.cast("bigint").alias("n_tokens"),
             xent.alias("xent"),
         )
