@@ -961,6 +961,14 @@ def _q_unigram_xent(spark, sf_dir):
     return unigram_xent(_catalog(spark, sf_dir).df("documents")).orderBy("doc_id")
 
 
+def _q_source_drift(spark, sf_dir):
+    """Per-source corpus drift: smoothed unigram KL(source || corpus) as
+    one score per source — crawl-health monitoring before ingestion."""
+    from mover_spark.operators.text import source_drift_kl
+
+    return source_drift_kl(_catalog(spark, sf_dir).df("documents")).orderBy("source")
+
+
 def _q_doc_novelty(spark, sf_dir):
     """Per-doc n-gram novelty: fraction of its distinct bigrams with
     corpus document frequency 1 (fresh content vs templated boilerplate)."""
@@ -1672,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_stats": _q_substring_dedup,
         "streaming_quality_gate": _q_streaming_quality_gate,
         "doc_novelty": _q_doc_novelty,
+        "source_drift_kl": _q_source_drift,
         "curation_pipeline": _q_curation_pipeline,
         "token_packing": _q_token_packing,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -3208,6 +3217,31 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(-((CAST(SUM(lp.lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1e9), 6) "
             "AS xent FROM t JOIN lp ON t.term = lp.term "
             "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "source_drift_kl": (
+            # smoothed KL over the sources x vocab grid; per-term
+            # contribution quantized to a 1e-12-grain BIGINT (one ROUND),
+            # integer per-source sums -> order-invariant; op order mirrors
+            # the Spark plan exactly
+            "WITH tok AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS term "
+            "FROM documents), "
+            "t AS (SELECT grp, term FROM tok WHERE term != ''), "
+            "cst AS (SELECT grp, term, COUNT(*) AS c_st FROM t GROUP BY grp, term), "
+            "ct AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst GROUP BY term), "
+            "ns AS (SELECT grp, CAST(SUM(c_st) AS BIGINT) AS n_s FROM cst GROUP BY grp), "
+            "tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n_corpus, "
+            "COUNT(DISTINCT term) AS v FROM cst), "
+            "grid AS (SELECT ns.grp, ns.n_s, ct.term, ct.c_t, tot.n_corpus, tot.v, "
+            "COALESCE(cst.c_st, 0) AS c_st FROM ns CROSS JOIN ct CROSS JOIN tot "
+            "LEFT JOIN cst ON cst.grp = ns.grp AND cst.term = ct.term), "
+            "sc AS (SELECT grp, n_s, CAST(ROUND("
+            "(CAST(c_st + 1 AS DOUBLE) / (n_s + v)) * "
+            "ln((CAST(c_st + 1 AS DOUBLE) / (n_s + v)) / "
+            "(CAST(c_t + 1 AS DOUBLE) / (n_corpus + v))) * 1e12) AS BIGINT) AS contrib "
+            "FROM grid) "
+            "SELECT grp AS source, MAX(n_s) AS n_tokens, "
+            "ROUND(CAST(SUM(contrib) AS DOUBLE) / 1e12, 6) AS kl_nats "
+            "FROM sc GROUP BY grp ORDER BY source"
         ),
         "doc_novelty": (
             "WITH s AS (SELECT doc_id, unnest(list_distinct(list_transform("

@@ -446,6 +446,57 @@ def unigram_xent(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def source_drift_kl(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source corpus drift: KL(p_source || p_corpus) over unigram
+    distributions with add-one smoothing — the monitoring primitive that
+    catches a crawl source gone bad (spam flood, encoding breakage,
+    language shift) as a single score per source, before any document
+    ever reaches dedup or training.
+
+    KL needs every (source, vocab-term) cell including zero counts, so
+    the plan builds the sources × vocabulary grid (both sides are
+    aggregate-sized, NOT corpus-sized) and left-joins the observed
+    counts; the corpus itself is exploded exactly once into the count
+    tables. Smoothing: p_s(t) = (c_st + 1) / (n_s + V),
+    p_c(t) = (c_t + 1) / (N + V).
+
+    Determinism: each term's contribution p_s·ln(p_s/p_c) quantizes to a
+    1e-12-grain BIGINT (one rounding), and the per-source reduction is an
+    INTEGER sum — partition-order invariant, same discipline as
+    unigram_xent. The oracle mirrors the exact operation order."""
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    cst = tok.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("c_st")).persist()
+    ct = cst.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    ns = cst.groupBy("grp").agg(F.sum("c_st").alias("n_s"))
+    totals = cst.agg(
+        F.sum("c_st").alias("n_corpus"), F.count_distinct("term").alias("v")
+    )
+    grid = (
+        ns.crossJoin(ct)
+        .crossJoin(F.broadcast(totals))
+        .join(cst, ["grp", "term"], "left")
+        .withColumn("c_st", F.coalesce(F.col("c_st"), F.lit(0)))
+    )
+    ps = (F.col("c_st") + 1).cast("double") / (F.col("n_s") + F.col("v"))
+    pc = (F.col("c_t") + 1).cast("double") / (F.col("n_corpus") + F.col("v"))
+    contrib = F.round(ps * F.log(ps / pc) * 1e12).cast("bigint")
+    return (
+        grid.withColumn("contrib", contrib)
+        .groupBy("grp")
+        .agg(F.max("n_s").alias("n_tokens"), F.sum("contrib").alias("s"))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            F.round(F.col("s").cast("double") / 1e12, 6).alias("kl_nats"),
+        )
+    )
+
+
 def doc_novelty(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document n-gram novelty: the fraction of a doc's DISTINCT
     bigram shingles that occur in no other document (corpus document

@@ -344,3 +344,43 @@ def test_token_packing_string_ids(spark):
     assert sum(r.bin_tokens for r in out) == sum(sizes)
     bins = {r.bin: r.n_docs for r in out}
     assert bins == {0: 2, 1: 2, 2: 1, 3: 1}
+
+
+def test_source_drift_kl_hand_computed(spark):
+    """Smoothed KL on a countable corpus: the off-distribution source
+    scores strictly higher than the typical ones, values match the
+    quantized formula, and KL stays >= 0 (both sides are proper
+    add-one-smoothed distributions)."""
+    import math
+
+    from mover_spark.operators.text import source_drift_kl
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "a b a b"),
+            (2, "s1", "a b"),
+            (3, "s2", "a b a b a b"),
+            (4, "s3", "z z z z z z"),  # drifted: vocabulary nobody else uses
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r for r in source_drift_kl(docs).collect()}
+
+    # corpus: a=6, b=6, z=6 -> N=18, V=3
+    cnt = {"s1": {"a": 3, "b": 3}, "s2": {"a": 3, "b": 3}, "s3": {"z": 6}}
+    tot = {"a": 6, "b": 6, "z": 6}
+
+    def kl(src):
+        n_s = sum(cnt[src].values())
+        s = 0
+        for t in tot:
+            ps = (cnt[src].get(t, 0) + 1) / (n_s + 3)
+            pc = (tot[t] + 1) / (18 + 3)
+            s += round(ps * math.log(ps / pc) * 1e12)
+        return round(s / 1e12, 6)
+
+    for src in ("s1", "s2", "s3"):
+        assert got[src].kl_nats == kl(src), src
+        assert got[src].kl_nats >= 0
+    assert got[src := "s3"].kl_nats > got["s1"].kl_nats
+    assert got["s1"].n_tokens == 6 and got["s3"].n_tokens == 6
