@@ -365,3 +365,57 @@ def test_containment_pairs_matches_brute_force_random(spark, texts):
         for r in containment_pairs(sdf, threshold=0.6).collect()
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus_strategy)
+def test_unigram_xent_matches_python_reference(spark, texts):
+    """unigram_xent == the quantized-integer formula recomputed in pure
+    Python over arbitrary corpora (empty docs drop, empty tokens drop)."""
+    import math
+
+    from mover_spark.operators.text import unigram_xent
+
+    toks = {i: [w for w in t.split(" ") if w] for i, t in enumerate(texts)}
+    cnt = {}
+    for ws in toks.values():
+        for w in ws:
+            cnt[w] = cnt.get(w, 0) + 1
+    n = sum(cnt.values())
+    want = {}
+    for i, ws in toks.items():
+        if not ws:
+            continue
+        lp = {w: round(math.log(c / n) * 1e9) for w, c in cnt.items()}
+        s = sum(lp[w] for w in ws)
+        want[i] = (len(ws), round(-(s / len(ws)) / 1e9, 6))
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.xent) for r in unigram_xent(df).collect()}
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus_strategy)
+def test_doc_novelty_matches_python_reference(spark, texts):
+    """doc_novelty == a per-doc Python recomputation of the df==1
+    fraction over distinct bigram shingles."""
+    from mover_spark.operators.text import doc_novelty
+
+    sh = {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        s = {f"{w[j]} {w[j+1]}" for j in range(len(w) - 1)}
+        if s:
+            sh[i] = s
+    dfreq = {}
+    for s in sh.values():
+        for g in s:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    want = {
+        i: (len(s), round(sum(dfreq[g] == 1 for g in s) / len(s), 6))
+        for i, s in sh.items()
+    }
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: (r.n_shingles, r.novelty) for r in doc_novelty(df).collect()}
+    assert got == want
