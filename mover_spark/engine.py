@@ -194,15 +194,18 @@ class Engine:
                 # before its except ran — executor OOM/node loss, then
                 # retried under a NEW uuid): without this the mirror
                 # accumulates .part-* junk that directory-walking
-                # consumers would pick up. If a LIVE racer (a different
-                # URL mirroring to the same dest) is mid-download, the
-                # sweep unlinks its sidecar and its os.replace fails into
-                # its except — equivalent to losing the promote race it
-                # could lose anyway (same-dest content is ambiguous by
-                # construction; "last promote wins pointlessly" above).
+                # consumers would pick up. AGE GATE: only sidecars whose
+                # mtime is older than the stale window are swept, so a
+                # LIVE racer's in-flight sidecar (a different URL
+                # mirroring to the same dest) is never unlinked — its
+                # os.replace still promotes and the fetch is not silently
+                # lost. urlretrieve writes continuously, keeping a live
+                # sidecar's mtime fresh; a truly dead one stops aging.
                 import glob as _glob
                 import re as _re
+                import time as _time
 
+                stale_before = _time.time() - 600  # 10 min > any fetch stall
                 # glob.escape: dest comes from the RAW url path, so [ ] * ?
                 # in it must match literally, not as glob classes. The
                 # suffix filter restricts the sweep to OUR uuid4-hex
@@ -214,7 +217,8 @@ class Engine:
                     ):
                         continue
                     try:
-                        os.remove(stale)
+                        if os.stat(stale).st_mtime < stale_before:
+                            os.remove(stale)
                     except OSError:
                         pass
 

@@ -260,16 +260,7 @@ def containment_pairs(
     up front, so every downstream shuffle, sort, join key, and intersect
     works on longs instead of bigram strings — the single biggest
     constant-factor cost on a shingle-heavy corpus)."""
-    sh = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.transform(
-                shingles_udf()(F.col(text_col)), lambda s: F.xxhash64(s)
-            ).alias("hs"),
-        )
-        .where(F.size("hs") > 0)
-        .persist()
-    )
+    sh = _hashed_shingles(df, text_col, id_col)
     tok = sh.select("doc", F.explode("hs").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     docs = (
@@ -278,15 +269,23 @@ def containment_pairs(
         .agg(F.sort_array(F.collect_list(F.struct("freq", "tok"))).alias("sorted_sh"))
         .withColumn("n", F.size("sorted_sh"))
     )
-    # required overlap o = ceil(t * n_a); A explodes only its first
-    # n_a - o + 1 rare tokens, B explodes everything
+    # required overlap o = ceil(t * n_a), computed as ceil(t*n - 1e-9):
+    # the epsilon guards the binary-float boundary (fl(0.9)*n can land one
+    # ulp ABOVE the decimal product and ceil across an integer, demanding
+    # one more overlap than the unrounded verification ratio accepts —
+    # a boundary pair would be pruned that brute force keeps). Relaxing by
+    # 1e-9 only ever WIDENS the candidate set; verification stays exact.
+    def req_overlap(n):
+        return F.ceil(n * F.lit(threshold) - F.lit(1e-9))
+
+    # A explodes only its first n_a - o + 1 rare tokens, B explodes everything
     a = (
         docs.withColumn(
             "prefix",
             F.slice(
                 F.col("sorted_sh"),
                 1,
-                (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int"),
+                (F.col("n") - req_overlap(F.col("n")) + 1).cast("int"),
             ),
         )
         .select("doc", "n", F.posexplode("prefix").alias("pos", "p"))
@@ -309,10 +308,10 @@ def containment_pairs(
         a.join(b, "tok")
         .where(
             (F.col("doc_inner") != F.col("doc_outer"))
-            & (F.col("n_b") >= F.ceil(F.col("n_a") * F.lit(threshold)))
+            & (F.col("n_b") >= req_overlap(F.col("n_a")))
             & (
                 (1 + F.least(F.col("n_a") - F.col("i"), F.col("n_b") - F.col("j")))
-                >= F.ceil(F.col("n_a") * F.lit(threshold))
+                >= req_overlap(F.col("n_a"))
             )
         )
         .select("doc_inner", "doc_outer")
@@ -536,6 +535,32 @@ def _dedup_cache_key(df: DataFrame, *params):
         df._jdf.queryExecution().analyzed().semanticHash(),
         *params,
     )
+
+
+def _hashed_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, hs) — xxhash64'd shingle array per non-empty doc, persisted
+    and memoized in _SIG_CACHE under its own tag (cleared by
+    clear_dedup_caches). Shared by the exact containment operator and its
+    LSH-Ensemble twin, which also fixes the old per-invocation persist()
+    leak ADVICE flagged: one copy per corpus, however many calls."""
+    key = _dedup_cache_key(df, "containment_sh", text_col, id_col)
+    hit = _SIG_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.transform(
+                shingles_udf()(F.col(text_col)), lambda s: F.xxhash64(s)
+            ).alias("hs"),
+        )
+        .where(F.size("hs") > 0)
+        .persist()
+    )
+    _SIG_CACHE[key] = sh
+    return sh
 
 
 def signature_projection(

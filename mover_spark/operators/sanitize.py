@@ -116,20 +116,20 @@ def fake_column(
     unique: bool = False,
     locale: str = "",
     key: Column | None = None,
+    pk_dtype: str = "string",
 ) -> Column:
     """Deterministic fake value (sanitizer.go:66-93). Uniqueness by
     construction: suffix the PK instead of the reference's retry loop.
-    `key` is the nonnegative long pick index; when omitted, the default
-    try_casts the pk to long and falls back to the xxhash64 branch per
-    row, so a DIRECT call with a string/UUID pk (sanitize_df always
-    passes the catalog dtype) gets hashed picks instead of NULL fakes —
-    or a CAST error under the ANSI mode this repo runs. Numeric pks take
-    the try_cast arm, identical to _pk_index(pk, 'bigint')."""
+    `key` is the nonnegative long pick index; when omitted it is derived
+    by _pk_index(pk, pk_dtype) — ONE pick scheme per column, chosen by
+    the column's dtype exactly as sanitize_df does (direct callers with
+    a numeric pk pass pk_dtype='bigint' to match). The previous per-row
+    coalesce(try_cast, hash) default let a numeric-LOOKING string value
+    ('123') take the numeric arm while sanitize_df hashed the whole
+    column — two schemes per column and a direct-vs-sanitize_df desync;
+    dtype branching restores the invariant."""
     if key is None:
-        # the fallback arm routes through _pk_index's hash branch so a
-        # future change to the hash scheme can't desynchronize direct
-        # fake_column calls from the sanitize_df path
-        key = F.coalesce(pk.try_cast("long"), _pk_index(pk, "string"))
+        key = _pk_index(pk, pk_dtype)
     pools = FR_POOLS if locale == "fr" else FAKE_POOLS
     if kind == "last_name":
         out = _pool_pick(pools["last_name"], key)

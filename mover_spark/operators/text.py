@@ -31,6 +31,39 @@ LANG_MARKERS: dict[str, list[str]] = {
 PUNCT_RE = r"[\p{L}\p{N} ]"
 TOKEN_RE = r"\w+|[^\w\s]"
 
+#: memoized persisted aggregate tables (unigram_xent's term counts,
+#: source_drift_kl's per-source counts), keyed like dedup's _SIG_CACHE by
+#: (applicationId, corpus plan semantic hash, op params) — ONE persisted
+#: copy per corpus per op, however many times the op is called, instead of
+#: the per-invocation persist()s that leaked executor storage until LRU
+#: eviction. Same memory contract as dedup: long-lived services iterating
+#: over many corpora call clear_text_caches() between corpora.
+_TEXT_CACHE: dict = {}
+
+
+def _memo_persist(tag: tuple, df: DataFrame, build) -> DataFrame:
+    from .dedup import _dedup_cache_key
+
+    key = _dedup_cache_key(df, *tag)
+    hit = _TEXT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = build().persist()
+    _TEXT_CACHE[key] = out
+    return out
+
+
+def clear_text_caches() -> None:
+    """Unpersist and drop every memoized count table (mirror of
+    dedup.clear_dedup_caches — dead-session entries are dropped even when
+    unpersist throws)."""
+    for cached in _TEXT_CACHE.values():
+        try:
+            cached.unpersist()
+        except Exception:
+            pass
+    _TEXT_CACHE.clear()
+
 
 def _words(text: Column | str = "text") -> Column:
     c = F.col(text) if isinstance(text, str) else text
@@ -423,8 +456,14 @@ def unigram_xent(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     ).where(F.col("term") != "")
     # persist the vocab-sized count table: N is then SUM(c) over it — one
     # corpus explode builds the whole LM instead of a second full scan
-    # just to count tokens
-    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
+    # just to count tokens. Memoized per corpus plan (_memo_persist): a
+    # long session calling this per-corpus holds ONE persisted copy each,
+    # not one per invocation — clear_text_caches() releases them.
+    cnt = _memo_persist(
+        ("xent_cnt", text_col, id_col),
+        df,
+        lambda: tok.groupBy("term").agg(F.count(F.lit(1)).alias("c")),
+    )
     n_total = cnt.agg(F.sum("c").alias("n_corpus"))
     lp = cnt.crossJoin(F.broadcast(n_total)).select(
         "term",
@@ -470,7 +509,12 @@ def source_drift_kl(
         F.col(group_col).alias("grp"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     ).where(F.col("term") != "")
-    cst = tok.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("c_st")).persist()
+    # memoized persist per corpus plan — see unigram_xent / clear_text_caches
+    cst = _memo_persist(
+        ("drift_cst", group_col, text_col),
+        df,
+        lambda: tok.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("c_st")),
+    )
     ct = cst.groupBy("term").agg(F.sum("c_st").alias("c_t"))
     ns = cst.groupBy("grp").agg(F.sum("c_st").alias("n_s"))
     totals = cst.agg(

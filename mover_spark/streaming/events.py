@@ -170,6 +170,18 @@ _DRAIN_SEQ = [0]
 _DRAIN_TABLES: list[str] = []
 
 
+def drained_table(spark: SparkSession, name: str) -> DataFrame:
+    """Materialized snapshot of a finished drain's memory-sink table:
+    ``localCheckpoint(eager=True)`` detaches the result from the temp view,
+    so it stays readable after run_to_memory's next drain drops the view —
+    a lazy ``spark.table(name)`` would raise table-not-found there, the
+    silent contract change ADVICE flagged. Drain results are
+    aggregate-sized, so the eager materialization is cheap; the
+    checkpointed blocks are GC'd with the DataFrame by the context
+    cleaner."""
+    return spark.table(name).localCheckpoint(eager=True)
+
+
 def tumbling_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming query with a batch-checkable answer: ingest the
     events fixture as an availableNow stream, run the watermarked tumbling
@@ -196,7 +208,7 @@ def tumbling_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     _DRAIN_SEQ[0] += 1
     name = f"streaming_tumbling_{_DRAIN_SEQ[0]}"
     run_to_memory(agg, name, input_bytes=fixture_bytes(sf_dir, "events"))
-    return spark.table(name)
+    return drained_table(spark, name)
 
 
 def sliding_batch_parity(
@@ -225,7 +237,7 @@ def sliding_batch_parity(
     _DRAIN_SEQ[0] += 1
     name = f"streaming_sliding_{_DRAIN_SEQ[0]}"
     run_to_memory(agg, name, input_bytes=fixture_bytes(sf_dir, "events"))
-    return spark.table(name)
+    return drained_table(spark, name)
 
 
 def session_batch_parity(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
@@ -255,7 +267,7 @@ def session_batch_parity(spark: SparkSession, sf_dir: str, gap: str = "30 minute
     _DRAIN_SEQ[0] += 1
     name = f"streaming_session_{_DRAIN_SEQ[0]}"
     run_to_memory(agg, name, input_bytes=fixture_bytes(sf_dir, "events"))
-    return spark.table(name)
+    return drained_table(spark, name)
 
 
 def fixture_bytes(sf_dir: str, table: str) -> int:
@@ -319,10 +331,11 @@ def run_to_memory(
     # the session lifetime; with monotone drain names nothing ever drops
     # them, so a long session (the bench suite runs 100+ queries in one
     # JVM) accumulates every past drain's rows as dead heap. Each new drain
-    # therefore drops all previous drains' tables first — by then their
-    # results have been consumed (every caller materializes before the next
-    # drain starts). Re-reading a PRIOR drain's table after a new drain
-    # begins is not supported.
+    # therefore drops all previous drains' tables first. Callers that hand
+    # results to library consumers return drained_table() — an eagerly
+    # localCheckpoint'ed snapshot that stays readable after the view drops —
+    # so only the raw temp-view NAME becomes invalid once the next drain
+    # starts, never a previously returned DataFrame.
     while _DRAIN_TABLES:
         stale = _DRAIN_TABLES.pop()
         if stale != name:

@@ -167,4 +167,6 @@ def neardup_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # few fat batches. Isolated A/B at sf10 (78 MB documents, 3 reps):
         # 21.2 s at the 4-partition floor vs 49.9 s size-adapted.
     )
-    return spark.table(name).orderBy("doc_stream", "doc_corpus")
+    from mover_spark.streaming.events import drained_table
+
+    return drained_table(spark, name).orderBy("doc_stream", "doc_corpus")

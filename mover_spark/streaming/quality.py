@@ -137,4 +137,6 @@ def quality_gate_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # partition floor applies (see run_to_memory)
         output_mode="append",
     )
-    return spark.table(name)
+    from mover_spark.streaming.events import drained_table
+
+    return drained_table(spark, name)

@@ -166,3 +166,25 @@ def test_fake_column_direct_string_pk_defaults(spark):
     vals = {r.e for r in rows}
     assert all(v and v.endswith("@example.org") for v in vals)
     assert len(vals) == 2
+
+
+def test_fake_column_one_pick_scheme_per_column(spark):
+    """A numeric-LOOKING string pk ('123') must use the SAME hash-arm pick
+    as every other value in a string column — and the same pick sanitize_df
+    derives from the catalog dtype. The old per-row coalesce(try_cast, hash)
+    default sent '123' down the numeric arm, splitting one column across
+    two pick schemes."""
+    from pyspark.sql import functions as F
+
+    from mover_spark.operators.sanitize import _pk_index, fake_column
+
+    df = spark.createDataFrame([("123",), ("u-b",)], "uid string")
+    got = df.select(
+        F.col("uid"),
+        fake_column("first_name", F.col("uid")).alias("direct"),
+        fake_column(
+            "first_name", F.col("uid"), key=_pk_index(F.col("uid"), "string")
+        ).alias("via_dtype"),
+    ).collect()
+    for r in got:
+        assert r.direct == r.via_dtype, r

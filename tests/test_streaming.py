@@ -292,3 +292,19 @@ def test_quality_gate_scores_and_guards(spark, catalog):
     n_stream = docs.where((F.col("doc_id") % 5 == 0)).count()
     assert len(out) == n_stream, "exactly one score per streamed doc"
     assert len({r.doc_id for r in out}) == len(out)
+
+
+def test_prior_drain_result_survives_next_drain(spark, catalog):
+    """A parity helper's returned DataFrame must stay readable after a
+    LATER drain drops the earlier memory-sink temp view (run_to_memory's
+    cleanup): drained_table materializes via eager localCheckpoint, so a
+    held result is a snapshot, not a lazy view read."""
+    from mover_spark.streaming.events import tumbling_batch_parity
+
+    first = tumbling_batch_parity(spark, SF_DIR)
+    n_first = first.count()
+    second = tumbling_batch_parity(spark, SF_DIR)  # drops first's view
+    # the earlier result must still evaluate — before the fix this raised
+    # TABLE_OR_VIEW_NOT_FOUND once the next drain's cleanup ran
+    assert first.count() == n_first
+    assert second.count() == n_first
