@@ -1004,6 +1004,38 @@ def _q_dedup_incremental(spark, sf_dir):
     )
 
 
+def _q_dedup_incremental_persisted(spark, sf_dir):
+    """CROSS-JOB incremental dedup: the base corpus's MinHash signatures +
+    digest set are read from a persisted parquet index
+    (dedup.write_signature_index) instead of recomputed — the daily-crawl
+    shape where the index-writer job runs once per base refresh and every
+    increment job only signs the increment. First call here plays the
+    writer job (index absent); repeat calls skip the base pass entirely.
+    Same answer as dedup_incremental by construction (shared core)."""
+    import os
+
+    from mover_spark.operators.dedup import (
+        dedup_against_index,
+        write_signature_index,
+    )
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    new = docs.where(F.col("source").isin("src0", "src1"))
+    base = docs.where(~F.col("source").isin("src0", "src1"))
+    path = os.path.join(
+        "/tmp/mover_spark_sigindex",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "base",
+    )
+    if not os.path.exists(os.path.join(path, "meta")):
+        write_signature_index(base, path)
+    return (
+        dedup_against_index(new, path, threshold=0.8)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def _q_collocation_pmi(spark, sf_dir):
     """Top-40 adjacent-word collocations by PMI over the corpus: array
     transform builds bigrams row-side, two count shuffles, broadcast
@@ -1584,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_incremental_persisted": _q_dedup_incremental_persisted,
         "containment_pairs": _q_containment_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "ann_topk_ivf": _q_ann_ivf,
@@ -1950,7 +1983,7 @@ def oracle_sql() -> dict[str, str]:
         + " ".join(f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in sorted(markers))
         + " ELSE 'und' END"
     )
-    return {
+    out = {
         "seed_query_scan": (
             "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
             "FROM orders WHERE o_totalprice > 50000 AND o_orderstatus = 'F'"
@@ -3413,3 +3446,8 @@ def oracle_sql() -> dict[str, str]:
             "ON value >= lo AND value < hi GROUP BY label ORDER BY label"
         ),
     }
+    # the persisted-index variant answers the SAME question as the live
+    # incremental query (shared _survivors_vs_base_state core) — one
+    # oracle, two execution paths (recompute vs stored index)
+    out["dedup_incremental_persisted"] = out["dedup_incremental"]
+    return out

@@ -706,12 +706,29 @@ def dedup_against_base(
     near phase (the exact phase still catches byte-identical copies) —
     mirrored by the oracle's len(sh) > 0 guards."""
     base_fp = base_df.select(F.md5(F.col(text_col)).alias("__fp")).distinct()
+    sig_base = _signatures(base_df, text_col, id_col)
+    return _survivors_vs_base_state(
+        new_df, base_fp, sig_base, threshold, text_col, id_col
+    )
+
+
+def _survivors_vs_base_state(
+    new_df: DataFrame,
+    base_fp: DataFrame,
+    sig_base: DataFrame,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Core of incremental dedup given PRECOMPUTED base state — the digest
+    set (__fp) and the signature projection (id, sh, mhs) — regardless of
+    whether that state was derived live (dedup_against_base) or loaded
+    from a persisted cross-run index (dedup_against_index). Single
+    definition so the live and indexed paths cannot drift."""
     survivors = new_df.join(
         base_fp, F.md5(F.col(text_col)) == F.col("__fp"), "left_anti"
     )
-
     sig_new = _signatures(new_df, text_col, id_col)
-    sig_base = _signatures(base_df, text_col, id_col)
     bn = _band_bucket_rows(sig_new, id_col).select(
         F.col(id_col).alias("doc_new"), "band", "bucket"
     )
@@ -730,6 +747,95 @@ def dedup_against_base(
     )
     return survivors.join(
         near, survivors[id_col] == near["doc_new"], "left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted cross-run signature index
+# ---------------------------------------------------------------------------
+
+#: bump when the on-disk layout or any hashing constant scheme changes —
+#: readers refuse a mismatched index instead of silently mis-deduping
+SIG_INDEX_VERSION = 1
+
+
+def write_signature_index(
+    base_df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Persist a base corpus's dedup state to parquet for CROSS-JOB reuse:
+    a daily crawl pipeline is a new Spark job each day, and without this
+    every increment re-pays the full base signature pass (the dominant
+    cost at 100 TB — ~47 s even at sf10). Layout under `path`:
+
+    - ``signatures/`` (doc_id, sh, mhs): the exact signature_projection
+      output — shingle sets for exact-Jaccard verification plus the
+      48-value minhash signature band joins derive from. Columnar, so an
+      increment's band join reads mhs without touching sh until verify.
+    - ``digests/``    (__fp): distinct md5(text) of the base — the exact
+      phase's anti-join side (covers docs too short to shingle).
+    - ``meta/``       one row pinning (version, n_minhash, lsh_bands,
+      id_col, n_docs): readers validate before trusting buckets, because
+      an index written under different hashing constants would produce
+      silently-empty band joins, not errors.
+
+    Overwrites atomically per dataset (Spark overwrite mode). The writer
+    is the only full-corpus pass; readers are increment-sized jobs."""
+    spark = base_df.sparkSession
+    sig = signature_projection(base_df, text_col, id_col)
+    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+    base_df.select(F.md5(F.col(text_col)).alias("__fp")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{path}/digests")
+    spark.createDataFrame(
+        [(SIG_INDEX_VERSION, N_MINHASH, LSH_BANDS, id_col, sig.count())],
+        "version int, n_minhash int, lsh_bands int, id_col string, n_docs long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_signature_index(
+    spark, path: str, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(signatures, digests) from a write_signature_index location, after
+    validating the meta row against this build's hashing constants (a
+    mismatch raises — see write_signature_index). The signature id column
+    is renamed to `id_col` so consumers are layout-agnostic."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    if meta.version != SIG_INDEX_VERSION:
+        raise ValueError(
+            f"signature index at {path} has version {meta.version}, "
+            f"this build reads {SIG_INDEX_VERSION} — rebuild the index"
+        )
+    if meta.n_minhash != N_MINHASH or meta.lsh_bands != LSH_BANDS:
+        raise ValueError(
+            f"signature index at {path} was written with "
+            f"{meta.n_minhash} perms x {meta.lsh_bands} bands; this build "
+            f"uses {N_MINHASH} x {LSH_BANDS} — band buckets would silently "
+            "never collide. Rebuild the index."
+        )
+    sig = spark.read.parquet(f"{path}/signatures")
+    if meta.id_col != id_col:
+        sig = sig.withColumnRenamed(meta.id_col, id_col)
+    return sig, spark.read.parquet(f"{path}/digests")
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index_path: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """dedup_against_base with the base state LOADED from a persisted
+    signature index instead of recomputed — the cross-JOB incremental
+    shape: the expensive base pass ran once in the index-writer job; this
+    job only signs the increment and band-joins against stored buckets.
+    Semantics are identical by construction (same _survivors_vs_base_state
+    core, same stored signature_projection definition)."""
+    sig_base, base_fp = read_signature_index(
+        new_df.sparkSession, index_path, id_col
+    )
+    return _survivors_vs_base_state(
+        new_df, base_fp, sig_base, threshold, text_col, id_col
     )
 
 

@@ -81,14 +81,28 @@ def _band_hashes(mhs_col: str = "mhs") -> F.Column:
     )
 
 
-def corpus_lsh_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+def corpus_lsh_index(
+    corpus: DataFrame, index_path: str | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(index, shingles): the lean probe target — one (band, bucket) row
     per corpus doc per band carrying only the doc id and its band-hash
     array — plus the (doc, shingles) side table verification joins
     against AFTER emit-once pruning. Both build off the session
     signature memo, so batch dedup consumers and the stream share one
-    signature pass per corpus."""
-    sig = _signatures(corpus)
+    signature pass per corpus.
+
+    With ``index_path`` (a dedup.write_signature_index location) the
+    signature pass is LOADED from the persisted cross-run index instead
+    of recomputed — the long-running-detector shape: the corpus index is
+    refreshed by a scheduled writer job while the stream only reads
+    parquet (constants are validated by read_signature_index, so a
+    stale-format index raises rather than silently never colliding)."""
+    if index_path is not None:
+        from mover_spark.operators.dedup import read_signature_index
+
+        sig, _ = read_signature_index(corpus.sparkSession, index_path)
+    else:
+        sig = _signatures(corpus)
     index = sig.select(
         F.col("doc_id").alias("doc_corpus"), _band_hashes().alias("bh_c")
     ).select(

@@ -294,3 +294,77 @@ def test_substring_dup_spans_raises_on_mega_doc(spark):
     )
     with pytest.raises(Exception, match="exceeds 2\\^20 tokens"):
         substring_dup_spans(docs, min_len=8).collect()
+
+
+def test_signature_index_round_trip_matches_live(spark, catalog, tmp_path):
+    """dedup_against_index over a persisted base index must return exactly
+    what dedup_against_base computes live — the cross-job incremental path
+    shares _survivors_vs_base_state, and the stored signature_projection
+    must survive the parquet round trip bit-for-bit (band buckets rebuilt
+    from stored mhs values collide identically)."""
+    from mover_spark.operators.dedup import (
+        dedup_against_base,
+        dedup_against_index,
+        write_signature_index,
+    )
+
+    docs = catalog.df("documents")
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    base = docs.where(F.col("doc_id") % 3 != 0)
+    path = str(tmp_path / "sigidx")
+    write_signature_index(base, path)
+
+    live = {r.doc_id for r in dedup_against_base(new, base, 0.8).collect()}
+    idx = {r.doc_id for r in dedup_against_index(new, path, 0.8).collect()}
+    assert idx == live
+    assert live, "increment should have survivors"
+
+
+def test_signature_index_rejects_mismatched_constants(spark, catalog, tmp_path):
+    """An index written under different hashing constants must RAISE at
+    read (band buckets would silently never collide otherwise)."""
+    import pytest as _pytest
+
+    from mover_spark.operators.dedup import (
+        read_signature_index,
+        write_signature_index,
+    )
+
+    path = str(tmp_path / "sigidx")
+    write_signature_index(catalog.df("documents").limit(5), path)
+    # simulate a writer built with 64 perms: overwrite only the meta row
+    spark.createDataFrame(
+        [(1, 64, 16, "doc_id", 5)],
+        "version int, n_minhash int, lsh_bands int, id_col string, n_docs long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    with _pytest.raises(ValueError, match="64 perms"):
+        read_signature_index(spark, path)
+    # and a future format version must also refuse
+    spark.createDataFrame(
+        [(99, 48, 12, "doc_id", 5)],
+        "version int, n_minhash int, lsh_bands int, id_col string, n_docs long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    with _pytest.raises(ValueError, match="version 99"):
+        read_signature_index(spark, path)
+
+
+def test_streaming_index_from_persisted_path(spark, catalog, tmp_path):
+    """corpus_lsh_index(index_path=...) must produce the same probe target
+    as the live signature pass — the long-running-detector shape where a
+    scheduled writer job refreshes the corpus index on disk."""
+    from mover_spark.operators.dedup import write_signature_index
+    from mover_spark.streaming.neardup import corpus_lsh_index
+
+    corpus = catalog.df("documents").where(F.col("doc_id") % 5 != 0)
+    path = str(tmp_path / "sigidx")
+    write_signature_index(corpus, path)
+
+    live_idx, live_sh = corpus_lsh_index(corpus)
+    disk_idx, disk_sh = corpus_lsh_index(corpus, index_path=path)
+    def keyed(df):
+        return {
+            (r.doc_corpus, tuple(r.bh_c), r.band, r.bucket) for r in df.collect()
+        }
+
+    assert keyed(disk_idx) == keyed(live_idx)
+    assert disk_sh.count() == live_sh.count()
