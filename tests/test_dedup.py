@@ -368,3 +368,64 @@ def test_streaming_index_from_persisted_path(spark, catalog, tmp_path):
 
     assert keyed(disk_idx) == keyed(live_idx)
     assert disk_sh.count() == live_sh.count()
+
+
+def test_containment_lsh_matches_exact(spark, catalog):
+    """The LSH-Ensemble twin must reproduce the exact containment result
+    on the fixture (planted pairs sit far above every ratio class's
+    j_min, so banding recall is ~1; verification is exact, so precision
+    is exactly 1)."""
+    from mover_spark.operators.dedup import containment_lsh, containment_pairs
+
+    docs = catalog.df("documents")
+    exact = {
+        (r.doc_inner, r.doc_outer, r.containment)
+        for r in containment_pairs(docs, 0.95).collect()
+    }
+    lsh = {
+        (r.doc_inner, r.doc_outer, r.containment)
+        for r in containment_lsh(docs, 0.95).collect()
+    }
+    assert exact, "fixture should contain containment pairs"
+    assert lsh == exact
+
+
+def test_containment_lsh_finds_asymmetric_quote(spark):
+    """A doc fully quoted inside a ~1.4x container sits at Jaccard ~0.7 —
+    BELOW the 0.95 a symmetric banding threshold would demand — and must
+    surface through the size-sliced ratio-class scheme. A container
+    beyond the documented coverage (> w^(kmax+1) x) is legitimately NOT
+    searched; the second assertion pins that contract."""
+    from mover_spark.operators.dedup import containment_lsh
+
+    # 11 distinct words -> 10 distinct bigram shingles (slice 6)
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    # +4 words -> 14 shingles (slice 7, ratio class k=1: covered at t=0.95)
+    small_container = quote + " mu nu xi omicron"
+    # +20 words -> 30 shingles (slice 9, k=3: beyond 48-perm coverage)
+    big_container = quote + " " + " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, quote), (2, small_container), (3, big_container)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_inner, r.doc_outer): r.containment
+        for r in containment_lsh(df, threshold=0.95).collect()
+    }
+    assert got.get((1, 2)) == 1.0, got
+    assert (1, 3) not in got, "beyond-coverage container must not be searched"
+
+
+def test_containment_scheme_builder_contract(spark):
+    """Plan-build-time tuning: wide bands only (r >= 2) — the r=1
+    fallback is refused (degenerate candidate rates) — and classes the
+    signature can't band selectively are dropped, raising when NONE fit."""
+    import pytest as _pytest
+
+    from mover_spark.operators.dedup import _containment_band_schemes
+
+    s95 = _containment_band_schemes(0.95, 2**0.5, 5e-3, 48)
+    assert 1 not in s95, "r=1 must never be chosen"
+    assert s95 == {2: [0, 1]}, s95
+    with _pytest.raises(ValueError, match="containment_pairs"):
+        _containment_band_schemes(0.3, 2**0.5, 5e-3, 48)
