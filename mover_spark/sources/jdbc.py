@@ -343,15 +343,15 @@ def _resolve_driver():
         from . import minipg
 
         # loud, once per process: this is a deliberate downgrade. minipg
-        # speaks only the simple-query flow (literal inlining, no SCRAM,
-        # no SSL) — fine for the loopback test harness, NOT a production
-        # transport. A deployment that meant to use psycopg2 should see
-        # this immediately instead of a cryptic executor-side auth error.
+        # binds parameters through the extended-query protocol, but has
+        # no SCRAM, no SSL, and no COPY — fine for the loopback test
+        # harness, NOT a production transport. A deployment that meant to
+        # use psycopg2 should see this immediately instead of a cryptic
+        # executor-side auth error.
         warnings.warn(
             "psycopg2 not importable — falling back to the bundled minipg "
-            "wire client (simple-query protocol, trust/password auth only, "
-            "literal parameter inlining). Install psycopg2 on the "
-            "executors for production loads.",
+            "wire client (trust/password auth only, no SSL/SCRAM/COPY). "
+            "Install psycopg2 on the executors for production loads.",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -8,18 +8,24 @@ documentation ("Frontend/Backend Protocol", protocol 3.0), to run the
 extract→load→resync round trip against a live server:
 
 - StartupMessage / trust or cleartext-password auth
-- Simple Query protocol ('Q'): RowDescription / DataRow (text format) /
-  CommandComplete / ErrorResponse / ReadyForQuery
+- Simple Query protocol ('Q') for parameterless statements:
+  RowDescription / DataRow (text format) / CommandComplete /
+  ErrorResponse / ReadyForQuery
+- EXTENDED Query protocol (Parse/Bind/Describe/Execute/Sync) for
+  parameterized statements: ``execute(sql, params)`` converts psycopg2
+  ``%s`` placeholders to ``$n`` and ships the values as text-format BIND
+  parameters — real out-of-band binds, not literal inlining, so a hostile
+  string can never change the statement shape
 - psycopg2-style lazy transactions: an implicit BEGIN before the first
   statement, an explicit COMMIT on ``commit()``
 - an ``execute_values``-equivalent that inlines rows as SQL literals
+  (bulk VALUES expansion — binds cap at 65535 parameters, a bulk load
+  does not)
 
-Scope is deliberately tiny: text-format results only, no extended-query
-protocol, no prepared statements, no COPY, no SSL/SCRAM (trust / password
-auth only — the loopback test harness). Parameters are inlined as escaped
-literals, which is fine for the controlled values this engine writes but
-is NOT a general injection-safe driver; production deployments should
-install psycopg2 (jdbc.py prefers it automatically when importable).
+Scope is deliberately tiny: text-format results only, no COPY, no
+SSL/SCRAM (trust / password auth only — the loopback test harness);
+production deployments should install psycopg2 (jdbc.py prefers it
+automatically when importable).
 
 This replaces nothing in the reference — it is the connection boundary
 the reference gets from database/sql + lib/pq (cmd/mover/main.go:62-68);
@@ -161,6 +167,65 @@ def _interpolate(sql: str, params) -> str:
     return "".join(out)
 
 
+def _to_pg_text(v) -> bytes | None:
+    """Text-format Bind parameter encoding (None -> NULL). Mirrors the
+    value classes quote_literal accepts, minus the quoting — the server
+    parses these as unquoted input text for the inferred parameter type.
+    The NUL / lone-surrogate guards stay: a PG text value can't hold NUL
+    and the wire encoding must be valid UTF-8, and failing loudly here
+    beats a server-side 'invalid byte sequence' after partial work."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return b"t" if v else b"f"
+    if isinstance(v, (int, float, Decimal)):
+        return str(v).encode()
+    if isinstance(v, (datetime.datetime, datetime.date, datetime.time)):
+        return v.isoformat().encode()
+    if isinstance(v, (bytes, bytearray)):
+        return b"\\x" + bytes(v).hex().encode()
+    s = str(v)
+    if "\x00" in s:
+        raise ValueError("PostgreSQL text values cannot contain NUL (\\x00)")
+    try:
+        return s.encode("utf-8")
+    except UnicodeEncodeError as exc:
+        raise ValueError(
+            "PostgreSQL text values must be UTF-8-encodable "
+            f"(lone surrogate at index {exc.start})"
+        ) from None
+
+
+def _to_dollar_params(sql: str, n_params: int) -> str:
+    """Convert psycopg2 placeholders to extended-protocol ones: ``%s`` ->
+    ``$1..$n`` in order, ``%%`` -> ``%``, any other ``%`` literal — the
+    same tokenization as _interpolate, so the two parameter paths accept
+    exactly the same statements (and reject the same mismatches)."""
+    out: list[str] = []
+    i, n, used = 0, len(sql), 0
+    while i < n:
+        c = sql[i]
+        if c == "%" and i + 1 < n:
+            nxt = sql[i + 1]
+            if nxt == "s":
+                used += 1
+                out.append(f"${used}")
+                i += 2
+                continue
+            if nxt == "%":
+                out.append("%")
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    if used != n_params:
+        raise ValueError(
+            f"query expects {used} %s placeholder(s), {n_params} "
+            "parameter(s) given"
+        )
+    return "".join(out)
+
+
 def execute_values(cur, sql: str, rows) -> None:
     """psycopg2.extras.execute_values-shaped: expand the ``VALUES %s``
     placeholder with inlined literal tuples and run the statement once."""
@@ -208,10 +273,12 @@ class Cursor:
         self.rowcount = -1
 
     def execute(self, sql: str, params=None) -> None:
-        if params:
-            sql = _interpolate(sql, params)
         self._conn._ensure_tx()
-        self.description, self._rows, self.rowcount = self._conn._query(sql)
+        if params:
+            result = self._conn._query_ext(sql, params)
+        else:
+            result = self._conn._query(sql)
+        self.description, self._rows, self.rowcount = result
         self._idx = 0
 
     def fetchall(self) -> list[tuple]:
@@ -320,8 +387,44 @@ class Connection:
 
     # -- queries --
 
+    def _query_ext(self, sql: str, params):
+        """One extended-protocol cycle on the unnamed statement/portal:
+        Parse ($n placeholders, no declared types — the server infers),
+        Bind (text-format values), Describe portal, Execute (no row
+        limit), Sync. Parameters travel OUT-OF-BAND: nothing in `params`
+        is ever spliced into the SQL text, which is the injection-safety
+        property the simple-query _interpolate path could only
+        approximate with quoting."""
+        dollar_sql = _to_dollar_params(sql, len(params))
+        vals = [_to_pg_text(v) for v in params]
+
+        parse = b"\x00" + dollar_sql.encode() + b"\x00" + struct.pack("!H", 0)
+        bind = bytearray(b"\x00\x00")  # unnamed portal, unnamed statement
+        bind += struct.pack("!H", 0)  # 0 param-format codes -> all text
+        bind += struct.pack("!H", len(vals))
+        for v in vals:
+            if v is None:
+                bind += struct.pack("!i", -1)
+            else:
+                bind += struct.pack("!i", len(v)) + v
+        bind += struct.pack("!H", 0)  # 0 result-format codes -> all text
+        self._send(b"P", parse)
+        self._send(b"B", bytes(bind))
+        self._send(b"D", b"P\x00")  # Describe the unnamed portal
+        self._send(b"E", b"\x00" + struct.pack("!I", 0))  # no row limit
+        self._send(b"S", b"")
+        return self._drain_cycle()
+
     def _query(self, sql: str):
         self._send(b"Q", sql.encode() + b"\x00")
+        return self._drain_cycle()
+
+    def _drain_cycle(self):
+        """Consume backend messages until ReadyForQuery, accumulating one
+        result set — shared by the simple ('Q') and extended
+        (Parse/Bind/Execute/Sync) cycles; the extended-only acks
+        (ParseComplete '1', BindComplete '2', NoData 'n') fall through
+        the skip arm."""
         description = None
         col_oids: list[int] = []
         rows: list[tuple] = []
@@ -376,7 +479,8 @@ class Connection:
                 if error:
                     raise error
                 return description, rows, rowcount
-            # 'N' notices, 'I' empty-query, 'S' parameter status: skip
+            # skipped: 'N' notices, 'I' empty-query, 'S' parameter status,
+            # '1'/'2' Parse/BindComplete, 'n' NoData, 's' PortalSuspended
 
     def _ensure_tx(self) -> None:
         if self._tx_status == b"I":

