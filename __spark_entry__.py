@@ -918,6 +918,36 @@ def _q_curation_pipeline(spark, sf_dir):
     )
 
 
+def _q_curation_pipeline_bucketed(spark, sf_dir):
+    """Recurring-job curation on BUCKETED storage: documents are persisted
+    hash-bucketed by content digest once (the ingest job), and the re-dedup
+    that every nightly run repeats — digest groupBy + canonical-id join —
+    then plans with ZERO shuffle exchanges (tests/test_layout.py pins the
+    plan shape). The 100-TB recurring shape: pay the dedup-key shuffle once
+    at write, amortize it over every subsequent run. Same answer as a plain
+    exact-dedup + deterministic split summary by construction."""
+    import re
+
+    from mover_spark.operators.sampling import hash_split
+    from mover_spark.sources.layout import (
+        bucketed_exact_dedup,
+        ensure_bucketed_by_digest,
+    )
+
+    docs = _catalog(spark, sf_dir).df("documents").select("doc_id", "text", "n_chars")
+    tbl = "docs_bkt_" + re.sub(
+        r"[^0-9A-Za-z_]", "_", os.path.basename(os.path.normpath(sf_dir))
+    )
+    bucketed = ensure_bucketed_by_digest(spark, docs, tbl)
+    kept = bucketed_exact_dedup(bucketed)
+    return (
+        hash_split(kept, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
 def _q_train_val_split(spark, sf_dir):
     """Deterministic train/val/test split + per-split stats; stable across
     runs/engines (arithmetic hash, no rand())."""
@@ -1739,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty": _q_doc_novelty,
         "source_drift_kl": _q_source_drift,
         "curation_pipeline": _q_curation_pipeline,
+        "curation_pipeline_bucketed": _q_curation_pipeline_bucketed,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "approx_distinct_users": _q_approx_distinct_users,
         "approx_quantile_users": _q_approx_quantile,
@@ -3048,6 +3079,21 @@ def oracle_sql() -> dict[str, str]:
             "(((CAST(doc_id AS BIGINT) % 2147483647) * 506952114) % 2147483647) % 10000 AS bkt FROM c) "
             "SELECT CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' "
             "ELSE 'test' END AS split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+            "FROM b GROUP BY 1 ORDER BY split"
+        ),
+        # bucketed variant: physical layout only — logically a plain exact
+        # dedup (min doc_id per md5(text)) + deterministic split summary
+        "curation_pipeline_bucketed": (
+            "WITH dd AS (SELECT md5(text) AS dg, MIN(doc_id) AS keep_id "
+            "FROM documents GROUP BY 1), "
+            "kept AS (SELECT d.doc_id, d.n_chars FROM documents d "
+            "JOIN dd ON md5(d.text) = dd.dg AND d.doc_id = dd.keep_id), "
+            "b AS (SELECT doc_id, n_chars, "
+            "(((CAST(doc_id AS BIGINT) % 2147483647) * 506952114) % 2147483647) % 10000 AS bkt "
+            "FROM kept) "
+            "SELECT CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' "
+            "ELSE 'test' END AS split, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
             "FROM b GROUP BY 1 ORDER BY split"
         ),
         "repetition_stats": (

@@ -47,6 +47,61 @@ def write_bucketed(
     return spark.table(table_name)
 
 
+def ensure_bucketed_by_digest(
+    spark: SparkSession,
+    docs: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> DataFrame:
+    """Idempotent ingest-time job: persist `docs` plus an md5 content
+    digest, hash-bucketed (and sorted) by that digest. This is the
+    write-once half of the recurring-dedup shape: the shuffle on the
+    dedup key is paid HERE, at ingest, and every subsequent re-dedup job
+    (see `bucketed_exact_dedup`) groups and joins on the digest with no
+    exchange at all. If the table already exists in the session catalog it
+    is reused as-is (data files in the warehouse survive across sessions;
+    with the default non-Hive catalog the table *registration* is
+    per-session, so a fresh session re-runs the ingest — a metastore-backed
+    deployment keeps both)."""
+    if spark.catalog.tableExists(table_name):
+        return spark.table(table_name)
+    from pyspark.sql import functions as F
+
+    return write_bucketed(
+        docs.withColumn("digest", F.md5(F.col(text_col))),
+        table_name,
+        ["digest"],
+        n_buckets,
+        path=path,
+    )
+
+
+def bucketed_exact_dedup(docs_bucketed: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Canonical (smallest-id-per-digest) rows of a digest-bucketed table.
+
+    Expressed as `min(id) over (partition by digest)` + filter rather than
+    a groupBy + join: the window's ClusteredDistribution(digest) is
+    satisfied by the bucketed scan itself, so the physical plan has ZERO
+    shuffle exchanges and no join at all — just scan → (per-bucket sort if
+    buckets span multiple files) → window → filter (plan-pinned in
+    tests/test_layout.py). A groupBy+join formulation is NOT equivalent at
+    the plan level: Catalyst infers the `id = keep_id` filter into the join
+    keys, demands (id, digest) co-partitioning, and re-shuffles both sides.
+    At 100 TB this turns the nightly re-dedup from a full-corpus shuffle
+    into a pure scan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("digest")
+    return (
+        docs_bucketed.withColumn("__keep_id", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("__keep_id"))
+        .drop("__keep_id")
+    )
+
+
 def write_partitioned(
     df: DataFrame, out_path: str, partition_cols: list[str]
 ) -> DataFrame:

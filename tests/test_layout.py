@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 
 from mover_spark.sources.layout import (
     assert_no_join_exchange,
+    bucketed_exact_dedup,
+    ensure_bucketed_by_digest,
     plan_string,
     write_bucketed,
     write_partitioned,
@@ -40,6 +42,36 @@ def test_bucketed_join_has_no_exchange(spark, catalog, tmp_path, no_broadcast):
     assert joined.count() == expect
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_bucketed_dedup_has_no_exchange(spark, catalog, tmp_path, no_broadcast):
+    """The recurring-job dedup shape: once documents are bucketed by their
+    content digest, the nightly re-dedup (digest groupBy + canonical-id
+    join) must plan with ZERO shuffle exchanges — agg and join both run on
+    the bucket key."""
+    docs = catalog.df("documents").select("doc_id", "text", "n_chars")
+    bucketed = ensure_bucketed_by_digest(
+        spark, docs, "docs_bkt_unit", path=str(tmp_path / "docs")
+    )
+    kept = bucketed_exact_dedup(bucketed)
+    assert_no_join_exchange(kept)
+    # the whole dedup is a pure scan: window over the bucketed scan,
+    # no join, no aggregate pre-shuffle
+    plan = plan_string(kept)
+    assert "Window" in plan and "SortMergeJoin" not in plan
+    # re-entry reuses the registered table instead of rewriting
+    again = ensure_bucketed_by_digest(spark, docs, "docs_bkt_unit")
+    assert again.columns == bucketed.columns
+    # and the result is still a correct exact dedup: one keeper per digest,
+    # each the smallest doc_id of its duplicate group
+    expect = (
+        docs.groupBy(F.md5(F.col("text")).alias("dg"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    got = kept.select("doc_id").orderBy("doc_id").collect()
+    want = expect.select("doc_id").orderBy("doc_id").collect()
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS docs_bkt_unit")
 
 
 def test_unbucketed_join_does_exchange(spark, catalog, no_broadcast):
