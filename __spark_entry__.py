@@ -665,6 +665,29 @@ def _q_ann_pq_filtered(spark, sf_dir):
     )
 
 
+def _q_ann_pq_persisted(spark, sf_dir):
+    """CROSS-JOB vector search: PQ/ADC top-k answered entirely from a
+    persisted parquet ANN index (similarity.write_ann_index) — corpus
+    never re-encoded; first call plays the index-writer job, repeats are
+    query-sized. All cells scanned (n_probe=None), so the answer is
+    bit-identical to ann_topk_pq by construction (shared scoring core)."""
+    from mover_spark.operators.similarity import (
+        pq_topk_from_index,
+        write_ann_index,
+    )
+
+    emb = _catalog(spark, sf_dir).df("embeddings")
+    path = os.path.join(
+        "/tmp/mover_spark_annindex",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    if not os.path.exists(os.path.join(path, "meta")):
+        write_ann_index(emb, path)
+    return pq_topk_from_index(
+        spark, path, emb.where(F.col("vec_id") < 10), k=10, refine=4
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     from mover_spark.operators.dedup import dedup_clusters
 
@@ -1743,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_brute_force": _q_ann_brute_force,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_pq_filtered": _q_ann_pq_filtered,
+        "ann_topk_pq_persisted": _q_ann_pq_persisted,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
         "dedup_triangles": _q_dedup_triangles,
         "similar_docs": _q_similar_docs,
@@ -3510,6 +3534,9 @@ def oracle_sql() -> dict[str, str]:
     # incremental query (shared _survivors_vs_base_state core) — one
     # oracle, two execution paths (recompute vs stored index)
     out["dedup_incremental_persisted"] = out["dedup_incremental"]
+    # from-index PQ search is bit-identical to the live-corpus PQ query by
+    # construction (shared _pq_topk_core, same deterministic codebooks)
+    out["ann_topk_pq_persisted"] = out["ann_topk_pq"]
     # the banded containment twin answers the exact operator's question;
     # one oracle, two plans (recall argument in _q_containment_lsh)
     out["containment_lsh"] = out["containment_pairs"]

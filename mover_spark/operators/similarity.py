@@ -392,18 +392,42 @@ def pq_topk(
     in the Spark plan with the same operation order as the SQL oracle.
     Default codebooks are deterministic (pq_codebooks_deterministic);
     pass train_pq_codebooks(...) output for real-recall production use."""
-    from .dedup import qdot
-
     cb = codebooks if codebooks is not None else pq_codebooks_deterministic(
         corpus, vec_col=vec_col, id_col=id_col
     )
     if cb.shape[1] == 0:
         return _empty_topk(queries, id_col)
-    m, n_codes, dsub = cb.shape
     enc = _pq_encode_udf(cb)
     codes = corpus.select(
         F.col(id_col).alias("neighbor_id"), enc(quantized_vec(vec_col)).alias("e")
     ).select("neighbor_id", "e.codes", "e.cnorm_sq")
+    vectors = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qc")
+    )
+    return _pq_topk_core(
+        codes, vectors, queries, cb, k=k, refine=refine, vec_col=vec_col, id_col=id_col
+    )
+
+
+def _pq_topk_core(
+    codes: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    cb: np.ndarray,
+    k: int,
+    refine: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """ADC scan + exact refine over an explicit (codes, vectors) pair —
+    shared by pq_topk (which derives both from the live corpus) and
+    pq_topk_from_index (which loads both from a persisted parquet index).
+    `codes` is (neighbor_id, codes array<int>, cnorm_sq long); `vectors`
+    is (neighbor_id, qc array<long>) and is only touched for the
+    refine×k survivors per query."""
+    from .dedup import qdot
+
+    m, n_codes, dsub = cb.shape
 
     # queries are small by definition: collect once, ship LUTs in-closure
     qrows = (
@@ -501,8 +525,9 @@ def pq_topk(
     )
 
     c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qc"))
-        .withColumn("cnorm", F.sqrt(qdot(F.col("qc"), F.col("qc")).cast("double")))
+        vectors.withColumn(
+            "cnorm", F.sqrt(qdot(F.col("qc"), F.col("qc")).cast("double"))
+        )
         .where(F.col("cnorm") > 0)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -520,6 +545,185 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+ANN_INDEX_VERSION = 1
+#: quantized_vec grain the index was encoded with (dedup.quantized_vec)
+ANN_QUANT_SCALE = 1000
+
+
+def write_ann_index(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    n_cells: int = N_CENTROIDS,
+    codebooks: np.ndarray | None = None,
+    centroids: list[tuple[int, list]] | None = None,
+) -> None:
+    """Persist a vector corpus's ANN state to parquet for CROSS-JOB reuse —
+    the companion of dedup.write_signature_index for the similarity side.
+    A daily retrieval/dedup pipeline is a new Spark job each day; without
+    this every job re-pays the full corpus encode (assignment + PQ codes),
+    the dominant ANN cost at 100 TB. Layout under `path`:
+
+    - ``codes/``     (neighbor_id, codes array<int>, cnorm_sq, qv),
+      directory-partitioned by the coarse IVF ``cell`` — an n_probe query
+      prunes whole cell directories at planning time, and the ADC scan
+      projects only (neighbor_id, codes, cnorm_sq): columnar pruning means
+      the 8-byte codes are read without touching the stored vectors. ``qv``
+      (the quantized vector) rides in the same table for the exact refine,
+      which reads it only for the refine×k survivors.
+    - ``centroids/`` (cell, centroid array<long>) — the coarse quantizer.
+    - ``codebooks/`` (subspace, code, vals array<long>) — PQ sub-quantizers.
+    - ``meta/``      one row pinning (version, m, n_codes, n_cells, dim,
+      quant_scale, id_col, n_vectors): readers validate before trusting
+      codes, because an index encoded under different quantization
+      constants would rank garbage silently, not error.
+
+    Defaults are the deterministic quantizers, so from-index results are
+    oracle-checkable; pass trained centroids/codebooks for production
+    recall (same layout, same readers)."""
+    spark = corpus.sparkSession
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks_deterministic(corpus, n_codes, m, vec_col, id_col)
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qv")
+    )
+    if centroids is not None:
+        cents = [(cid, [x * float(ANN_QUANT_SCALE) for x in v]) for cid, v in centroids]
+    else:
+        cents = [
+            (r.neighbor_id, r.qv)
+            for r in c.orderBy("neighbor_id").limit(n_cells).collect()
+        ]
+    if not cents or cb.shape[1] == 0:
+        raise ValueError("write_ann_index: empty corpus — nothing to index")
+    ranked = _ranked_cells_udf(cents)
+    enc = _pq_encode_udf(cb)
+    (
+        c.withColumn("cell", ranked(F.col("qv"))[0])
+        .withColumn("e", enc(F.col("qv")))
+        .select("neighbor_id", "cell", "e.codes", "e.cnorm_sq", "qv")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    spark.createDataFrame(
+        [(int(cid), [float(x) for x in v]) for cid, v in cents],
+        "cell long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    mm, nc, dsub = cb.shape
+    spark.createDataFrame(
+        [
+            (j, code, [float(x) for x in cb[j, code]])
+            for j in range(mm)
+            for code in range(nc)
+        ],
+        "subspace int, code int, vals array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    dim = mm * dsub
+    spark.createDataFrame(
+        [
+            (
+                ANN_INDEX_VERSION,
+                mm,
+                nc,
+                len(cents),
+                dim,
+                ANN_QUANT_SCALE,
+                id_col,
+                c.count(),
+            )
+        ],
+        "version int, m int, n_codes int, n_cells int, dim int, "
+        "quant_scale int, id_col string, n_vectors long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_ann_index(spark, path: str):
+    """(codes_df, centroids list, codebooks ndarray, meta row) from a
+    write_ann_index location, after validating the meta row against this
+    build's constants (mismatch raises — see write_ann_index). codes_df
+    stays LAZY: nothing of the corpus is scanned until a query runs."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    if meta.version != ANN_INDEX_VERSION:
+        raise ValueError(
+            f"ANN index at {path} has version {meta.version}, this build "
+            f"reads {ANN_INDEX_VERSION} — rebuild the index"
+        )
+    if meta.quant_scale != ANN_QUANT_SCALE:
+        raise ValueError(
+            f"ANN index at {path} was encoded at quant scale "
+            f"{meta.quant_scale}; this build uses {ANN_QUANT_SCALE} — "
+            "rankings would be silently wrong. Rebuild the index."
+        )
+    cents = [
+        (int(r.cell), list(r.centroid))
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    ]
+    cb_rows = (
+        spark.read.parquet(f"{path}/codebooks").orderBy("subspace", "code").collect()
+    )
+    dsub = meta.dim // meta.m
+    cb = np.zeros((meta.m, meta.n_codes, dsub), dtype=np.float64)
+    for r in cb_rows:
+        cb[r.subspace, r.code] = r.vals
+    if np.all(cb == np.rint(cb)):
+        cb = cb.astype(np.int64)  # deterministic codebooks: keep int-exact ADC
+    return spark.read.parquet(f"{path}/codes"), cents, cb, meta
+
+
+def pq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 4,
+    n_probe: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ/ADC top-k answered ENTIRELY from a persisted ANN index — the
+    corpus is never re-encoded (the cross-job shape: the index-writer job
+    runs once per corpus refresh; every query job is query-sized).
+
+    ``n_probe=None`` scans all cells and returns bit-identical results to
+    ``pq_topk`` on the live corpus (same codebooks ⇒ same ADC ranking) —
+    the oracle-checkable mode. With ``n_probe=p`` each query re-ranks only
+    its p nearest coarse cells; the union of probed cells becomes an
+    IN-list filter on the partition column, so whole cell directories are
+    pruned at planning time (PartitionFilters, plan-pinned in tests)."""
+    codes_df, cents, cb, meta = read_ann_index(spark, path)
+    if meta.id_col != id_col:
+        raise ValueError(
+            f"ANN index at {path} was built over id column {meta.id_col!r}, "
+            f"queried with {id_col!r}"
+        )
+    if n_probe is not None:
+        n_probe = min(n_probe, len(cents))
+        ranked = _ranked_cells_udf(cents)
+        # queries are small by definition: the probed-cell union is bounded
+        # by nq * n_probe
+        probe_rows = (
+            queries.select(quantized_vec(vec_col).alias("qq"))
+            .withColumn("cells", F.slice(ranked(F.col("qq")), 1, n_probe))
+            .select(F.explode("cells").alias("cell"))
+            .distinct()
+            .collect()
+        )
+        probed = [int(r.cell) for r in probe_rows]
+        codes_df = codes_df.where(F.col("cell").isin(probed))
+    codes = codes_df.select("neighbor_id", "codes", "cnorm_sq")
+    vectors = codes_df.select("neighbor_id", F.col("qv").alias("qc"))
+    return _pq_topk_core(
+        codes, vectors, queries, cb, k=k, refine=refine, vec_col=vec_col, id_col=id_col
     )
 
 

@@ -345,3 +345,78 @@ def test_pq_filtered_search_prunes_before_ranking(spark, catalog):
     bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(corpus, q, k=10).collect()}
     hits = sum((r.query_id, r.neighbor_id) in bf for r in got)
     assert hits / len(got) >= 0.5, "recall vs filtered brute force"
+
+
+def test_ann_index_round_trip_matches_live(spark, catalog, tmp_path):
+    """Persisted ANN index: all-cell from-index search is bit-identical to
+    pq_topk on the live corpus (same deterministic codebooks, shared
+    scoring core) — the cross-job contract."""
+    from mover_spark.operators.similarity import (
+        pq_topk,
+        pq_topk_from_index,
+        write_ann_index,
+    )
+
+    emb = catalog.df("embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    path = str(tmp_path / "annidx")
+    write_ann_index(emb, path)
+    live = pq_topk(emb, q, k=10, refine=4).orderBy("query_id", "rank").collect()
+    idx = (
+        pq_topk_from_index(spark, path, q, k=10, refine=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert live == idx
+
+
+def test_ann_index_probe_prunes_cell_partitions(spark, catalog, tmp_path):
+    """n_probe mode: the probed-cell union becomes a partition filter on
+    the codes scan (whole cell directories pruned at planning time), and
+    probed recall vs the all-cell answer stays high."""
+    import io
+    from contextlib import redirect_stdout
+
+    from mover_spark.operators.similarity import pq_topk_from_index, write_ann_index
+
+    emb = catalog.df("embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    path = str(tmp_path / "annidx")
+    write_ann_index(emb, path)
+    probed = pq_topk_from_index(spark, path, q, k=10, refine=4, n_probe=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cell" in seg and "INSET" in seg
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk_from_index(spark, path, q, k=10, refine=4).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in probed.collect()}
+    assert len(full & got) / len(full) >= 0.8
+
+
+def test_ann_index_stale_format_raises(spark, catalog, tmp_path):
+    """A version or quantization-constant mismatch must raise at read time
+    — silently ranking against wrong-scale codes is the failure mode the
+    meta row exists to prevent."""
+    import pytest as _pytest
+
+    from mover_spark.operators.similarity import read_ann_index, write_ann_index
+
+    emb = catalog.df("embeddings")
+    path = str(tmp_path / "annidx")
+    write_ann_index(emb, path)
+    meta = spark.read.parquet(f"{path}/meta")
+    bad = meta.withColumn("quant_scale", F.lit(10).cast("int"))
+    bad.write.mode("overwrite").parquet(f"{path}/meta2")
+    # swap in the tampered meta
+    import shutil
+
+    shutil.rmtree(f"{path}/meta")
+    shutil.move(f"{path}/meta2", f"{path}/meta")
+    with _pytest.raises(ValueError, match="quant scale"):
+        read_ann_index(spark, path)
