@@ -1127,6 +1127,23 @@ def _q_weighted_sample(spark, sf_dir):
     )
 
 
+def _q_mixture_epoch_sample(spark, sf_dir):
+    """Training-mixture assembly: per-source epoch weights (src0 ×2.5,
+    src1 ×1.75, src2 ×0.25, src3 dropped, rest ×1) applied as
+    deterministic repeat + fractional hash-sample; rows carry a 0-based
+    epoch index. Entirely narrow — no shuffle, no UDF."""
+    from mover_spark.operators.sampling import mixture_sample
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    return (
+        mixture_sample(
+            docs, {"src0": 2.5, "src1": 1.75, "src2": 0.25, "src3": 0.0}
+        )
+        .select("doc_id", "source", "epoch", "n_chars")
+        .orderBy("doc_id", "epoch")
+    )
+
+
 def _q_redact_pii(spark, sf_dir):
     """PII redaction (free-text twin of mover's column sanitize): PII is
     seeded deterministically into every 5th document, then scrubbed to
@@ -1786,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_left_join": _q_streaming_interval_left_join,
         "cohort_retention": _q_cohort_retention,
         "weighted_sample_docs": _q_weighted_sample,
+        "mixture_epoch_sample": _q_mixture_epoch_sample,
         "collocation_pmi": _q_collocation_pmi,
         "unigram_xent": _q_unigram_xent,
         "substring_dedup_stats": _q_substring_dedup,
@@ -3456,6 +3474,22 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY source ORDER BY race_key DESC, doc_id ASC) AS rk FROM r) "
             "SELECT doc_id, source, n_chars, race_key FROM k WHERE rk <= 10 "
             "ORDER BY doc_id"
+        ),
+        "mixture_epoch_sample": (
+            # floor(w) full epochs + one fractional copy iff the portable
+            # hash bucket falls under round(frac*10000) — mirrors
+            # sampling.mixture_sample exactly; unlisted sources weight 1.0
+            "WITH w(source, wt) AS (VALUES ('src0', 2.5), ('src1', 1.75), "
+            "('src2', 0.25), ('src3', 0.0)), "
+            "d AS (SELECT doc_id, documents.source, n_chars, "
+            "COALESCE(wt, 1.0) AS wt FROM documents LEFT JOIN w "
+            "ON documents.source = w.source), "
+            "e AS (SELECT doc_id, source, n_chars, "
+            "CAST(FLOOR(wt) AS INT) + CASE WHEN "
+            "(((CAST(doc_id AS BIGINT) % 2147483647) * 506952114) % 2147483647) % 10000 "
+            "< ROUND((wt - FLOOR(wt)) * 10000) THEN 1 ELSE 0 END AS n FROM d) "
+            "SELECT doc_id, source, unnest(range(n)) AS epoch, n_chars "
+            "FROM e WHERE n > 0 ORDER BY doc_id, epoch"
         ),
         "train_val_split": (
             "WITH b AS (SELECT doc_id, n_chars, "

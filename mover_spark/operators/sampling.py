@@ -186,3 +186,53 @@ def weighted_sample_topk(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic mixture/epoch sampling — the data-mixing step that
+    turns a curated corpus into a training mixture: each source (domain,
+    crawl, language, ...) gets a target weight w, and every row of that
+    source appears floor(w) times plus one more copy iff its stable hash
+    bucket falls under the fractional part (so w=2.25 means two full
+    epochs of the source plus a deterministic quarter of it a third
+    time; w=0.25 downsamples to a quarter; w=0 drops the source).
+    Output rows carry an ``epoch`` column (0-based copy index), so
+    downstream shuffling/packing can interleave epochs.
+
+    Stability contract (same as hash_split): inclusion of the fractional
+    copy is a pure function of the row id via the portable multiplicative
+    hash — identical across runs, partitionings, and engines, and rows
+    keep their selection when weights of OTHER sources change.
+
+    Scale shape: entirely narrow — a literal-map lookup, integer floor,
+    one hash compare, and an explode(sequence(...)); no shuffle, no UDF,
+    no collect. At 100 TB this is a pure map stage pipelined into
+    whatever shuffle follows (packing, sharded write).
+
+    SQL mirror (DuckDB):
+      n = CAST(FLOOR(wt) AS INT) + CASE WHEN
+            (((CAST(id AS BIGINT) % 2147483647) * 506952114) % 2147483647)
+            % 10000 < ROUND((wt - FLOOR(wt)) * 10000) THEN 1 ELSE 0 END
+      ... CROSS JOIN unnest(range(n)) AS epoch."""
+    pairs = [x for kv in weights.items() for x in kv]
+    wmap = F.create_map(*[F.lit(x) for x in pairs]) if pairs else None
+    looked = (
+        F.element_at(wmap, F.col(key_col)) if wmap is not None else F.lit(None)
+    )
+    wt = F.coalesce(looked.cast("double"), F.lit(float(default_weight)))
+    frac_thresh = F.round((wt - F.floor(wt)) * 10_000).cast("long")
+    n = F.floor(wt).cast("int") + F.when(
+        hash_bucket(id_col) < frac_thresh, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("__n", n)
+        .where(F.col("__n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )

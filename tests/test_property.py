@@ -419,3 +419,41 @@ def test_doc_novelty_matches_python_reference(spark, texts):
     df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
     got = {r.doc_id: (r.n_shingles, r.novelty) for r in doc_novelty(df).collect()}
     assert got == want
+
+
+def test_mixture_sample_multiplicities_and_stability(spark, catalog):
+    """mixture_sample: floor(w) copies per row plus a deterministic
+    fractional extra; epoch indices dense from 0; weight 0 drops the
+    source; unlisted sources default to 1 copy; selection is invariant
+    under repartitioning."""
+    from mover_spark.operators.sampling import hash_bucket, mixture_sample
+
+    docs = catalog.df("documents").select("doc_id", "source")
+    weights = {"src0": 2.5, "src1": 0.25, "src2": 0.0}
+    out = mixture_sample(docs, weights)
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault((r.doc_id, r.source), []).append(r.epoch)
+    buckets = {
+        r.doc_id: r.b
+        for r in docs.withColumn("b", hash_bucket("doc_id")).collect()
+    }
+    base = {r.doc_id: r.source for r in docs.collect()}
+    for doc_id, source in base.items():
+        epochs = sorted(per_doc.get((doc_id, source), []))
+        if source == "src0":
+            want = 2 + (1 if buckets[doc_id] < 5000 else 0)  # frac .5
+        elif source == "src1":
+            want = 1 if buckets[doc_id] < 2500 else 0  # frac .25
+        elif source == "src2":
+            want = 0
+        else:
+            want = 1
+        assert len(epochs) == want, (doc_id, source, epochs)
+        assert epochs == list(range(want))
+    # stability under repartitioning
+    again = mixture_sample(docs.repartition(13), weights).collect()
+    assert sorted((r.doc_id, r.source, r.epoch) for r in again) == sorted(
+        (r.doc_id, r.source, r.epoch) for r in rows
+    )
