@@ -1144,6 +1144,31 @@ def _q_mixture_epoch_sample(spark, sf_dir):
     )
 
 
+def _q_training_shards(spark, sf_dir):
+    """Training export: the weighted mixture globally pseudo-shuffled into
+    8 shards (epoch folded into the hash so repeat copies scatter), with
+    per-shard row/doc/char totals and the minimum order key — the last
+    hop before a training job reads shards sequentially. One shuffle
+    (the groupBy); the shard/order math is narrow."""
+    from mover_spark.operators.sampling import mixture_sample, shard_assignment
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    mixed = mixture_sample(
+        docs, {"src0": 2.5, "src1": 1.75, "src2": 0.25, "src3": 0.0}
+    )
+    return (
+        shard_assignment(mixed, 8, epoch_col="epoch")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("shard_key").alias("first_key"),
+        )
+        .orderBy("shard")
+    )
+
+
 def _q_redact_pii(spark, sf_dir):
     """PII redaction (free-text twin of mover's column sanitize): PII is
     seeded deterministically into every 5th document, then scrubbed to
@@ -1804,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "weighted_sample_docs": _q_weighted_sample,
         "mixture_epoch_sample": _q_mixture_epoch_sample,
+        "training_shard_summary": _q_training_shards,
         "collocation_pmi": _q_collocation_pmi,
         "unigram_xent": _q_unigram_xent,
         "substring_dedup_stats": _q_substring_dedup,
@@ -3490,6 +3516,29 @@ def oracle_sql() -> dict[str, str]:
             "< ROUND((wt - FLOOR(wt)) * 10000) THEN 1 ELSE 0 END AS n FROM d) "
             "SELECT doc_id, source, unnest(range(n)) AS epoch, n_chars "
             "FROM e WHERE n > 0 ORDER BY doc_id, epoch"
+        ),
+        "training_shard_summary": (
+            # mixture CTEs as in mixture_epoch_sample, then the shard hash:
+            # h = affine(id*1048573 + epoch) mod the mersenne prime;
+            # shard = h % 8, intra-shard order key = h
+            "WITH w(source, wt) AS (VALUES ('src0', 2.5), ('src1', 1.75), "
+            "('src2', 0.25), ('src3', 0.0)), "
+            "d AS (SELECT doc_id, documents.source, n_chars, "
+            "COALESCE(wt, 1.0) AS wt FROM documents LEFT JOIN w "
+            "ON documents.source = w.source), "
+            "e AS (SELECT doc_id, source, n_chars, "
+            "CAST(FLOOR(wt) AS INT) + CASE WHEN "
+            "(((CAST(doc_id AS BIGINT) % 2147483647) * 506952114) % 2147483647) % 10000 "
+            "< ROUND((wt - FLOOR(wt)) * 10000) THEN 1 ELSE 0 END AS n FROM d), "
+            "m AS (SELECT doc_id, n_chars, unnest(range(n)) AS epoch "
+            "FROM e WHERE n > 0), "
+            "s AS (SELECT doc_id, n_chars, "
+            "(((CAST(doc_id AS BIGINT) * 1048573 + epoch) % 2147483647) * 506952114) "
+            "% 2147483647 AS h FROM m) "
+            "SELECT h % 8 AS shard, COUNT(*) AS n_rows, "
+            "COUNT(DISTINCT doc_id) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(h) AS first_key "
+            "FROM s GROUP BY 1 ORDER BY shard"
         ),
         "train_val_split": (
             "WITH b AS (SELECT doc_id, n_chars, "

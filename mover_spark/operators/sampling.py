@@ -236,3 +236,57 @@ def mixture_sample(
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n")
     )
+
+
+def shard_assignment(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    epoch_col: str | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training export: every row gets a
+    ``shard`` in [0, n_shards) and an intra-shard ``shard_key`` order — a
+    fixed pseudo-random permutation of the corpus, so (a) each shard is a
+    uniform sample of the mixture (no source/time clustering from the
+    curation order survives), and (b) repeated epochs of the same document
+    (see mixture_sample) land in DIFFERENT shards and positions, because
+    the epoch index is folded into the hashed key.
+
+    Portability contract (mirrors hash_bucket): key = id * 1048573 + epoch
+    (1048573 prime; exact in int64 for any id < 8.8e12), then the same
+    mersenne affine hash — identical shard and order on every run,
+    partitioning, and engine.
+
+    SQL mirror:
+      h = (((CAST(id * 1048573 + epoch AS BIGINT) % 2147483647) * 506952114)
+           % 2147483647);  shard = h % n_shards;  shard_key = h.
+
+    Scale shape: narrow hash math; the only data movement is the ONE
+    shuffle any global shuffle needs — repartition on shard + in-partition
+    sort by shard_key (no global sort; see write_training_shards)."""
+    ec = F.col(epoch_col) if epoch_col else F.lit(0)
+    combined = F.col(id_col).cast("long") * F.lit(1048573) + ec.cast("long")
+    h = hash_bucket(combined, buckets=MERSENNE)
+    return df.withColumn("shard", h % F.lit(n_shards)).withColumn("shard_key", h)
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    epoch_col: str | None = None,
+) -> DataFrame:
+    """Materialize the shard layout: shard=K directories, rows inside each
+    shard sorted by shard_key (the training reader streams a shard
+    sequentially and sees a pre-shuffled order — no reader-side shuffle
+    buffer needed). One shuffle total: repartition on the shard column,
+    sortWithinPartitions on the key; no global sort. Returns the re-read
+    DataFrame (filters on `shard` prune whole directories)."""
+    out = (
+        shard_assignment(df, n_shards, id_col, epoch_col)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shard_key")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(out_path)
+    return df.sparkSession.read.parquet(out_path)

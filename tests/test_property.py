@@ -457,3 +457,42 @@ def test_mixture_sample_multiplicities_and_stability(spark, catalog):
     assert sorted((r.doc_id, r.source, r.epoch) for r in again) == sorted(
         (r.doc_id, r.source, r.epoch) for r in rows
     )
+
+
+def test_training_shards_layout_order_and_scatter(spark, catalog, tmp_path):
+    """write_training_shards: shard=K directories; rows inside a shard
+    arrive sorted by shard_key; repeat epochs of one doc scatter across
+    shards; shard sizes stay balanced."""
+    import os
+
+    from mover_spark.operators.sampling import (
+        mixture_sample,
+        write_training_shards,
+    )
+
+    docs = catalog.df("documents").select("doc_id", "source", "n_chars")
+    mixed = mixture_sample(docs, {"src0": 4.0, "src1": 4.0})
+    out_path = str(tmp_path / "shards")
+    re_read = write_training_shards(mixed, out_path, 8, epoch_col="epoch")
+    dirs = sorted(d for d in os.listdir(out_path) if d.startswith("shard="))
+    assert len(dirs) == 8
+    # in-file order inside each shard directory == shard_key ascending
+    for d in dirs[:3]:
+        part = spark.read.parquet(os.path.join(out_path, d))
+        keys = [r.shard_key for r in part.collect()]
+        assert keys == sorted(keys)
+    rows = re_read.collect()
+    # a doc with 4 epochs should not land all 4 in one shard (hash folds
+    # the epoch in); check across all multi-epoch docs that scatter happens
+    per_doc = {}
+    for r in rows:
+        if r.source in ("src0", "src1"):
+            per_doc.setdefault(r.doc_id, set()).add(r.shard)
+    assert per_doc, "mixture produced multi-epoch docs"
+    scattered = sum(1 for s in per_doc.values() if len(s) > 1)
+    assert scattered / len(per_doc) > 0.8
+    # balance: no shard more than 2x the smallest
+    from collections import Counter
+
+    sizes = Counter(r.shard for r in rows)
+    assert max(sizes.values()) <= 2 * min(sizes.values())
