@@ -63,7 +63,15 @@ def main() -> int:
             os.path.join(out_dir, f"{name}.parquet")
         )
     for name, shifts in SHIFTS.items():
-        df = _replicate(cat.df(name), factor, shifts)
+        base = cat.df(name)
+        if factor > 1:
+            # parallelize the explode: each base fixture is ONE small
+            # parquet file -> one input partition, so without this the
+            # xfactor explode (and the map side feeding the repartition
+            # below) runs on a single core for the whole replicated table
+            # (measured: sf100 lineitem pinned one core for 17+ min)
+            base = base.repartition(32)
+        df = _replicate(base, factor, shifts)
         if factor > 1:
             if name == "documents":
                 df = _perturb_text(df)
