@@ -985,6 +985,17 @@ def _q_train_val_split(spark, sf_dir):
     )
 
 
+def _q_streaming_ann_probe(spark, sf_dir):
+    """Streaming vector search: embedding stream (every 20th vec) answered
+    per micro-batch from the PERSISTED ANN index via foreachBatch — the
+    continuous-retrieval twin of ann_topk_pq_persisted. Micro-batch
+    invariant (per-query answers depend only on the static index), so the
+    drained union hash-matches the parameterized batch ADC oracle."""
+    from mover_spark.streaming.annprobe import ann_probe_parity
+
+    return ann_probe_parity(spark, sf_dir)
+
+
 def _q_streaming_quality_gate(spark, sf_dir):
     """Online perplexity-proxy gate: stream docs scored in-row against a
     literal-map LM built from the static corpus — stateless append mode,
@@ -1748,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_neardup_probe": _q_streaming_neardup_probe,
+        "streaming_ann_probe": _q_streaming_ann_probe,
         "sketch_kmv_distinct": _q_kmv_distinct,
         "q5_region_revenue": _q_region_revenue,
         "scalar_subquery_min": _q_scalar_subquery_min,
@@ -2017,13 +2029,16 @@ def _lsh_sig_sql(col: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _pq_oracle_sql(corpus_where: str = "") -> str:
+def _pq_oracle_sql(
+    corpus_where: str = "", query_where: str = "WHERE vec_id < 10"
+) -> str:
     """PQ/ADC oracle builder: 16 deterministic codewords per subspace (the
     smallest-id CORPUS vectors' sub-slices), L2-argmin encoding (ties ->
     smallest code), integer ADC dots + reconstructed norms, top-40
     shortlist by rounded approx cosine, exact-cosine refine top-10.
     `corpus_where` restricts the searchable corpus (filtered vector
-    search); queries stay the unfiltered vec_id < 10 set."""
+    search / stream-vs-corpus splits); `query_where` picks the query set
+    (default: the unfiltered vec_id < 10 demo set)."""
     return (
         "WITH " + _QVEC_CTE + ", "
         + (
@@ -2046,7 +2061,7 @@ def _pq_oracle_sql(corpus_where: str = "") -> str:
         "cn AS (SELECT e.vec_id, SUM(list_sum(list_transform(range(1, 9), "
         "i -> c.qv[e.m * 8 + i] * c.qv[e.m * 8 + i]))) AS cnorm_sq "
         "FROM enc e JOIN cw c ON e.code = c.code GROUP BY e.vec_id), "
-        "qr AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 10), "
+        f"qr AS (SELECT vec_id AS query_id, qv FROM q {query_where}), "
         "qn AS (SELECT query_id, "
         "sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS qnorm "
         "FROM qr), "
@@ -3273,6 +3288,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value "
             "FROM events JOIN customer ON user_id = c_custkey "
             "GROUP BY event_type, c_mktsegment ORDER BY event_type, c_mktsegment"
+        ),
+        # foreachBatch retrieval over the persisted ANN index: per-query
+        # answers depend only on (query, static index), so the drained
+        # union equals the batch PQ search over the same stream/corpus
+        # split — same parameterized ADC oracle
+        "streaming_ann_probe": _pq_oracle_sql(
+            "WHERE e.vec_id % 20 != 0", "WHERE vec_id % 20 = 0"
         ),
         "streaming_neardup_probe": (
             # stateless stream-static LSH probe == exact cross-side pairs

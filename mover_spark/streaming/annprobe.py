@@ -1,0 +1,128 @@
+"""Streaming vector search: an embedding stream answered per micro-batch
+against the PERSISTED ANN index (similarity.write_ann_index) — the
+continuous-retrieval twin of pq_topk_from_index, and the similarity-side
+sibling of streaming/neardup.py's text probe. (The reference, ulule/mover,
+is strictly batch — this is part of the streaming extension surface.)
+
+Shape: ``foreachBatch``. Per-query top-k needs a per-query ranking window,
+which append-mode streaming can't express statelessly — but each query's
+answer depends ONLY on (its own vector, the static index), so running the
+full batch search inside foreachBatch is micro-batch invariant by
+construction: any partitioning of the stream yields the same union of
+results. This is the production retrieval pattern — the stream never
+touches the corpus encode; the index is refreshed by a scheduled writer
+job (write_ann_index) while the probe job only reads parquet.
+
+Scale notes:
+- Queries per micro-batch are collected to build ADC lookup tables —
+  bounded by the micro-batch size (maxFilesPerTrigger / Kafka batch
+  sizing caps it in a real deployment), never by corpus size.
+- The scan side is the persisted CODE table (8 bytes/vector), cell-
+  partition-pruned when n_probe is set; the exact refine touches stored
+  vectors only for the refine×k survivors.
+- The parquet sink appends per batch; re-delivered batches are
+  deduplicated by the checkpoint, not by the sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+#: stream/corpus split of the embeddings fixture: every 20th vec "arrives"
+STREAM_MOD = 20
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings fixture as a file stream (glob tolerates single-file and
+    directory parquet layouts, same as neardup's document stream)."""
+    return spark.readStream.schema(_EMB_SCHEMA).parquet(
+        f"{sf_dir}/embeddings.parque*"
+    )
+
+
+def ann_probe_stream(
+    stream_emb: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    refine: int = 4,
+    n_probe: int | None = None,
+):
+    """Drain the embedding stream with availableNow, answering each
+    micro-batch's vectors via pq_topk_from_index and appending
+    (query_id, neighbor_id, rank, cosine) to `out_dir`. Returns the
+    finished query."""
+    from mover_spark.operators.similarity import pq_topk_from_index
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        out = pq_topk_from_index(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            k=k,
+            refine=refine,
+            n_probe=n_probe,
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_emb.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def ann_probe_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: corpus = embeddings with vec_id % 20 != 0
+    (indexed once per sf dir, persisted cross-run), stream = the rest;
+    drain, then return the appended results. All cells scanned
+    (n_probe=None), so the output is bit-identical to the batch
+    pq_topk_from_index over the same split — hash-checked against the
+    parameterized PQ/ADC SQL oracle."""
+    import tempfile
+
+    from mover_spark.catalog import Catalog
+    from mover_spark.operators.similarity import write_ann_index
+
+    emb = Catalog(spark, sf_dir).df("embeddings")
+    index_path = os.path.join(
+        "/tmp/mover_spark_annindex",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "stream_corpus",
+    )
+    if not os.path.exists(os.path.join(index_path, "meta")):
+        write_ann_index(emb.where(F.col("vec_id") % STREAM_MOD != 0), index_path)
+    stream = read_embeddings_stream(spark, sf_dir).where(
+        F.col("vec_id") % STREAM_MOD == 0
+    )
+    work = tempfile.mkdtemp(prefix="annprobe_")
+    out_dir = os.path.join(work, "out")
+    ann_probe_stream(
+        stream, index_path, out_dir, os.path.join(work, "ckpt")
+    )
+    return spark.read.parquet(out_dir).orderBy("query_id", "rank")

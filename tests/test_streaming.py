@@ -308,3 +308,48 @@ def test_prior_drain_result_survives_next_drain(spark, catalog):
     # TABLE_OR_VIEW_NOT_FOUND once the next drain's cleanup ran
     assert first.count() == n_first
     assert second.count() == n_first
+
+
+def test_streaming_ann_probe_multibatch_equals_batch(spark, catalog, tmp_path):
+    """foreachBatch retrieval over the persisted ANN index: the drained
+    union must equal the batch pq_topk_from_index over the same
+    stream/corpus split however the stream is micro-batched
+    (maxFilesPerTrigger=1 over 4 files) — per-query answers depend only
+    on the static index, never on batch boundaries."""
+    from mover_spark.operators.similarity import (
+        pq_topk_from_index,
+        write_ann_index,
+    )
+    from mover_spark.streaming.annprobe import STREAM_MOD, ann_probe_stream
+
+    emb = catalog.df("embeddings")
+    corpus = emb.where(F.col("vec_id") % STREAM_MOD != 0)
+    stream_side = emb.where(F.col("vec_id") % STREAM_MOD == 0)
+    index_path = str(tmp_path / "annidx")
+    write_ann_index(corpus, index_path)
+
+    src = str(tmp_path / "emb_src")
+    for i in range(4):
+        stream_side.where(F.col("vec_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    ann_probe_stream(
+        stream, index_path, out_dir, str(tmp_path / "ckpt"), k=5, refine=4
+    )
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, r.cosine)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, r.cosine)
+        for r in pq_topk_from_index(
+            spark, index_path, stream_side, k=5, refine=4
+        ).collect()
+    }
+    assert got == want and want, "stream union != batch top-k"
