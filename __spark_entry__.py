@@ -688,6 +688,30 @@ def _q_ann_pq_persisted(spark, sf_dir):
     )
 
 
+def _q_ann_ivfpq_persisted(spark, sf_dir):
+    """The PRUNED persisted-index search — the actual 100-TB query shape:
+    each query ranks its 4 nearest coarse cells, the probed-cell union
+    becomes a partition filter on the code scan (whole cell directories
+    never read), then ADC + exact refine over the survivors. Hash-checked
+    end-to-end by an IVF+PQ SQL oracle (cells, assignment, probe union,
+    encode, ADC, refine all mirrored)."""
+    from mover_spark.operators.similarity import (
+        pq_topk_from_index,
+        write_ann_index,
+    )
+
+    emb = _catalog(spark, sf_dir).df("embeddings")
+    path = os.path.join(
+        "/tmp/mover_spark_annindex",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    if not os.path.exists(os.path.join(path, "meta")):
+        write_ann_index(emb, path)
+    return pq_topk_from_index(
+        spark, path, emb.where(F.col("vec_id") < 10), k=10, refine=4, n_probe=4
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     from mover_spark.operators.dedup import dedup_clusters
 
@@ -1821,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_pq_filtered": _q_ann_pq_filtered,
         "ann_topk_pq_persisted": _q_ann_pq_persisted,
+        "ann_topk_ivfpq_persisted": _q_ann_ivfpq_persisted,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
         "dedup_triangles": _q_dedup_triangles,
         "similar_docs": _q_similar_docs,
@@ -2062,6 +2087,73 @@ def _pq_oracle_sql(
         "i -> c.qv[e.m * 8 + i] * c.qv[e.m * 8 + i]))) AS cnorm_sq "
         "FROM enc e JOIN cw c ON e.code = c.code GROUP BY e.vec_id), "
         f"qr AS (SELECT vec_id AS query_id, qv FROM q {query_where}), "
+        "qn AS (SELECT query_id, "
+        "sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS qnorm "
+        "FROM qr), "
+        "ad AS (SELECT u.query_id, e.vec_id AS neighbor_id, "
+        "SUM(list_sum(list_transform(range(1, 9), i -> "
+        "u.qv[e.m * 8 + i] * c.qv[e.m * 8 + i]))) AS approx_dot "
+        "FROM qr u CROSS JOIN enc e JOIN cw c ON e.code = c.code "
+        "WHERE e.vec_id != u.query_id GROUP BY 1, 2), "
+        "ac AS (SELECT a.query_id, a.neighbor_id, "
+        "ROUND(CAST(a.approx_dot AS DOUBLE) / "
+        "(qn.qnorm * sqrt(CAST(cn.cnorm_sq AS DOUBLE))), 6) AS approx_cos "
+        "FROM ad a JOIN qn ON a.query_id = qn.query_id "
+        "JOIN cn ON a.neighbor_id = cn.vec_id "
+        "WHERE cn.cnorm_sq > 0 AND qn.qnorm > 0), "
+        "short AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_cos DESC, "
+        "neighbor_id ASC) AS rn FROM ac) WHERE rn <= 40), "
+        "ref AS (SELECT s.query_id, s.neighbor_id, "
+        f"ROUND({_qcos('uq.qv', 'cv.qv')}, 6) AS cosine "
+        "FROM short s JOIN qr uq ON s.query_id = uq.query_id "
+        "JOIN qc cv ON s.neighbor_id = cv.vec_id) "
+        'SELECT query_id, neighbor_id, "rank", cosine FROM '
+        "(SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER ("
+        'PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS "rank" '
+        'FROM ref) WHERE "rank" <= 10'
+    )
+
+
+def _ivfpq_oracle_sql(n_probe: int = 4) -> str:
+    """Oracle for the PRUNED persisted-index search (pq_topk_from_index
+    with n_probe): deterministic coarse cells (the 16 smallest-id corpus
+    vectors, cid = vec_id), every corpus vector assigned to its top-1
+    cell, each query probing its top-n_probe cells; the candidate set is
+    the UNION of all queries' probed cells (that is what the partition
+    filter prunes the scan to — every query is then scored against the
+    whole pruned scan), followed by the same ADC + exact-refine pipeline
+    as _pq_oracle_sql restricted to those candidates."""
+    return (
+        "WITH " + _QVEC_CTE + ", "
+        "qc AS (SELECT vec_id, qv FROM q), "
+        "qr AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 10), "
+        "cent AS (SELECT vec_id AS cid, qv AS qcent FROM qc ORDER BY vec_id LIMIT 16), "
+        "assign AS (SELECT vec_id, cid FROM ("
+        "SELECT v.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id "
+        f"ORDER BY {_qcos('v.qv', 'c.qcent')} DESC, c.cid) AS rn "
+        "FROM qc v CROSS JOIN cent c) WHERE rn = 1), "
+        "probe AS (SELECT query_id, cid FROM ("
+        "SELECT qr.query_id, c.cid, ROW_NUMBER() OVER (PARTITION BY qr.query_id "
+        f"ORDER BY {_qcos('qr.qv', 'c.qcent')} DESC, c.cid) AS rn "
+        f"FROM qr CROSS JOIN cent c) WHERE rn <= {n_probe}), "
+        "pc AS (SELECT DISTINCT cid FROM probe), "
+        "cands AS (SELECT a.vec_id FROM assign a JOIN pc USING (cid)), "
+        "cw AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, qv "
+        "FROM qc ORDER BY vec_id LIMIT 16), "
+        "ms AS (SELECT unnest(range(0, 8)) AS m), "
+        "dist AS (SELECT v.vec_id, ms.m, c.code, "
+        "list_sum(list_transform(range(1, 9), i -> "
+        "(v.qv[ms.m * 8 + i] - c.qv[ms.m * 8 + i]) * "
+        "(v.qv[ms.m * 8 + i] - c.qv[ms.m * 8 + i]))) AS d "
+        "FROM qc v JOIN cands t ON v.vec_id = t.vec_id "
+        "CROSS JOIN ms CROSS JOIN cw c), "
+        "enc AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn "
+        "FROM dist) WHERE rn = 1), "
+        "cn AS (SELECT e.vec_id, SUM(list_sum(list_transform(range(1, 9), "
+        "i -> c.qv[e.m * 8 + i] * c.qv[e.m * 8 + i]))) AS cnorm_sq "
+        "FROM enc e JOIN cw c ON e.code = c.code GROUP BY e.vec_id), "
         "qn AS (SELECT query_id, "
         "sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS qnorm "
         "FROM qr), "
@@ -2990,6 +3082,7 @@ def oracle_sql() -> dict[str, str]:
             'SELECT query_id, neighbor_id, "rank", cosine FROM r WHERE "rank" <= 10'
         ),
         "ann_topk_pq": _pq_oracle_sql(),
+        "ann_topk_ivfpq_persisted": _ivfpq_oracle_sql(),
         "ann_topk_pq_filtered": _pq_oracle_sql("WHERE e.label IN (0, 1, 2)"),
         "ann_topk_ivf": (
             "WITH " + _QVEC_CTE + ", "
