@@ -24,6 +24,7 @@ results are bit-stable across partitionings and engines.
 
 from __future__ import annotations
 
+import os
 import random
 
 import numpy as np
@@ -673,13 +674,43 @@ def minhash_signature_udf():
 #:    triangles, clustering, and the canonical filter all consume it;
 #:    recomputing the shingle->signature->band->verify pipeline per caller
 #:    tripled their cost.
-#: MEMORY CONTRACT: entries pin executor storage for the session (the
-#: signature cache is corpus-sized — shingle + signature arrays; the pair
-#: cache is small). That is deliberate — an interactive/bench session hits
-#: the same corpus repeatedly — but long-lived services iterating over many
-#: corpora must call clear_dedup_caches() between corpora.
+#: MEMORY CONTRACT: entries pin executor storage (the signature cache is
+#: corpus-sized — shingle + signature arrays; the pair cache is small).
+#: Deliberate — an interactive/bench session hits the same corpus
+#: repeatedly — but BOUNDED: each cache is LRU-capped (below), evicting
+#: and unpersisting the least-recently-used entry when a session iterates
+#: over many corpora. (Measured failure the cap prevents: a full sf10
+#: suite accumulated several corpus-sized signature persists and drove a
+#: later memory-hungry operator into a JVM heap OOM.) clear_dedup_caches()
+#: still releases everything eagerly.
 _SIG_CACHE: dict = {}
 _LSH_PAIR_CACHE: dict = {}
+#: max memoized corpora per cache: signatures are corpus-sized so the cap
+#: is tight; pair sets are small so several thresholds/corpora can coexist
+_SIG_CACHE_MAX = int(os.environ.get("MOVER_SPARK_SIG_CACHE_MAX", "4"))
+_PAIR_CACHE_MAX = int(os.environ.get("MOVER_SPARK_PAIR_CACHE_MAX", "8"))
+
+
+def _cache_get(cache: dict, key):
+    """LRU hit: move the entry to the most-recent end (dict order)."""
+    hit = cache.pop(key, None)
+    if hit is not None:
+        cache[key] = hit
+    return hit
+
+
+def _cache_put(cache: dict, key, df: DataFrame, cap: int) -> DataFrame:
+    """Insert, evicting (and unpersisting) least-recently-used entries
+    beyond `cap`. A dead session's entry can't be unpersisted — dropped
+    anyway."""
+    while len(cache) >= cap:
+        old = cache.pop(next(iter(cache)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session already stopped — entry is garbage either way
+    cache[key] = df
+    return df
 
 
 def clear_dedup_caches() -> None:
@@ -718,7 +749,7 @@ def _hashed_shingles(
     LSH-Ensemble twin, which also fixes the old per-invocation persist()
     leak ADVICE flagged: one copy per corpus, however many calls."""
     key = _dedup_cache_key(df, "containment_sh", text_col, id_col)
-    hit = _SIG_CACHE.get(key)
+    hit = _cache_get(_SIG_CACHE, key)
     if hit is not None:
         return hit
     sh = (
@@ -731,8 +762,7 @@ def _hashed_shingles(
         .where(F.size("hs") > 0)
         .persist()
     )
-    _SIG_CACHE[key] = sh
-    return sh
+    return _cache_put(_SIG_CACHE, key, sh, _SIG_CACHE_MAX)
 
 
 def signature_projection(
@@ -764,12 +794,11 @@ def _signatures(
     """signature_projection, persisted and memoized per corpus plan (see
     cache notes above)."""
     key = _dedup_cache_key(df, text_col, id_col)
-    sig = _SIG_CACHE.get(key)
+    sig = _cache_get(_SIG_CACHE, key)
     if sig is not None:
         return sig
     sig = signature_projection(df, text_col, id_col).persist()
-    _SIG_CACHE[key] = sig
-    return sig
+    return _cache_put(_SIG_CACHE, key, sig, _SIG_CACHE_MAX)
 
 
 def _band_bucket_rows(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -816,7 +845,7 @@ def minhash_lsh_pairs(
     one-shot pair plan (the signature memo still applies)."""
     if use_cache:
         key = _dedup_cache_key(df, threshold, text_col, id_col)
-        cached = _LSH_PAIR_CACHE.get(key)
+        cached = _cache_get(_LSH_PAIR_CACHE, key)
         if cached is not None:
             return cached
     sig = _signatures(df, text_col, id_col)
@@ -843,8 +872,7 @@ def minhash_lsh_pairs(
     if not use_cache:
         return pairs
     pairs = pairs.persist()
-    _LSH_PAIR_CACHE[key] = pairs
-    return pairs
+    return _cache_put(_LSH_PAIR_CACHE, key, pairs, _PAIR_CACHE_MAX)
 
 
 def dedup_against_base(

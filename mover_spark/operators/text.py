@@ -9,6 +9,8 @@ in ANSI-ish SQL so the DuckDB oracle checks values exactly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -41,16 +43,19 @@ TOKEN_RE = r"\w+|[^\w\s]"
 _TEXT_CACHE: dict = {}
 
 
+#: count tables are aggregate-sized (vocab rows, not corpus rows) so the
+#: cap is looser than dedup's corpus-sized signature cache
+_TEXT_CACHE_MAX = int(os.environ.get("MOVER_SPARK_TEXT_CACHE_MAX", "8"))
+
+
 def _memo_persist(tag: tuple, df: DataFrame, build) -> DataFrame:
-    from .dedup import _dedup_cache_key
+    from .dedup import _cache_get, _cache_put, _dedup_cache_key
 
     key = _dedup_cache_key(df, *tag)
-    hit = _TEXT_CACHE.get(key)
+    hit = _cache_get(_TEXT_CACHE, key)
     if hit is not None:
         return hit
-    out = build().persist()
-    _TEXT_CACHE[key] = out
-    return out
+    return _cache_put(_TEXT_CACHE, key, build().persist(), _TEXT_CACHE_MAX)
 
 
 def clear_text_caches() -> None:

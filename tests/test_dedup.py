@@ -429,3 +429,31 @@ def test_containment_scheme_builder_contract(spark):
     assert s95 == {2: [0, 1]}, s95
     with _pytest.raises(ValueError, match="containment_pairs"):
         _containment_band_schemes(0.3, 2**0.5, 5e-3, 48)
+
+
+def test_sig_cache_lru_bounded_and_unpersists(spark, catalog, monkeypatch):
+    """The signature memo must stay bounded: beyond the cap the
+    least-recently-used corpus entry is evicted AND unpersisted (a full
+    sf10 suite once accumulated enough corpus-sized persists to OOM a
+    later operator). LRU order: a re-hit protects an entry from the next
+    eviction."""
+    from mover_spark.operators import dedup as dd
+
+    dd.clear_dedup_caches()
+    monkeypatch.setattr(dd, "_SIG_CACHE_MAX", 2)
+    docs = catalog.df("documents")
+    c1 = docs.where(F.col("doc_id") % 3 == 0)
+    c2 = docs.where(F.col("doc_id") % 3 == 1)
+    c3 = docs.where(F.col("doc_id") % 3 == 2)
+    s1 = dd._signatures(c1)
+    s2 = dd._signatures(c2)
+    assert len(dd._SIG_CACHE) == 2
+    assert dd._signatures(c1) is s1  # hit refreshes recency
+    dd._signatures(c3)               # evicts c2 (now least recent), not c1
+    assert len(dd._SIG_CACHE) == 2
+    assert dd._signatures(c1) is s1
+    assert not s2.storageLevel.useMemory and not s2.storageLevel.useDisk, (
+        "evicted entry must be unpersisted"
+    )
+    assert dd._signatures(c2) is not s2  # evicted -> rebuilt on demand
+    dd.clear_dedup_caches()
