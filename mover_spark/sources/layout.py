@@ -38,6 +38,8 @@ def write_bucketed(
     plain parquet round-trips lose it)."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    if not path:
+        _drop_orphan_managed_location(spark, table_name)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort:
         writer = writer.sortBy(*bucket_cols)
@@ -45,6 +47,27 @@ def write_bucketed(
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
     return spark.table(table_name)
+
+
+def _drop_orphan_managed_location(spark: SparkSession, table_name: str) -> None:
+    """Remove a managed-table warehouse directory that outlived its catalog
+    registration (a crashed session's files survive; the default in-memory
+    catalog entry dies with the JVM). saveAsTable hard-fails on such an
+    orphan with LOCATION_ALREADY_EXISTS, so an ingest job could never be
+    re-run after a crash. Only fires when the table is NOT registered —
+    a live registration is handled by DROP TABLE, which owns its files."""
+    if spark.catalog.tableExists(table_name):
+        return
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    # managed location of `db.tbl` is <warehouse>/<db>.db/<tbl>; bare names
+    # land in the default db at <warehouse>/<tbl> (both lowercased)
+    parts = table_name.lower().split(".")
+    rel = parts[-1] if len(parts) == 1 else f"{parts[-2]}.db/{parts[-1]}"
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(wh, rel)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def ensure_bucketed_by_digest(

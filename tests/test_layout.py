@@ -212,3 +212,23 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, catalog, tmp_path, no_br
         catalog.df("events").where(F.col("event_type") == "purchase").count()
     )
     assert joined.count() == expect
+
+
+def test_write_bucketed_reclaims_orphan_managed_location(spark, catalog):
+    """A crashed session leaves a managed table's warehouse directory on
+    disk with no catalog registration; re-running the ingest must reclaim
+    it instead of dying with LOCATION_ALREADY_EXISTS (hit live: a killed
+    correctness run orphaned docs_bkt_sf0_01 and every rerun failed)."""
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = os.path.join(wh, "docs_bkt_orphan_t")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "stale.parquet"), "w") as f:
+        f.write("not a real parquet file")
+    assert not spark.catalog.tableExists("docs_bkt_orphan_t")
+    docs = catalog.df("documents").select("doc_id", "text", "n_chars")
+    out = ensure_bucketed_by_digest(spark, docs, "docs_bkt_orphan_t")
+    assert out.count() == docs.count()
+    assert not os.path.exists(os.path.join(orphan, "stale.parquet"))
+    spark.sql("DROP TABLE IF EXISTS docs_bkt_orphan_t")
