@@ -1296,25 +1296,26 @@ def _q_streaming_dedup(spark, sf_dir):
     ingested TWICE (two unioned file streams — an at-least-once delivery
     simulation); the dedup state keeps first-seen event_ids within the
     watermark, so the drained output aggregates to exactly the batch answer
-    over unique events."""
+    over unique events. The deduped rows are corpus-sized, so they drain
+    to a FILE sink (the bronze-table ingest shape) — the memory sink's
+    driver collect OOMed at the 100x fixture — and big drains swap dedup
+    state to RocksDB (run_to_files)."""
     from mover_spark.streaming.events import (
         dedup_stream,
         fixture_bytes,
         read_events_stream,
-        run_to_memory,
+        run_to_files,
     )
 
     ev = read_events_stream(spark, sf_dir)
     dup = ev.unionByName(read_events_stream(spark, sf_dir))
-    name = "streaming_dedup_out"
     # the drain ingests the fixture twice (the union), so size state for 2x
-    run_to_memory(
+    out = run_to_files(
         dedup_stream(dup),
-        name,
+        "streaming_dedup_out",
         output_mode="append",
         input_bytes=2 * fixture_bytes(sf_dir, "events"),
     )
-    out = spark.table(name)
     return (
         out.groupBy("event_type")
         .agg(
@@ -1332,19 +1333,19 @@ def _q_streaming_interval_join(spark, sf_dir):
     from mover_spark.streaming.events import (
         fixture_bytes,
         interval_join_stream,
-        run_to_memory,
+        run_to_files,
     )
 
-    name = "streaming_interval_join_out"
-    # both join sides ingest the fixture, so size state for 2x source bytes
-    run_to_memory(
+    # both join sides ingest the fixture, so size state for 2x source
+    # bytes; the joined pair rows are corpus-scale, so: file sink
+    out = run_to_files(
         interval_join_stream(spark, sf_dir),
-        name,
+        "streaming_interval_join_out",
         output_mode="append",
         input_bytes=2 * fixture_bytes(sf_dir, "events"),
     )
     return (
-        spark.table(name)
+        out
         .groupBy(F.col("l_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
@@ -1360,18 +1361,18 @@ def _q_streaming_enrich_join(spark, sf_dir):
     from mover_spark.streaming.events import (
         enrich_join_stream,
         fixture_bytes,
-        run_to_memory,
+        run_to_files,
     )
 
-    name = "streaming_enrich_join_out"
-    run_to_memory(
+    # per-event enriched rows are corpus-scale: file sink, not memory
+    out = run_to_files(
         enrich_join_stream(spark, sf_dir),
-        name,
+        "streaming_enrich_join_out",
         output_mode="append",
         input_bytes=fixture_bytes(sf_dir, "events"),
     )
     return (
-        spark.table(name)
+        out
         .groupBy("event_type", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -1391,13 +1392,12 @@ def _q_streaming_interval_left_join(spark, sf_dir):
     from mover_spark.streaming.events import (
         fixture_bytes,
         interval_left_join_stream,
-        run_to_memory,
+        run_to_files,
     )
 
-    name = "streaming_interval_left_join_out"
-    run_to_memory(
+    out = run_to_files(
         interval_left_join_stream(spark, sf_dir),
-        name,
+        "streaming_interval_left_join_out",
         output_mode="append",
         input_bytes=2 * fixture_bytes(sf_dir, "events"),
     )
@@ -1406,7 +1406,7 @@ def _q_streaming_interval_left_join(spark, sf_dir):
         .agg((F.max("ts") - F.expr("INTERVAL 3 HOURS")).alias("h"))
     )
     return (
-        spark.table(name)
+        out
         .join(F.broadcast(horizon))
         .where(F.col("l_ts").cast("timestamp_ntz") <= F.col("h"))
         .groupBy(F.col("l_user").alias("user_id"))

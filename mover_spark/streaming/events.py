@@ -19,6 +19,10 @@ Pieces:
 
 from __future__ import annotations
 
+import atexit as _atexit
+import os
+from contextlib import contextmanager as _contextmanager
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -244,11 +248,14 @@ def session_batch_parity(spark: SparkSession, sf_dir: str, gap: str = "30 minute
     """Streaming session windows with a batch-checkable answer: ingest the
     events fixture as an availableNow stream, run watermarked
     ``session_window`` per user with order-invariant decimal sums, drain to
-    a memory sink. Gap-merge semantics are identical to the batch
-    sessionize query, so the same DuckDB islands oracle hash-checks the
-    STREAMING path — the proof that session state merging (the one
-    windowing mode where state is not a fixed bucket but a growing
-    interval) is exact under micro-batching."""
+    a FILE sink (complete-mode foreachBatch rewrite: per-(user, session)
+    rows are corpus-scale — millions at the 100x fixture — and the memory
+    sink's driver collect OOMed there; the session table itself stays in
+    distributed state-store memory either way). Gap-merge semantics are
+    identical to the batch sessionize query, so the same DuckDB islands
+    oracle hash-checks the STREAMING path — the proof that session state
+    merging (the one windowing mode where state is not a fixed bucket but
+    a growing interval) is exact under micro-batching."""
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "2 hours")
@@ -266,8 +273,12 @@ def session_batch_parity(spark: SparkSession, sf_dir: str, gap: str = "30 minute
     )
     _DRAIN_SEQ[0] += 1
     name = f"streaming_session_{_DRAIN_SEQ[0]}"
-    run_to_memory(agg, name, input_bytes=fixture_bytes(sf_dir, "events"))
-    return drained_table(spark, name)
+    return run_to_files(
+        agg,
+        name,
+        output_mode="complete",
+        input_bytes=fixture_bytes(sf_dir, "events"),
+    )
 
 
 def fixture_bytes(sf_dir: str, table: str) -> int:
@@ -344,6 +355,42 @@ def run_to_memory(
             except Exception:
                 pass
 
+    with _drain_confs(spark, input_bytes):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    # register for cleanup as soon as the sink table exists — a drain that
+    # FAILS mid-awaitTermination (its caller catches and moves on, as the
+    # bench harness does) must not leak its partial memory sink forever
+    _DRAIN_TABLES.append(name)
+    q.awaitTermination()
+    return q
+
+
+@_contextmanager
+def _drain_confs(spark: SparkSession, input_bytes: int | None, extra: dict | None = None):
+    """Capture-at-start conf bracket shared by every availableNow drain
+    (restored immediately after .start(), so the batch session never
+    inherits streaming tuning):
+
+    - ``spark.sql.shuffle.partitions`` from source size — a stateful
+      micro-batch materializes one state-store instance per shuffle
+      partition per stateful operator, pure fixed cost on a small drain,
+      needed parallelism on a big one: ``input_bytes / 4 MB`` clamped to
+      [4, session shuffle partitions], $SPARK_GRAFT_STREAM_SHUFFLE
+      overriding, floor 4 with neither.
+    - Short-drain state-store tuning: background maintenance can never
+      usefully fire inside a 1-2 micro-batch drain (pushed past its
+      lifetime) and only the last commit is ever read back (retain 2).
+      Isolated A/B on the stream-stream joins at sf0.1 (32-thread local):
+      clamp 8 -> 4 plus these two confs took the warm interval-join
+      drains from 2.7-3.3 s to 2.0-2.8 s (~15-20%)."""
+    import os as _os
+
     env = _os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
     if env:
         n_state = env
@@ -354,45 +401,120 @@ def run_to_memory(
         )
     else:
         n_state = "4"
-
-    # Short-drain state-store tuning, same capture-at-start bracket as the
-    # shuffle clamp: an availableNow drain runs 1-2 micro-batches and then
-    # discards every store, so background maintenance can never usefully
-    # fire (push it past the drain's lifetime) and only the last commit is
-    # ever read back (retain 2, not 100 checkpoint entries). A long-lived
-    # production stream should NOT inherit these — they are restored
-    # immediately after .start(), exactly like the partition clamp.
-    # Isolated A/B on the stream-stream joins at sf0.1 (32-thread local):
-    # clamp 8 -> 4 plus these two confs took the warm interval-join drains
-    # from 2.7-3.3 s to 2.0-2.8 s (~15-20%).
-    drain_confs = {
+    confs = {
         "spark.sql.shuffle.partitions": n_state,
         "spark.sql.streaming.stateStore.maintenanceInterval": "600s",
         "spark.sql.streaming.minBatchesToRetain": "2",
     }
-    prev = {k: spark.conf.get(k, None) for k in drain_confs}
-    for k, v in drain_confs.items():
+    if extra:
+        confs.update(extra)
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
         spark.conf.set(k, v)
     try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
+        yield
     finally:
         for k, v in prev.items():
             if v is None:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    # register for cleanup as soon as the sink table exists — a drain that
-    # FAILS mid-awaitTermination (its caller catches and moves on, as the
-    # bench harness does) must not leak its partial memory sink forever
-    _DRAIN_TABLES.append(name)
+
+
+#: source bytes beyond which a file drain switches the state store to
+#: RocksDB (off-heap, disk-backed): the default HDFSBackedStateStore is a
+#: pure in-heap HashMap — ingest-dedup state over the 100x fixture (~200M
+#: keys) is several GiB of heap and OOMed a 16g driver. Below the
+#: threshold the in-heap store's lower per-batch overhead wins.
+_ROCKSDB_STATE_BYTES = int(
+    os.environ.get("MOVER_SPARK_ROCKSDB_BYTES", str(512 << 20))
+)
+
+#: temp dirs of past run_to_files drains — kept for the session (returned
+#: DataFrames lazily read them), removed at interpreter exit
+_DRAIN_DIRS: list[str] = []
+
+
+def _cleanup_drain_dirs() -> None:
+    import shutil
+
+    while _DRAIN_DIRS:
+        shutil.rmtree(_DRAIN_DIRS.pop(), ignore_errors=True)
+
+
+_atexit.register(_cleanup_drain_dirs)
+
+
+def run_to_files(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    input_bytes: int | None = None,
+) -> DataFrame:
+    """Distributed drain for CORPUS-SIZED streaming output: rows land in
+    executor-written parquet and never touch the driver — the row-level
+    twin of ``run_to_memory``, whose memory sink collects the FULL result
+    to the driver (fine for aggregate-sized results; streaming
+    ingest-dedup at the 100x fixture OOMed the 16g heap). This is also
+    the production shape: a streaming dedup/sessionize lands in a bronze
+    table, downstream jobs read the table.
+
+    append mode uses the native file sink (exactly-once via its
+    _spark_metadata commit log). complete mode — windowed/session
+    aggregations whose tail would be withheld by append's watermark gate —
+    goes through foreachBatch + distributed parquet overwrite: the result
+    table lives in executor state-store memory, each batch rewrites it in
+    parallel, the last rewrite is the complete answer. Big drains
+    (source > ``$MOVER_SPARK_ROCKSDB_BYTES``, default 512 MiB) also swap
+    the per-query state store to RocksDB (off-heap, disk-backed) — keyed
+    state no longer competes with the JVM heap.
+
+    Returns the parquet read-back (source schema enforced; empty stream →
+    empty DataFrame). The drain's temp dir lives until interpreter exit so
+    returned DataFrames stay readable; a long-lived service draining many
+    corpora should point SPARK_LOCAL_DIRS-sized storage at /tmp or call
+    ``_cleanup_drain_dirs`` between corpora."""
+    import os as _os
+    import tempfile
+
+    spark = stream_df.sparkSession
+    base = tempfile.mkdtemp(prefix=f"mover_drain_{name}_")
+    _DRAIN_DIRS.append(base)
+    out_dir = _os.path.join(base, "out")
+    ckpt = _os.path.join(base, "ckpt")
+    extra = None
+    if input_bytes and input_bytes >= _ROCKSDB_STATE_BYTES:
+        extra = {
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming."
+                "state.RocksDBStateStoreProvider"
+            )
+        }
+    with _drain_confs(spark, input_bytes, extra):
+        if output_mode == "append":
+            q = (
+                stream_df.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        else:
+            def _overwrite(batch_df: DataFrame, _batch_id: int) -> None:
+                batch_df.write.mode("overwrite").parquet(out_dir)
+
+            q = (
+                stream_df.writeStream.foreachBatch(_overwrite)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
     q.awaitTermination()
-    return q
+    if not _os.path.isdir(out_dir):  # zero micro-batches ran
+        return spark.createDataFrame([], stream_df.schema)
+    return spark.read.schema(stream_df.schema).parquet(out_dir)
 
 
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
