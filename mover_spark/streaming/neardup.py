@@ -161,7 +161,7 @@ def neardup_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame — the driver-contract entry (hash-checked against the exact
     cross-side Jaccard pair SQL)."""
     from mover_spark.catalog import Catalog
-    from mover_spark.streaming.events import run_to_memory
+    from mover_spark.streaming.events import fixture_bytes, run_to_memory
 
     docs = Catalog(spark, sf_dir).df("documents")
     corpus = docs.where(F.col("doc_id") % STREAM_MOD != 0)
@@ -175,11 +175,14 @@ def neardup_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         neardup_detect_stream(stream, index, corpus_shingles),
         name,
         output_mode="append",
-        # deliberately NOT size-adapted (no input_bytes): this drain is
-        # stateless emit-once — no keyed state to parallelize — and its
-        # cost is the Arrow verify UDF + static index build, which prefer
-        # few fat batches. Isolated A/B at sf10 (78 MB documents, 3 reps):
-        # 21.2 s at the 4-partition floor vs 49.9 s size-adapted.
+        # size-adapted like every drain: though the drain itself is
+        # stateless, the (band, bucket) equi-join re-shuffles the STATIC
+        # index (12 rows/doc) each micro-batch, and at the 100x fixture
+        # the 4-partition floor made that sort spill — 321 s vs 155 s at
+        # 32 partitions (the one super-linear scaler in the sf100 decade
+        # table). At sf10 the floor and 32 measure identical (15.4/17.9
+        # vs 15.7/16.2 s isolated cold pairs), so scaling up is free.
+        input_bytes=fixture_bytes(sf_dir, "documents"),
     )
     from mover_spark.streaming.events import drained_table
 
