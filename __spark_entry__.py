@@ -688,6 +688,35 @@ def _q_ann_pq_persisted(spark, sf_dir):
     )
 
 
+def _q_ann_pq_appended(spark, sf_dir):
+    """Daily-increment retrieval: the base corpus (vec_id % 3 != 0) is
+    indexed once, the day's increment (vec_id % 3 == 0) is encoded with
+    the index's STORED quantizers and appended
+    (similarity.append_to_ann_index — increment-sized work, base never
+    rescanned), then the search runs all-cell from the mutated index.
+    Frozen quantizers make the appended rows byte-identical to a one-job
+    encode of the full corpus under the base-derived codebooks, which is
+    exactly what the oracle mirrors (codewords from the base slice,
+    searchable corpus = everything)."""
+    from mover_spark.operators.similarity import (
+        append_to_ann_index,
+        pq_topk_from_index,
+        write_ann_index,
+    )
+
+    emb = _catalog(spark, sf_dir).df("embeddings")
+    path = os.path.join(
+        "/tmp/mover_spark_annindex_app",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    if not os.path.exists(os.path.join(path, "meta")):
+        write_ann_index(emb.where(F.col("vec_id") % 3 != 0), path)
+        append_to_ann_index(emb.where(F.col("vec_id") % 3 == 0), path)
+    return pq_topk_from_index(
+        spark, path, emb.where(F.col("vec_id") < 10), k=10, refine=4
+    )
+
+
 def _q_ann_ivfpq_persisted(spark, sf_dir):
     """The PRUNED persisted-index search — the actual 100-TB query shape:
     each query ranks its 4 nearest coarse cells, the probed-cell union
@@ -1100,6 +1129,42 @@ def _q_dedup_incremental(spark, sf_dir):
     base = docs.where(~F.col("source").isin("src0", "src1"))
     return (
         dedup_against_base(new, base, threshold=0.8)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _q_dedup_incremental_appended(spark, sf_dir):
+    """The day-N -> day-N+1 index mutation: the base index is written over
+    everything except src0/src1/src2, then src2 (day N's survivors) is
+    APPENDED (dedup.append_to_signature_index — one increment-sized
+    signature pass, base untouched), and the day-N+1 increment
+    (src0/src1) dedups against the mutated index. Because appended
+    signatures are row-identical to a rebuild over base+src2, the
+    effective base is "everything but src0/src1" — the same oracle as
+    dedup_incremental."""
+    import os
+
+    from mover_spark.operators.dedup import (
+        append_to_signature_index,
+        dedup_against_index,
+        write_signature_index,
+    )
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    new = docs.where(F.col("source").isin("src0", "src1"))
+    path = os.path.join(
+        "/tmp/mover_spark_sigindex",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "appended",
+    )
+    if not os.path.exists(os.path.join(path, "meta")):
+        write_signature_index(
+            docs.where(~F.col("source").isin("src0", "src1", "src2")), path
+        )
+        append_to_signature_index(docs.where(F.col("source") == "src2"), path)
+    return (
+        dedup_against_index(new, path, threshold=0.8)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
@@ -1760,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_incremental_persisted": _q_dedup_incremental_persisted,
+        "dedup_incremental_appended": _q_dedup_incremental_appended,
         "containment_pairs": _q_containment_pairs,
         "containment_lsh": _q_containment_lsh,
         "dedup_clusters": _q_dedup_clusters,
@@ -1845,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_pq_filtered": _q_ann_pq_filtered,
         "ann_topk_pq_persisted": _q_ann_pq_persisted,
+        "ann_topk_pq_appended": _q_ann_pq_appended,
         "ann_topk_ivfpq_persisted": _q_ann_ivfpq_persisted,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
         "dedup_triangles": _q_dedup_triangles,
@@ -2055,7 +2122,9 @@ def _lsh_sig_sql(col: str) -> str:
 
 
 def _pq_oracle_sql(
-    corpus_where: str = "", query_where: str = "WHERE vec_id < 10"
+    corpus_where: str = "",
+    query_where: str = "WHERE vec_id < 10",
+    codeword_where: str | None = None,
 ) -> str:
     """PQ/ADC oracle builder: 16 deterministic codewords per subspace (the
     smallest-id CORPUS vectors' sub-slices), L2-argmin encoding (ties ->
@@ -2063,7 +2132,18 @@ def _pq_oracle_sql(
     shortlist by rounded approx cosine, exact-cosine refine top-10.
     `corpus_where` restricts the searchable corpus (filtered vector
     search / stream-vs-corpus splits); `query_where` picks the query set
-    (default: the unfiltered vec_id < 10 demo set)."""
+    (default: the unfiltered vec_id < 10 demo set); `codeword_where`
+    derives the codewords from a DIFFERENT corpus slice than the
+    searchable set — the index-append shape, where quantizers are frozen
+    from the base corpus but the increment is searchable too (None =
+    codewords follow the searchable corpus, the single-job shape)."""
+    if codeword_where is None:
+        cw_src = "qc"
+    else:
+        cw_src = (
+            f"(SELECT q.vec_id, q.qv FROM q JOIN embeddings e "
+            f"ON q.vec_id = e.vec_id {codeword_where})"
+        )
     return (
         "WITH " + _QVEC_CTE + ", "
         + (
@@ -2073,7 +2153,7 @@ def _pq_oracle_sql(
             else "qc AS (SELECT vec_id, qv FROM q), "
         ) +
         "cw AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, qv "
-        "FROM qc ORDER BY vec_id LIMIT 16), "
+        f"FROM {cw_src} ORDER BY vec_id LIMIT 16), "
         "ms AS (SELECT unnest(range(0, 8)) AS m), "
         "dist AS (SELECT v.vec_id, ms.m, c.code, "
         "list_sum(list_transform(range(1, 9), i -> "
@@ -3732,9 +3812,17 @@ def oracle_sql() -> dict[str, str]:
     # incremental query (shared _survivors_vs_base_state core) — one
     # oracle, two execution paths (recompute vs stored index)
     out["dedup_incremental_persisted"] = out["dedup_incremental"]
+    # appended index == rebuild over base+src2, so the effective base is
+    # "everything but src0/src1" — the dedup_incremental oracle verbatim
+    out["dedup_incremental_appended"] = out["dedup_incremental"]
     # from-index PQ search is bit-identical to the live-corpus PQ query by
     # construction (shared _pq_topk_core, same deterministic codebooks)
     out["ann_topk_pq_persisted"] = out["ann_topk_pq"]
+    # append-shape oracle: quantizers frozen from the base slice, but the
+    # searchable corpus includes the appended increment
+    out["ann_topk_pq_appended"] = _pq_oracle_sql(
+        codeword_where="WHERE e.vec_id % 3 != 0"
+    )
     # the banded containment twin answers the exact operator's question;
     # one oracle, two plans (recall argument in _q_containment_lsh)
     out["containment_lsh"] = out["containment_pairs"]

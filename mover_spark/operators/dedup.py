@@ -992,6 +992,51 @@ def write_signature_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def append_to_signature_index(
+    increment_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Append an increment's dedup state to an existing signature index
+    WITHOUT touching the base — the daily-crawl mutation: day N's
+    survivors (``dedup_against_index`` output) join the corpus so that
+    day N+1 dedups against base+N. Work is increment-sized: one signature
+    pass over the increment and a parquet append to ``signatures/`` and
+    ``digests/`` (constants validated first — appending under mismatched
+    hashing would poison every future band join; meta's ``n_docs`` is
+    rewritten so readers see the true corpus size). Because signatures
+    are a pure per-doc function of the text, the appended index is
+    row-identical to ``write_signature_index(base ∪ increment)``
+    (equality-tested in tests/test_dedup.py).
+
+    Append SURVIVORS, not raw increments: a doc already in the index gets
+    a duplicate signature/digest row — harmless for the anti-join and
+    band semantics (both are set-membership), but unbounded re-appends
+    would bloat the index; a periodic ``write_signature_index`` rebuild
+    is the compaction. Returns the number of docs appended."""
+    spark = increment_df.sparkSession
+    read_signature_index(spark, path, id_col)  # validates version+constants
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    sig = signature_projection(increment_df, text_col, id_col)
+    if meta.id_col != id_col:
+        sig = sig.withColumnRenamed(id_col, meta.id_col)
+    sig = sig.persist()
+    try:
+        n = sig.count()
+        sig.write.mode("append").parquet(f"{path}/signatures")
+        increment_df.select(
+            F.md5(F.col(text_col)).alias("__fp")
+        ).distinct().write.mode("append").parquet(f"{path}/digests")
+    finally:
+        sig.unpersist()
+    spark.createDataFrame(
+        [(SIG_INDEX_VERSION, N_MINHASH, LSH_BANDS, meta.id_col, meta.n_docs + n)],
+        "version int, n_minhash int, lsh_bands int, id_col string, n_docs long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return n
+
+
 def read_signature_index(
     spark, path: str, id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:

@@ -647,6 +647,70 @@ def write_ann_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def append_to_ann_index(
+    increment: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Encode an increment with the index's STORED quantizers and append
+    its cell-partitioned codes — the daily mutation for the retrieval
+    side (companion of dedup.append_to_signature_index): the base corpus
+    is never rescanned or re-encoded, and because the coarse centroids
+    and PQ codebooks are frozen, each appended row's (cell, codes,
+    cnorm_sq, qv) is byte-identical to what a full-corpus rebuild under
+    the same quantizers would produce — so searches over the appended
+    index equal searches over the rebuilt one (equality-tested in
+    tests/test_clusters_ivf.py). Work is increment-sized: one encode pass
+    plus a partitioned parquet append; meta's ``n_vectors`` is rewritten.
+
+    Documented limit (standard IVF/PQ practice, Jégou et al. TPAMI'11):
+    frozen quantizers do not track distribution drift — a corpus whose
+    embedding distribution moves needs a periodic ``write_ann_index``
+    retrain-and-rebuild; appends between rebuilds keep full recall for
+    data shaped like the training sample. Returns rows appended."""
+    spark = increment.sparkSession
+    _, cents, cb, meta = read_ann_index(spark, path)  # validates constants
+    if meta.id_col != id_col:
+        raise ValueError(
+            f"ANN index at {path} was built over id column {meta.id_col!r}, "
+            f"appended with {id_col!r}"
+        )
+    ranked = _ranked_cells_udf(cents)
+    enc = _pq_encode_udf(cb)
+    out = (
+        increment.select(
+            F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qv")
+        )
+        .withColumn("cell", ranked(F.col("qv"))[0])
+        .withColumn("e", enc(F.col("qv")))
+        .select("neighbor_id", "cell", "e.codes", "e.cnorm_sq", "qv")
+        .persist()
+    )
+    try:
+        n = out.count()
+        out.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+    finally:
+        out.unpersist()
+    spark.createDataFrame(
+        [
+            (
+                ANN_INDEX_VERSION,
+                int(meta.m),
+                int(meta.n_codes),
+                int(meta.n_cells),
+                int(meta.dim),
+                ANN_QUANT_SCALE,
+                meta.id_col,
+                int(meta.n_vectors) + n,
+            )
+        ],
+        "version int, m int, n_codes int, n_cells int, dim int, "
+        "quant_scale int, id_col string, n_vectors long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return n
+
+
 def read_ann_index(spark, path: str):
     """(codes_df, centroids list, codebooks ndarray, meta row) from a
     write_ann_index location, after validating the meta row against this

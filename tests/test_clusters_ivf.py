@@ -420,3 +420,49 @@ def test_ann_index_stale_format_raises(spark, catalog, tmp_path):
     shutil.move(f"{path}/meta2", f"{path}/meta")
     with _pytest.raises(ValueError, match="quant scale"):
         read_ann_index(spark, path)
+
+
+def test_ann_index_append_matches_full_rebuild(spark, catalog, tmp_path):
+    """append_to_ann_index encodes the increment with the STORED quantizers,
+    so searching the appended index equals searching a one-job index over
+    base+increment built under the same centroids/codebooks — the
+    retrieval-side daily mutation (frozen-quantizer IVF/PQ practice)."""
+    from mover_spark.operators.similarity import (
+        ANN_QUANT_SCALE,
+        append_to_ann_index,
+        pq_topk_from_index,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = catalog.df("embeddings")
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    inc = emb.where(F.col("vec_id") % 3 == 0)
+    q = emb.where(F.col("vec_id") < 10)
+
+    appended = str(tmp_path / "ann_appended")
+    write_ann_index(base, appended)
+    n = append_to_ann_index(inc, appended)
+    assert n == inc.count()
+
+    _, cents, cb, meta = read_ann_index(spark, appended)
+    assert meta.n_vectors == emb.count()
+    rebuilt = str(tmp_path / "ann_rebuilt")
+    write_ann_index(
+        emb,
+        rebuilt,
+        codebooks=cb,
+        centroids=[(cid, [x / ANN_QUANT_SCALE for x in v]) for cid, v in cents],
+    )
+
+    via_append = (
+        pq_topk_from_index(spark, appended, q, k=10, refine=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    via_rebuild = (
+        pq_topk_from_index(spark, rebuilt, q, k=10, refine=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert via_append == via_rebuild

@@ -457,3 +457,35 @@ def test_sig_cache_lru_bounded_and_unpersists(spark, catalog, monkeypatch):
     )
     assert dd._signatures(c2) is not s2  # evicted -> rebuilt on demand
     dd.clear_dedup_caches()
+
+
+def test_signature_index_append_matches_full_rebuild(spark, catalog, tmp_path):
+    """append_to_signature_index must leave the index row-identical to a
+    one-job write over base+increment (signatures are a pure per-doc
+    function), so a later increment dedups identically against either —
+    the day-N survivors -> day-N+1 base mutation of a daily crawl."""
+    from mover_spark.operators.dedup import (
+        append_to_signature_index,
+        dedup_against_index,
+        write_signature_index,
+    )
+
+    docs = catalog.df("documents")
+    base = docs.where(F.col("doc_id") % 4 == 0)
+    day1 = docs.where(F.col("doc_id") % 4 == 1)
+    day2 = docs.where(F.col("doc_id") % 4 == 2)
+
+    appended = str(tmp_path / "sig_appended")
+    write_signature_index(base, appended)
+    n = append_to_signature_index(day1, appended)
+    assert n == day1.count()
+
+    rebuilt = str(tmp_path / "sig_rebuilt")
+    write_signature_index(base.unionByName(day1), rebuilt)
+
+    via_append = {r.doc_id for r in dedup_against_index(day2, appended, 0.8).collect()}
+    via_rebuild = {r.doc_id for r in dedup_against_index(day2, rebuilt, 0.8).collect()}
+    assert via_append == via_rebuild
+    assert via_append, "day-2 increment should have survivors"
+    meta = spark.read.parquet(f"{appended}/meta").collect()[0]
+    assert meta.n_docs == base.count() + day1.count()
