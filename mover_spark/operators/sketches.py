@@ -101,6 +101,12 @@ def heavy_hitters(df: DataFrame, col: str, min_share: float = 0.01) -> DataFrame
     )
 
 
+#: words (uint64) per bloom build/merge chunk — 8 MiB blobs: big enough
+#: that a 126 MB bitmap is ~16 rows, small enough that no JVM stage ever
+#: materializes a >8 MiB single allocation for the merge
+_BLOOM_CHUNK_WORDS = (8 << 20) // 8
+
+
 def _bloom_params(expected: int, fpp: float) -> tuple[int, int]:
     m = max(64, int(-expected * math.log(fpp) / (math.log(2) ** 2)))
     m = (m + 63) // 64 * 64  # whole words
@@ -159,40 +165,42 @@ def bloom_semi_join(
                     bitmap, (pos >> np.uint64(6)).astype(np.int64),
                     np.uint64(1) << (pos & np.uint64(63)),
                 )
-        yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+        # emit CHUNKS, not the whole bitmap: an auto-sized 100M-key filter
+        # is ~126 MB per partition bitmap, and shipping n_partitions such
+        # blobs through the JVM (the old whole-bitmap treeAggregate did,
+        # via Arrow + pickle) was a measured multi-GB transient that
+        # flakily OOMed a 16g heap at the 100x fixture. Chunk rows cap the
+        # largest single allocation any JVM stage sees at _BLOOM_CHUNK
+        # bytes; all-zero chunks (sparse corners of a partition's bitmap)
+        # are skipped entirely.
+        for c0 in range(0, words, _BLOOM_CHUNK_WORDS):
+            chunk = bitmap[c0 : c0 + _BLOOM_CHUNK_WORDS]
+            if chunk.any():
+                yield pd.DataFrame(
+                    {"chunk": [c0 // _BLOOM_CHUNK_WORDS], "bitmap": [chunk.tobytes()]}
+                )
 
-    # OR-merge bitmaps executor-side with treeReduce: the driver receives
-    # ONE bitmap, not one per partition. (A collect() here would pull
-    # n_partitions full-size bitmaps — with an auto-sized filter of 100M
-    # keys that is ~120 MB × partitions, a guaranteed maxResultSize /
-    # driver-OOM failure at exactly the scale auto-sizing targets.)
-    bitmaps = (
-        filter_side.select(*_hash_pair(filter_col))
-        .mapInPandas(build, "bitmap binary")
-        .rdd.map(lambda r: r.bitmap)
-    )
-    # treeAggregate, NOT isEmpty()+treeReduce: isEmpty() is take(1), which
-    # launches an extra job that fully builds partition 0's bitmap only for
-    # treeReduce to rebuild it. The seed is the EMPTY-BYTES identity, not a
-    # zero bitmap — a full-size zero seed would be pickled into the task
-    # closure and shipped to every executor (~120 MB at the auto-sized
-    # 100M-key scale). An empty/zero-partition filter side aggregates to
-    # the identity, which materializes as the zero bitmap driver-side only.
-    def _or(a, b):
-        if not a:
-            return b
-        if not b:
-            return a
+    def _or(a: bytes, b: bytes) -> bytes:
         return (
-            np.frombuffer(a, dtype=np.uint64)
-            | np.frombuffer(b, dtype=np.uint64)
+            np.frombuffer(a, dtype=np.uint64) | np.frombuffer(b, dtype=np.uint64)
         ).tobytes()
 
-    merged = (
-        bitmaps.treeAggregate(b"", _or, _or)
-        or np.zeros(words, dtype=np.uint64).tobytes()
+    # OR-merge per chunk key executor-side (reduceByKey streams pairwise
+    # merges, so a reducer holds at most two chunk blobs at once), then
+    # assemble the single full bitmap driver-side — one copy, ~m_bits/8
+    # bytes total over the wire regardless of partition count.
+    chunk_rows = (
+        filter_side.select(*_hash_pair(filter_col))
+        .mapInPandas(build, "chunk long, bitmap binary")
+        .rdd.map(lambda r: (r.chunk, r.bitmap))
+        .reduceByKey(_or)
+        .collect()
     )
-    bc = probe.sparkSession.sparkContext.broadcast(merged)
+    full = np.zeros(words, dtype=np.uint64)
+    for cid, blob in chunk_rows:
+        c0 = cid * _BLOOM_CHUNK_WORDS
+        full[c0 : c0 + len(blob) // 8] = np.frombuffer(blob, dtype=np.uint64)
+    bc = probe.sparkSession.sparkContext.broadcast(full.tobytes())
 
     @F.pandas_udf("boolean")
     def might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
