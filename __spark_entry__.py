@@ -682,6 +682,10 @@ def _q_ann_pq_persisted(spark, sf_dir):
         os.path.basename(os.path.normpath(sf_dir)),
     )
     if not os.path.exists(os.path.join(path, "meta")):
+        if not emb.take(1):  # empty tenant: nothing to index or ask
+            from mover_spark.operators.similarity import _empty_topk
+
+            return _empty_topk(emb, "vec_id")
         write_ann_index(emb, path)
     return pq_topk_from_index(
         spark, path, emb.where(F.col("vec_id") < 10), k=10, refine=4
@@ -710,6 +714,10 @@ def _q_ann_pq_appended(spark, sf_dir):
         os.path.basename(os.path.normpath(sf_dir)),
     )
     if not os.path.exists(os.path.join(path, "meta")):
+        if not emb.take(1):  # empty tenant: nothing to index or ask
+            from mover_spark.operators.similarity import _empty_topk
+
+            return _empty_topk(emb, "vec_id")
         write_ann_index(emb.where(F.col("vec_id") % 3 != 0), path)
         append_to_ann_index(emb.where(F.col("vec_id") % 3 == 0), path)
     return pq_topk_from_index(
@@ -735,6 +743,10 @@ def _q_ann_ivfpq_persisted(spark, sf_dir):
         os.path.basename(os.path.normpath(sf_dir)),
     )
     if not os.path.exists(os.path.join(path, "meta")):
+        if not emb.take(1):  # empty tenant: nothing to index or ask
+            from mover_spark.operators.similarity import _empty_topk
+
+            return _empty_topk(emb, "vec_id")
         write_ann_index(emb, path)
     return pq_topk_from_index(
         spark, path, emb.where(F.col("vec_id") < 10), k=10, refine=4, n_probe=4

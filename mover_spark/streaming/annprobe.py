@@ -116,6 +116,10 @@ def ann_probe_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_corpus",
     )
     if not os.path.exists(os.path.join(index_path, "meta")):
+        if not emb.take(1):  # empty tenant: nothing to index or probe with
+            from mover_spark.operators.similarity import _empty_topk
+
+            return _empty_topk(emb, "vec_id")
         write_ann_index(emb.where(F.col("vec_id") % STREAM_MOD != 0), index_path)
     stream = read_embeddings_stream(spark, sf_dir).where(
         F.col("vec_id") % STREAM_MOD == 0
