@@ -553,6 +553,7 @@ def _q_streaming_running_totals(spark, sf_dir):
     (round(value*1e4)), so the total is exact in any arrival order and the
     query hash-checks against a batch DuckDB oracle."""
     from mover_spark.streaming.events import (
+        drained_table,
         fixture_bytes,
         read_events_stream,
         run_to_memory,
@@ -567,7 +568,10 @@ def _q_streaming_running_totals(spark, sf_dir):
         output_mode="update",
         input_bytes=fixture_bytes(sf_dir, "events"),
     )
-    out = spark.table(name)
+    # drained_table, not a lazy spark.table read: the next drain drops
+    # this temp view, and a held result must stay evaluable (same contract
+    # as every other parity helper)
+    out = drained_table(spark, name)
     # update mode emits one row per user per micro-batch; keep the final
     # (cumulative-max) state
     return (
@@ -713,13 +717,21 @@ def _q_ann_pq_appended(spark, sf_dir):
         "/tmp/mover_spark_annindex_app",
         os.path.basename(os.path.normpath(sf_dir)),
     )
-    if not os.path.exists(os.path.join(path, "meta")):
+    # guard on a post-append marker, NOT meta: meta exists as soon as
+    # write_ann_index finishes, so a run killed between write and append
+    # would otherwise leave a base-only index every later run silently
+    # queries (a live failure mode — see the orphan-location note in
+    # sources/layout.py)
+    done = os.path.join(path, "_append_complete")
+    if not os.path.exists(done):
         if not emb.take(1):  # empty tenant: nothing to index or ask
             from mover_spark.operators.similarity import _empty_topk
 
             return _empty_topk(emb, "vec_id")
         write_ann_index(emb.where(F.col("vec_id") % 3 != 0), path)
         append_to_ann_index(emb.where(F.col("vec_id") % 3 == 0), path)
+        with open(done, "w"):
+            pass
     return pq_topk_from_index(
         spark, path, emb.where(F.col("vec_id") < 10), k=10, refine=4
     )
@@ -1170,11 +1182,16 @@ def _q_dedup_incremental_appended(spark, sf_dir):
         os.path.basename(os.path.normpath(sf_dir)),
         "appended",
     )
-    if not os.path.exists(os.path.join(path, "meta")):
+    # post-append marker, not meta: a run killed between write and append
+    # must rebuild, or src2 would silently vanish from the base forever
+    done = os.path.join(path, "_append_complete")
+    if not os.path.exists(done):
         write_signature_index(
             docs.where(~F.col("source").isin("src0", "src1", "src2")), path
         )
         append_to_signature_index(docs.where(F.col("source") == "src2"), path)
+        with open(done, "w"):
+            pass
     return (
         dedup_against_index(new, path, threshold=0.8)
         .select("doc_id", "lang", "source", "n_chars")

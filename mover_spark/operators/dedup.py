@@ -702,8 +702,16 @@ def _cache_get(cache: dict, key):
 def _cache_put(cache: dict, key, df: DataFrame, cap: int) -> DataFrame:
     """Insert, evicting (and unpersisting) least-recently-used entries
     beyond `cap`. A dead session's entry can't be unpersisted — dropped
-    anyway."""
-    while len(cache) >= cap:
+    anyway. cap <= 0 means memoization is OFF: nothing is stored and the
+    caller's persist is released immediately (the plan stays usable, it
+    just recomputes)."""
+    if cap <= 0:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+        return df
+    while cache and len(cache) >= cap:
         old = cache.pop(next(iter(cache)))
         try:
             old.unpersist()
@@ -986,8 +994,12 @@ def write_signature_index(
     base_df.select(F.md5(F.col(text_col)).alias("__fp")).distinct().write.mode(
         "overwrite"
     ).parquet(f"{path}/digests")
+    # count the WRITTEN parquet, not sig: sig.count() would re-execute the
+    # full shingle+minhash Arrow pipeline — the exact full-corpus pass this
+    # index exists to pay only once
+    n_docs = spark.read.parquet(f"{path}/signatures").count()
     spark.createDataFrame(
-        [(SIG_INDEX_VERSION, N_MINHASH, LSH_BANDS, id_col, sig.count())],
+        [(SIG_INDEX_VERSION, N_MINHASH, LSH_BANDS, id_col, n_docs)],
         "version int, n_minhash int, lsh_bands int, id_col string, n_docs long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 

@@ -218,8 +218,16 @@ def image_features(media: DataFrame) -> DataFrame:
                     luma = float(pd.Series(img.convert("L").getdata()).mean()) / 255.0
                     decoder = "pil"
                 elif content.startswith(PNG_MAGIC):
-                    w, h, luma = _png_decode(content)
-                    decoder = "png-stdlib"
+                    # a real-but-unsupported PNG (palette/16-bit/interlaced,
+                    # truncated IDAT) must degrade to the fake arm like any
+                    # other undecodable row — one bad row in a media corpus
+                    # must never kill the whole job
+                    try:
+                        w, h, luma = _png_decode(content)
+                        decoder = "png-stdlib"
+                    except Exception:
+                        w, h, luma = _fake_decode(content)
+                        decoder = "fake"
                 else:
                     w, h, luma = _fake_decode(content)
                     decoder = "fake"
@@ -373,8 +381,17 @@ def audio_features(media: DataFrame) -> DataFrame:
                     rms = float(np.sqrt((y ** 2).mean()))
                     decoder = "librosa"
                 elif content[:4] == b"RIFF" and content[8:12] == b"WAVE":
-                    dur, rate, rms = _wav_decode(content)
-                    decoder = "wav-stdlib"
+                    # 24-bit PCM / float / ADPCM / truncated WAVs degrade
+                    # to the fake arm instead of killing the job
+                    try:
+                        dur, rate, rms = _wav_decode(content)
+                        decoder = "wav-stdlib"
+                    except Exception:
+                        h = hashlib.md5(content).digest()
+                        dur = r["duration_ms"]
+                        rate = _FAKE_RATES[h[3] % 4]
+                        rms = h[4] / 255.0
+                        decoder = "fake"
                 else:
                     h = hashlib.md5(content).digest()
                     dur = r["duration_ms"]

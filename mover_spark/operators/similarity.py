@@ -629,6 +629,9 @@ def write_ann_index(
         "subspace int, code int, vals array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     dim = mm * dsub
+    # count the WRITTEN codes, not c: c.count() would re-quantize the full
+    # corpus (a second Arrow pass) just to stamp a row count
+    n_vectors = spark.read.parquet(f"{path}/codes").count()
     spark.createDataFrame(
         [
             (
@@ -639,7 +642,7 @@ def write_ann_index(
                 dim,
                 ANN_QUANT_SCALE,
                 id_col,
-                c.count(),
+                n_vectors,
             )
         ],
         "version int, m int, n_codes int, n_cells int, dim int, "

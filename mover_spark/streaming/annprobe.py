@@ -125,8 +125,21 @@ def ann_probe_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") % STREAM_MOD == 0
     )
     work = tempfile.mkdtemp(prefix="annprobe_")
+    # register with the shared drain-dir lifecycle (removed at interpreter
+    # exit) — bench repetitions must not leak corpus-scale result parquet
+    # + checkpoint state per call
+    from mover_spark.streaming.events import _DRAIN_DIRS
+
+    _DRAIN_DIRS.append(work)
     out_dir = os.path.join(work, "out")
     ann_probe_stream(
         stream, index_path, out_dir, os.path.join(work, "ckpt")
     )
+    if not os.path.isdir(out_dir):
+        # non-empty tenant whose stream split is empty: no batch ever
+        # wrote, so there is no directory to read (same guard run_to_files
+        # applies)
+        from mover_spark.operators.similarity import _empty_topk
+
+        return _empty_topk(emb, "vec_id")
     return spark.read.parquet(out_dir).orderBy("query_id", "rank")

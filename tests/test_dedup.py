@@ -489,3 +489,18 @@ def test_signature_index_append_matches_full_rebuild(spark, catalog, tmp_path):
     assert via_append, "day-2 increment should have survivors"
     meta = spark.read.parquet(f"{appended}/meta").collect()[0]
     assert meta.n_docs == base.count() + day1.count()
+
+
+def test_sig_cache_cap_zero_disables_memoization(spark, catalog, monkeypatch):
+    """Cap 0 = memoization OFF: nothing stored, no StopIteration, and the
+    returned plan is usable (recomputes instead of pinning storage)."""
+    from mover_spark.operators import dedup as dd
+
+    dd.clear_dedup_caches()
+    monkeypatch.setattr(dd, "_SIG_CACHE_MAX", 0)
+    docs = catalog.df("documents").limit(20)
+    sig = dd._signatures(docs)
+    assert sig.count() > 0
+    assert len(dd._SIG_CACHE) == 0
+    assert not sig.storageLevel.useMemory and not sig.storageLevel.useDisk
+    dd.clear_dedup_caches()

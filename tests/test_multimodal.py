@@ -222,3 +222,58 @@ def test_mixed_corpus_decodes_real_bytes_per_row(spark):
     assert aud[3].duration_ms == 0  # 4 frames @16kHz -> 0.25 ms -> floor 0
     assert aud[4].decoder == "fake"
     assert aud[4].duration_ms == 999  # fake arm passes metadata through
+
+
+def test_unsupported_real_codecs_degrade_to_fake_not_crash(spark):
+    """A real-but-unsupported media payload (palette PNG, 24-bit WAV,
+    truncated IDAT) must degrade to the fake arm — one bad row in a media
+    corpus must never kill the whole job (the stdlib arms raise on these,
+    and the raise used to propagate out of mapInPandas)."""
+    import io
+    import struct
+    import wave
+    import zlib
+
+    from mover_spark.operators.multimodal import audio_features, image_features
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    # palette PNG (color_type 3): valid file, unsupported by the decoder
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    palette_png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", bytes([255, 0, 0]))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0, 0, 0, 0, 0])))
+        + chunk(b"IEND", b"")
+    )
+    # truncated IDAT: zlib stream cut mid-way
+    trunc_png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(6))[:4]) + chunk(b"IEND", b"")
+    )
+    imgs = spark.createDataFrame(
+        [(1, "image", palette_png, None), (2, "image", trunc_png, None)],
+        "media_id long, media_type string, content binary, duration_ms long",
+    )
+    rows = {r.media_id: r for r in image_features(imgs).collect()}
+    assert rows[1].decoder == "fake" and rows[2].decoder == "fake"
+
+    # 24-bit PCM WAV: wave writes it fine, the 16-bit-only decoder raises
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x01\x02\x03" * 16)
+    wav24 = buf.getvalue()
+    auds = spark.createDataFrame(
+        [(3, "audio", wav24, 7)],
+        "media_id long, media_type string, content binary, duration_ms long",
+    )
+    arow = audio_features(auds).collect()[0]
+    assert arow.decoder == "fake"
+    assert arow.duration_ms == 7  # fake arm keeps the metadata duration
