@@ -1049,6 +1049,47 @@ def append_to_signature_index(
     return n
 
 
+def compact_signature_index(spark, path: str) -> int:
+    """Rewrite an append-grown signature index to minimal form WITHOUT
+    touching the corpus text: duplicate signature/digest rows (re-appended
+    docs) drop, append-accumulated small files coalesce, and meta is
+    re-stamped with the true doc count. This is the cheap periodic
+    maintenance of a daily append loop — a full ``write_signature_index``
+    rebuild re-pays the corpus shingle+minhash pass; this pays only an
+    index-sized parquet rewrite (signatures are a pure function of text,
+    so distinct rows ARE the minimal index).
+
+    Staged rewrite: each dataset is written to a ``_compact`` sibling and
+    swapped in via the Hadoop FS API (rename, not copy), so a reader
+    racing the swap sees either the old or the new complete dataset —
+    never a half-written one. Returns the compacted doc count."""
+    read_signature_index(spark, path)  # validates version + constants
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _swap(name: str) -> None:
+        old = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
+        new = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}_compact")
+        fs = old.getFileSystem(hconf)
+        fs.delete(old, True)
+        fs.rename(new, old)
+
+    sig = spark.read.parquet(f"{path}/signatures").dropDuplicates([meta.id_col])
+    sig.write.mode("overwrite").parquet(f"{path}/signatures_compact")
+    spark.read.parquet(f"{path}/digests").distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{path}/digests_compact")
+    _swap("signatures")
+    _swap("digests")
+    n_docs = spark.read.parquet(f"{path}/signatures").count()
+    spark.createDataFrame(
+        [(SIG_INDEX_VERSION, N_MINHASH, LSH_BANDS, meta.id_col, n_docs)],
+        "version int, n_minhash int, lsh_bands int, id_col string, n_docs long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return n_docs
+
+
 def read_signature_index(
     spark, path: str, id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:

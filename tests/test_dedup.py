@@ -504,3 +504,34 @@ def test_sig_cache_cap_zero_disables_memoization(spark, catalog, monkeypatch):
     assert len(dd._SIG_CACHE) == 0
     assert not sig.storageLevel.useMemory and not sig.storageLevel.useDisk
     dd.clear_dedup_caches()
+
+
+def test_compact_signature_index_drops_reappended_duplicates(spark, catalog, tmp_path):
+    """Compaction: re-appending docs already in the index (the documented
+    wasteful-but-harmless case) leaves duplicate rows; compaction must
+    drop them WITHOUT the corpus text pass, fix meta's n_docs, and leave
+    dedup results identical."""
+    from mover_spark.operators.dedup import (
+        append_to_signature_index,
+        compact_signature_index,
+        dedup_against_index,
+        write_signature_index,
+    )
+
+    docs = catalog.df("documents")
+    base = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "sig_compact")
+    write_signature_index(base, path)
+    append_to_signature_index(base.limit(40), path)  # re-append: duplicates
+    n_base = base.count()
+    assert spark.read.parquet(f"{path}/signatures").count() == n_base + 40
+
+    before = {r.doc_id for r in dedup_against_index(new, path, 0.8).collect()}
+    n = compact_signature_index(spark, path)
+    assert n == n_base
+    assert spark.read.parquet(f"{path}/signatures").count() == n_base
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert meta.n_docs == n_base
+    after = {r.doc_id for r in dedup_against_index(new, path, 0.8).collect()}
+    assert after == before and after
