@@ -714,6 +714,46 @@ def append_to_ann_index(
     return n
 
 
+def compact_ann_index(spark, path: str) -> int:
+    """Rewrite an append-grown ANN index to minimal form WITHOUT
+    re-encoding: duplicate neighbor rows (re-appended vectors) drop and
+    the small files each append added per cell directory coalesce back
+    into one partitioned write — codes are a pure function of (vector,
+    frozen quantizers), so distinct-by-id rows ARE the minimal index.
+    The companion of dedup.compact_signature_index; same staged-rename
+    swap, so a racing reader sees a complete old or new codes dataset.
+    Returns the compacted vector count."""
+    _, _, _, meta = read_ann_index(spark, path)  # validates constants
+    codes = spark.read.parquet(f"{path}/codes").dropDuplicates(["neighbor_id"])
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/codes_compact"
+    )
+    jvm = spark._jvm
+    old = jvm.org.apache.hadoop.fs.Path(f"{path}/codes")
+    new = jvm.org.apache.hadoop.fs.Path(f"{path}/codes_compact")
+    fs = old.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(old, True)
+    fs.rename(new, old)
+    n_vectors = spark.read.parquet(f"{path}/codes").count()
+    spark.createDataFrame(
+        [
+            (
+                ANN_INDEX_VERSION,
+                int(meta.m),
+                int(meta.n_codes),
+                int(meta.n_cells),
+                int(meta.dim),
+                ANN_QUANT_SCALE,
+                meta.id_col,
+                n_vectors,
+            )
+        ],
+        "version int, m int, n_codes int, n_cells int, dim int, "
+        "quant_scale int, id_col string, n_vectors long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return n_vectors
+
+
 def read_ann_index(spark, path: str):
     """(codes_df, centroids list, codebooks ndarray, meta row) from a
     write_ann_index location, after validating the meta row against this

@@ -466,3 +466,43 @@ def test_ann_index_append_matches_full_rebuild(spark, catalog, tmp_path):
         .collect()
     )
     assert via_append == via_rebuild
+
+
+def test_compact_ann_index_drops_reappends_and_keeps_results(spark, catalog, tmp_path):
+    """ANN compaction: re-appended vectors leave duplicate code rows;
+    compaction drops them by id, coalesces per-cell append files, fixes
+    meta, and leaves search results identical (codes are a pure function
+    of vector + frozen quantizers)."""
+    from mover_spark.operators.similarity import (
+        append_to_ann_index,
+        compact_ann_index,
+        pq_topk_from_index,
+        write_ann_index,
+    )
+
+    emb = catalog.df("embeddings")
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    q = emb.where(F.col("vec_id") < 10)
+    path = str(tmp_path / "ann_compact")
+    write_ann_index(base, path)
+    # clean-index answer BEFORE polluting: duplicates can displace a
+    # distinct id from the refine shortlist, so the duplicated index is
+    # not the reference — the pre-append index is
+    before = (
+        pq_topk_from_index(spark, path, q, k=10, refine=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    append_to_ann_index(base.limit(30), path)  # re-append: duplicates
+    n_base = base.count()
+    assert spark.read.parquet(f"{path}/codes").count() == n_base + 30
+    n = compact_ann_index(spark, path)
+    assert n == n_base
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert meta.n_vectors == n_base
+    after = (
+        pq_topk_from_index(spark, path, q, k=10, refine=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert after == before and after
