@@ -3112,9 +3112,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM s GROUP BY user_id, sid"
         ),
         "dedup_normalized": (
+            # single-pass canonical regex, mirroring canonical_text_col:
+            # a maximal non-[a-z0-9] run (spaces included) -> one space
             "WITH c AS (SELECT doc_id, md5(trim(regexp_replace("
-            "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), "
-            "' +', ' ', 'g'))) AS k FROM documents), "
+            "lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k FROM documents), "
             "g AS (SELECT k, MIN(doc_id) AS canon_id, COUNT(*) AS n_variants "
             "FROM c GROUP BY k) "
             "SELECT c.doc_id, g.canon_id, g.n_variants FROM c JOIN g ON c.k = g.k"
