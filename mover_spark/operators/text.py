@@ -618,8 +618,14 @@ def collocation_pmi(
     uni = toks.select(F.explode("w").alias("term"))
     ucnt = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     n_uni = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    # ">= 2 tokens" as a SOURCE-column predicate (trimmed text contains a
+    # space), not size(w) >= 2 on the derived array: a filter on a
+    # projected expression gets pushed into the parquet scan with the
+    # whole tokenize chain inlined, re-splitting every row in interpreted
+    # mode (the dedup_normalized 62x defect class; see BASELINE round 8)
     big = (
-        toks.where(F.size("w") >= 2)
+        df.where(F.instr(F.trim(F.col(text_col)), " ") > 0)
+        .select(F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("w"))
         .select(
             F.explode(
                 F.expr(
