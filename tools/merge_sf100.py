@@ -22,6 +22,7 @@ CONTROLS = [
     "BENCH_DETAIL_sf10_heavy_r8f.json",  # round-8 widening: 4 more families
     "BENCH_DETAIL_sf10_heavy_r8g.json",  # events/CDC/as-of widening
     "BENCH_DETAIL_sf10_heavy_r8h.json",  # q1 decade row
+    "BENCH_DETAIL_sf10_heavy_r8i.json",  # dedup_normalized post-62x-fix
 ]
 
 
