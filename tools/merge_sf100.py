@@ -23,6 +23,7 @@ CONTROLS = [
     "BENCH_DETAIL_sf10_heavy_r8g.json",  # events/CDC/as-of widening
     "BENCH_DETAIL_sf10_heavy_r8h.json",  # q1 decade row
     "BENCH_DETAIL_sf10_heavy_r8i.json",  # dedup_normalized post-62x-fix
+    "BENCH_DETAIL_sf10_heavy_r8j.json",  # curation_pipeline composite row
 ]
 
 
