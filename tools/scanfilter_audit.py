@@ -35,8 +35,41 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 EXPENSIVE = re.compile(
     r"regexp_replace|regexp_extract|md5|xxhash64|sha2|split\(", re.I
 )
-#: inferred-join-key hash null checks: cheap, Catalyst-generated
-ACCEPT = re.compile(r"^(NOT .*? IN \([^)]*\)(, )?)?isnotnull\((md5|cast\(pmod\(xxhash64)")
+
+#: queries whose flagged gates were individually audited (A/B or decade
+#: probe) and accepted — pointer to the evidence, so a future flag on a
+#: NEW query stands out while these stay labeled
+AUDITED = {
+    "curation_pipeline": "semantically-derived quality gate; decade probe 5.3x (BASELINE round 8)",
+    "collocation_pmi": "inferred token-count constraint below the explode; the authored filter was rewritten to a source predicate (A/B ~10% warm)",
+}
+
+
+def _nullcheck_only(body: str) -> bool:
+    """True when every expensive token sits inside an isnotnull(...) —
+    the Catalyst-inferred join-key null check, one cheap eval per row."""
+    stripped = body
+    # remove isnotnull(...) spans with naive paren balancing
+    out = []
+    i = 0
+    while i < len(stripped):
+        j = stripped.find("isnotnull(", i)
+        if j < 0:
+            out.append(stripped[i:])
+            break
+        out.append(stripped[i:j])
+        depth = 0
+        k = j + len("isnotnull(") - 1
+        while k < len(stripped):
+            if stripped[k] == "(":
+                depth += 1
+            elif stripped[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        i = k + 1
+    return not EXPENSIVE.search("".join(out))
 
 
 def main() -> int:
@@ -62,8 +95,10 @@ def main() -> int:
             body = " ".join(m.group(1).split())
             if not EXPENSIVE.search(body):
                 continue
-            if ACCEPT.match(body):
-                print(f"INFO {name}: accepted inferred hash check")
+            if _nullcheck_only(body):
+                print(f"INFO {name}: inferred null-check on a derived key")
+            elif name in AUDITED:
+                print(f"INFO {name}: audited — {AUDITED[name]}")
             else:
                 bad += 1
                 print(f"FLAG {name}: {body[:200]}")
