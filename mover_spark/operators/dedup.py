@@ -369,7 +369,18 @@ def _containment_band_schemes(
     cannot meet max_miss at r>=2 are dropped instead: the documented
     coverage limit — containers beyond w^(K+1)x the query's size are not
     searched, and extending K honestly requires a LONGER signature (LSH
-    Ensemble runs 256+ perms for deep asymmetry), never narrower bands."""
+    Ensemble runs 256+ perms for deep asymmetry), never narrower bands.
+
+    Parameter domains are enforced: max_miss in (0, 1) — at >= 1 every
+    class is admissible and the loop never terminates; slice_base > 1 —
+    at <= 1 j_min stops decreasing with k, same hang; threshold in
+    (0, 1]. Out-of-domain values raise instead of hanging the driver."""
+    if not (0.0 < max_miss < 1.0):
+        raise ValueError(f"max_miss must be in (0, 1), got {max_miss}")
+    if not (slice_base > 1.0):
+        raise ValueError(f"slice_base must be > 1, got {slice_base}")
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     schemes: dict[int, list[int]] = {}
     k = 0
     while True:
@@ -1069,28 +1080,25 @@ def compact_signature_index(spark, path: str) -> int:
     so distinct rows ARE the minimal index).
 
     Staged rewrite: each dataset is written to a ``_compact`` sibling and
-    swapped in via the Hadoop FS API (rename, not copy), so a reader
-    racing the swap sees either the old or the new complete dataset —
-    never a half-written one. Returns the compacted doc count."""
+    swapped in with rename-aside (canonical -> ``_old``, ``_compact`` ->
+    canonical, delete ``_old`` — see util.staged_swap): the canonical path
+    is absent only between two metadata renames, never for the duration of
+    a recursive delete, and a crash anywhere in the window is self-repaired
+    by the next read (util.recover_staged_swap). Run compaction from a
+    single maintenance job; concurrent compactions of one index are
+    last-writer-wins. Returns the compacted doc count."""
+    from ..util import staged_swap
+
     read_signature_index(spark, path)  # validates version + constants
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-
-    def _swap(name: str) -> None:
-        old = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
-        new = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}_compact")
-        fs = old.getFileSystem(hconf)
-        fs.delete(old, True)
-        fs.rename(new, old)
 
     sig = spark.read.parquet(f"{path}/signatures").dropDuplicates([meta.id_col])
     sig.write.mode("overwrite").parquet(f"{path}/signatures_compact")
     spark.read.parquet(f"{path}/digests").distinct().write.mode(
         "overwrite"
     ).parquet(f"{path}/digests_compact")
-    _swap("signatures")
-    _swap("digests")
+    staged_swap(spark, path, "signatures")
+    staged_swap(spark, path, "digests")
     n_docs = spark.read.parquet(f"{path}/signatures").count()
     spark.createDataFrame(
         [(SIG_INDEX_VERSION, N_MINHASH, LSH_BANDS, meta.id_col, n_docs)],
@@ -1105,7 +1113,13 @@ def read_signature_index(
     """(signatures, digests) from a write_signature_index location, after
     validating the meta row against this build's hashing constants (a
     mismatch raises — see write_signature_index). The signature id column
-    is renamed to `id_col` so consumers are layout-agnostic."""
+    is renamed to `id_col` so consumers are layout-agnostic. A crash
+    inside a prior compaction's swap window is self-repaired here (the
+    surviving complete staging dataset is promoted back into place)."""
+    from ..util import recover_staged_swap
+
+    recover_staged_swap(spark, path, "signatures")
+    recover_staged_swap(spark, path, "digests")
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     if meta.version != SIG_INDEX_VERSION:
         raise ValueError(

@@ -720,20 +720,20 @@ def compact_ann_index(spark, path: str) -> int:
     the small files each append added per cell directory coalesce back
     into one partitioned write — codes are a pure function of (vector,
     frozen quantizers), so distinct-by-id rows ARE the minimal index.
-    The companion of dedup.compact_signature_index; same staged-rename
-    swap, so a racing reader sees a complete old or new codes dataset.
-    Returns the compacted vector count."""
+    The companion of dedup.compact_signature_index; same rename-aside
+    swap (util.staged_swap): the canonical codes path is absent only
+    between two metadata renames, and a crash in the window is
+    self-repaired by the next read_ann_index. Single-maintenance-job
+    discipline as with any parquet rewrite. Returns the compacted
+    vector count."""
+    from ..util import staged_swap
+
     _, _, _, meta = read_ann_index(spark, path)  # validates constants
     codes = spark.read.parquet(f"{path}/codes").dropDuplicates(["neighbor_id"])
     codes.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/codes_compact"
     )
-    jvm = spark._jvm
-    old = jvm.org.apache.hadoop.fs.Path(f"{path}/codes")
-    new = jvm.org.apache.hadoop.fs.Path(f"{path}/codes_compact")
-    fs = old.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(old, True)
-    fs.rename(new, old)
+    staged_swap(spark, path, "codes")
     n_vectors = spark.read.parquet(f"{path}/codes").count()
     spark.createDataFrame(
         [
@@ -758,7 +758,12 @@ def read_ann_index(spark, path: str):
     """(codes_df, centroids list, codebooks ndarray, meta row) from a
     write_ann_index location, after validating the meta row against this
     build's constants (mismatch raises — see write_ann_index). codes_df
-    stays LAZY: nothing of the corpus is scanned until a query runs."""
+    stays LAZY: nothing of the corpus is scanned until a query runs.
+    A crash inside a prior compaction's swap window is self-repaired
+    here (the surviving complete staging dataset is promoted back)."""
+    from ..util import recover_staged_swap
+
+    recover_staged_swap(spark, path, "codes")
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     if meta.version != ANN_INDEX_VERSION:
         raise ValueError(

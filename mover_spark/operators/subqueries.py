@@ -512,39 +512,54 @@ def large_volume_customers(cat: Catalog, min_qty: float = 200.0, k: int = 100) -
 def waiting_suppliers(cat: Catalog, k: int = 10) -> DataFrame:
     """TPC-H Q21 shape (no commit/receipt dates in the fixture, so "kept
     the order waiting" = was the strictly-latest shipper): suppliers who
-    were the last to ship on multi-supplier finished orders. The double
-    correlated EXISTS / NOT EXISTS compiles to one left_semi plus one
-    left_anti join with non-equi conditions — no per-row re-probing."""
+    were the last to ship on multi-supplier finished orders.
+
+    The textbook plan — correlated EXISTS / NOT EXISTS as one left_semi
+    plus one left_anti self-join with NON-EQUI conditions — forces two
+    sort-merge passes over the fact table and spilled 221.8 s / alpha=1.16
+    at sf100 (600M lineitem rows). But the predicate algebra collapses:
+    a row (o, s, d) survives the NOT EXISTS iff d >= max shipdate of the
+    order's OTHER suppliers, and supplier s has such a row iff its own
+    max shipdate m_s satisfies m_s >= max_other. If m_s < D1 (the order's
+    overall max), then D1 is achieved only by other suppliers, so
+    max_other = D1 > m_s — contradiction. Hence s qualifies iff
+    m_s == D1: the qualifying set is exactly the argmax-by-shipdate
+    supplier set, ties included (d > d is false, so co-max suppliers do
+    not disqualify each other). The EXISTS just adds n_suppliers >= 2.
+
+    That re-expresses Q21 as two map-side-combining aggregates and zero
+    self-joins: per-(order, supplier) max shipdate (shuffle 1, partial
+    max collapses the fact rows before the exchange), then per-order
+    supplier count + overall max + the (order-size-bounded, <= 7 rows in
+    TPC-H) supplier/date list (shuffle 2), argmax-set via a filtered
+    explode, broadcast-sized supplier join, tiny final agg. No non-equi
+    join, no window sort over the fact table, nothing super-linear."""
     li = cat.df("lineitem")
     fo = cat.df("orders").where(F.col("o_orderstatus") == "F")
-    l1 = (
-        li.join(fo.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
-        .select("l_orderkey", "l_suppkey", "l_shipdate")
-        .dropDuplicates(["l_orderkey", "l_suppkey", "l_shipdate"])
+    per_supp = (
+        li.join(fo.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("s_max"))
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("ok2"),
-        F.col("l_suppkey").alias("sk2"),
-        F.col("l_shipdate").alias("sd2"),
-    )
-    # EXISTS: another supplier contributed to the same order
-    multi = l1.join(
-        l2,
-        (l1.l_orderkey == l2.ok2) & (l1.l_suppkey != l2.sk2),
-        "left_semi",
-    )
-    # NOT EXISTS: no other supplier shipped strictly later
-    last = multi.join(
-        l2,
-        (multi.l_orderkey == l2.ok2)
-        & (multi.l_suppkey != l2.sk2)
-        & (l2.sd2 > multi.l_shipdate),
-        "left_anti",
-    )
-    return (
-        last.join(
-            cat.df("supplier"), last.l_suppkey == F.col("s_suppkey")
+    per_order = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.max("s_max").alias("order_max"),
+            F.collect_list(
+                F.struct(F.col("s_max").alias("sd"), F.col("l_suppkey").alias("sk"))
+            ).alias("supps"),
         )
+        .where(F.col("n_supp") >= 2)
+    )
+    winners = per_order.select(
+        "l_orderkey",
+        F.explode(
+            F.filter("supps", lambda s: s["sd"] == F.col("order_max"))
+        ).alias("w"),
+    ).select("l_orderkey", F.col("w.sk").alias("l_suppkey"))
+    return (
+        winners.join(cat.df("supplier"), winners.l_suppkey == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count_distinct("l_orderkey").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))

@@ -59,10 +59,16 @@ def _drop_orphan_managed_location(spark: SparkSession, table_name: str) -> None:
     if spark.catalog.tableExists(table_name):
         return
     wh = spark.conf.get("spark.sql.warehouse.dir")
-    # managed location of `db.tbl` is <warehouse>/<db>.db/<tbl>; bare names
-    # land in the default db at <warehouse>/<tbl> (both lowercased)
+    # managed location of `db.tbl` is <warehouse>/<db>.db/<tbl>; a bare name
+    # resolves against the session's CURRENT database (exactly as the
+    # tableExists check above did), which is <warehouse>/<tbl> only for
+    # `default` — resolving a bare name under `USE somedb` to the default-db
+    # path could delete a different, still-registered table's data
     parts = table_name.lower().split(".")
-    rel = parts[-1] if len(parts) == 1 else f"{parts[-2]}.db/{parts[-1]}"
+    if len(parts) == 1:
+        db = spark.catalog.currentDatabase().lower()
+        parts = [db, parts[0]]
+    rel = parts[-1] if parts[-2] == "default" else f"{parts[-2]}.db/{parts[-1]}"
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(wh, rel)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -113,13 +119,19 @@ def bucketed_exact_dedup(docs_bucketed: DataFrame, id_col: str = "doc_id") -> Da
     the plan level: Catalyst infers the `id = keep_id` filter into the join
     keys, demands (id, digest) co-partitioning, and re-shuffles both sides.
     At 100 TB this turns the nightly re-dedup from a full-corpus shuffle
-    into a pure scan."""
+    into a pure scan.
+
+    Null digests (null text) are dropped, matching `normalized_dedup`'s
+    explicit null handling: a null content hash identifies nothing, and an
+    equi-join re-dedup against the digest would silently drop them anyway —
+    grouping them into one "duplicate cluster" would be wrong."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     w = Window.partitionBy("digest")
     return (
-        docs_bucketed.withColumn("__keep_id", F.min(id_col).over(w))
+        docs_bucketed.where(F.col("digest").isNotNull())
+        .withColumn("__keep_id", F.min(id_col).over(w))
         .where(F.col(id_col) == F.col("__keep_id"))
         .drop("__keep_id")
     )

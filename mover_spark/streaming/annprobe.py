@@ -20,8 +20,13 @@ Scale notes:
 - The scan side is the persisted CODE table (8 bytes/vector), cell-
   partition-pruned when n_probe is set; the exact refine touches stored
   vectors only for the refine×k survivors.
-- The parquet sink appends per batch; re-delivered batches are
-  deduplicated by the checkpoint, not by the sink.
+- The sink is idempotent under batch re-delivery: each micro-batch
+  overwrites its own ``batch=<batch_id>`` partition directory, so a batch
+  retried after a successful write that missed its checkpoint commit
+  replaces its previous output instead of appending duplicates —
+  effectively-once output, not just at-least-once (the foreachBatch
+  batch_id is stable across restarts from the same checkpoint, which is
+  exactly what makes this keying sound).
 """
 
 from __future__ import annotations
@@ -69,9 +74,10 @@ def ann_probe_stream(
     n_probe: int | None = None,
 ):
     """Drain the embedding stream with availableNow, answering each
-    micro-batch's vectors via pq_topk_from_index and appending
-    (query_id, neighbor_id, rank, cosine) to `out_dir`. Returns the
-    finished query."""
+    micro-batch's vectors via pq_topk_from_index and writing
+    (query_id, neighbor_id, rank, cosine) under
+    ``out_dir/batch=<batch_id>`` (overwrite — idempotent on batch
+    re-delivery, see module docstring). Returns the finished query."""
     from mover_spark.operators.similarity import pq_topk_from_index
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -85,7 +91,7 @@ def ann_probe_stream(
             refine=refine,
             n_probe=n_probe,
         )
-        out.write.mode("append").parquet(out_dir)
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     q = (
         stream_emb.writeStream.foreachBatch(probe_batch)
@@ -142,4 +148,8 @@ def ann_probe_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         from mover_spark.operators.similarity import _empty_topk
 
         return _empty_topk(emb, "vec_id")
-    return spark.read.parquet(out_dir).orderBy("query_id", "rank")
+    # `batch` is the sink's idempotency partition key, not part of the
+    # result contract — drop it after partition discovery
+    return (
+        spark.read.parquet(out_dir).drop("batch").orderBy("query_id", "rank")
+    )

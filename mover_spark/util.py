@@ -66,3 +66,45 @@ def get_query_table(query: str) -> str:
     if not m:
         raise ValueError(f"unable to retrieve table name from query: {query!r}")
     return m.group("table")
+
+
+def staged_swap(spark, base: str, name: str) -> None:
+    """Swap ``<base>/<name>_compact`` into place as ``<base>/<name>`` via
+    two metadata renames: canonical -> ``_old``, ``_compact`` -> canonical,
+    then delete ``_old``. Unlike delete-then-rename, the canonical path is
+    absent only between the two renames (metadata ops, not a recursive
+    delete of the data tree), and every intermediate state is recoverable:
+    a crash leaves either ``_old`` or ``_compact`` on disk, which
+    :func:`recover_staged_swap` repairs on the next read. Concurrent
+    compactions of the SAME index are not supported (last writer wins) —
+    run compaction from a single maintenance job, as with any parquet
+    rewrite."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    cur = jvm.org.apache.hadoop.fs.Path(f"{base}/{name}")
+    old = jvm.org.apache.hadoop.fs.Path(f"{base}/{name}_old")
+    new = jvm.org.apache.hadoop.fs.Path(f"{base}/{name}_compact")
+    fs = cur.getFileSystem(hconf)
+    if fs.exists(old):  # leftover from a crashed swap; current is complete
+        fs.delete(old, True)
+    fs.rename(cur, old)
+    fs.rename(new, cur)
+    fs.delete(old, True)
+
+
+def recover_staged_swap(spark, base: str, name: str) -> None:
+    """Self-repair after a crash inside :func:`staged_swap`: if the
+    canonical ``<base>/<name>`` is missing, promote whichever complete
+    staging dataset survived (``_compact`` if the swap got that far, else
+    ``_old``). No-op when the canonical path exists."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    cur = jvm.org.apache.hadoop.fs.Path(f"{base}/{name}")
+    fs = cur.getFileSystem(hconf)
+    if fs.exists(cur):
+        return
+    for suffix in ("_compact", "_old"):
+        cand = jvm.org.apache.hadoop.fs.Path(f"{base}/{name}{suffix}")
+        if fs.exists(cand):
+            fs.rename(cand, cur)
+            return

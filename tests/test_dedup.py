@@ -535,3 +535,58 @@ def test_compact_signature_index_drops_reappended_duplicates(spark, catalog, tmp
     assert meta.n_docs == n_base
     after = {r.doc_id for r in dedup_against_index(new, path, 0.8).collect()}
     assert after == before and after
+
+
+def test_containment_band_schemes_rejects_hang_params():
+    """max_miss >= 1 admits every ratio class and slice_base <= 1 stops
+    j_min decreasing — both made the plan-build loop spin forever
+    pre-fix. Out-of-domain parameters must raise, not hang."""
+    import pytest
+
+    from mover_spark.operators.dedup import _containment_band_schemes
+
+    with pytest.raises(ValueError, match="max_miss"):
+        _containment_band_schemes(0.9, 2.0**0.5, 1.0, 48)
+    with pytest.raises(ValueError, match="max_miss"):
+        _containment_band_schemes(0.9, 2.0**0.5, 0.0, 48)
+    with pytest.raises(ValueError, match="slice_base"):
+        _containment_band_schemes(0.9, 1.0, 5e-3, 48)
+    with pytest.raises(ValueError, match="threshold"):
+        _containment_band_schemes(0.0, 2.0**0.5, 5e-3, 48)
+    # valid params still produce a scheme
+    assert _containment_band_schemes(0.9, 2.0**0.5, 5e-3, 48)
+
+
+def test_signature_index_swap_crash_recovery(spark, catalog, tmp_path):
+    """A crash inside compaction's rename-aside window leaves the
+    canonical dataset absent but a complete staging copy on disk; the
+    next read must self-repair (recover_staged_swap) and serve identical
+    results — the ADVICE.md r8 non-atomic-swap finding."""
+    import os
+    import shutil
+
+    from mover_spark.operators.dedup import (
+        dedup_against_index,
+        read_signature_index,
+        write_signature_index,
+    )
+
+    docs = catalog.df("documents")
+    base = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "sig_crash")
+    write_signature_index(base, path)
+    want = {r.doc_id for r in dedup_against_index(new, path, 0.8).collect()}
+
+    # crash after rename-aside, before _compact promoted: only _old exists
+    shutil.move(f"{path}/signatures", f"{path}/signatures_old")
+    read_signature_index(spark, path)
+    assert os.path.isdir(f"{path}/signatures")
+    assert {r.doc_id for r in dedup_against_index(new, path, 0.8).collect()} == want
+
+    # crash after the compact copy was staged but before promotion: the
+    # _compact copy (newest complete data) must win over nothing
+    shutil.move(f"{path}/digests", f"{path}/digests_compact")
+    read_signature_index(spark, path)
+    assert os.path.isdir(f"{path}/digests")
+    assert {r.doc_id for r in dedup_against_index(new, path, 0.8).collect()} == want

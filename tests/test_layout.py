@@ -232,3 +232,55 @@ def test_write_bucketed_reclaims_orphan_managed_location(spark, catalog):
     assert out.count() == docs.count()
     assert not os.path.exists(os.path.join(orphan, "stale.parquet"))
     spark.sql("DROP TABLE IF EXISTS docs_bkt_orphan_t")
+
+
+def test_orphan_sweep_respects_current_database(spark, catalog, tmp_path):
+    """Under `USE somedb`, a bare table name must resolve to somedb's
+    managed location for the orphan sweep — NOT <warehouse>/<tbl>, which
+    may be the live data directory of a same-named default-db table
+    (pre-fix: silent data loss)."""
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    docs = catalog.df("documents").select("doc_id", "n_chars").limit(10)
+    spark.sql("DROP TABLE IF EXISTS sweep_victim")
+    docs.write.mode("overwrite").saveAsTable("sweep_victim")  # managed, default db
+    victim_dir = os.path.join(wh, "sweep_victim")
+    assert os.path.isdir(victim_dir), "fixture assumption: managed location"
+    spark.sql("CREATE DATABASE IF NOT EXISTS sweepdb")
+    spark.sql("USE sweepdb")
+    try:
+        # bare name, unregistered in sweepdb -> sweep fires; must target
+        # <warehouse>/sweepdb.db/sweep_victim, leaving the default-db data
+        from mover_spark.sources.layout import _drop_orphan_managed_location
+
+        _drop_orphan_managed_location(spark, "sweep_victim")
+        assert os.path.isdir(victim_dir), "sweep deleted another db's table data"
+        assert spark.table("default.sweep_victim").count() == 10
+    finally:
+        spark.sql("USE default")
+        spark.sql("DROP DATABASE IF EXISTS sweepdb CASCADE")
+        spark.sql("DROP TABLE IF EXISTS sweep_victim")
+
+
+def test_bucketed_exact_dedup_drops_null_digests(spark, catalog, tmp_path):
+    """Null text hashes to a null digest, which identifies nothing: the
+    dedup must drop those rows (matching normalized_dedup and the
+    equi-join oracle), not elect one null-text row as a canonical doc."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha"),
+            Row(doc_id=2, text="alpha"),
+            Row(doc_id=3, text=None),
+            Row(doc_id=4, text=None),
+        ]
+    )
+    spark.sql("DROP TABLE IF EXISTS docs_null_bkt")
+    bucketed = ensure_bucketed_by_digest(
+        spark, docs, "docs_null_bkt", path=str(tmp_path / "nulls")
+    )
+    kept = bucketed_exact_dedup(bucketed)
+    assert sorted(r.doc_id for r in kept.collect()) == [1]
+    spark.sql("DROP TABLE IF EXISTS docs_null_bkt")

@@ -353,3 +353,35 @@ def test_streaming_ann_probe_multibatch_equals_batch(spark, catalog, tmp_path):
         ).collect()
     }
     assert got == want and want, "stream union != batch top-k"
+
+
+def test_streaming_ann_probe_batch_redelivery_idempotent(spark, catalog, tmp_path):
+    """foreachBatch is at-least-once: a batch can be re-delivered after a
+    successful write whose checkpoint commit was lost. The sink keys each
+    batch's output on its stable batch_id (overwrite of batch=<id>), so
+    re-running the same batch must not duplicate result rows."""
+    from mover_spark.operators.similarity import write_ann_index
+    from mover_spark.streaming.annprobe import STREAM_MOD, ann_probe_stream
+
+    emb = catalog.df("embeddings")
+    corpus = emb.where(F.col("vec_id") % STREAM_MOD != 0)
+    stream_side = emb.where(F.col("vec_id") % STREAM_MOD == 0)
+    index_path = str(tmp_path / "annidx_redeliver")
+    write_ann_index(corpus, index_path)
+
+    src = str(tmp_path / "emb_src")
+    stream_side.coalesce(1).write.parquet(src)
+    out_dir = str(tmp_path / "out")
+
+    def drain(ckpt):
+        stream = spark.readStream.schema(emb.schema).parquet(src)
+        ann_probe_stream(stream, index_path, out_dir, ckpt, k=5, refine=4)
+
+    drain(str(tmp_path / "ckpt1"))
+    once = spark.read.parquet(out_dir).count()
+    assert once > 0
+    # fresh checkpoint, same source, same sink dir = the worst-case
+    # re-delivery: batch 0 runs again against an out_dir that already
+    # holds batch 0's output
+    drain(str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(out_dir).count() == once

@@ -230,3 +230,18 @@ def test_market_share_empty_tables(spark, catalog):
     out = market_share(EmptyCat())
     assert out.count() == 0
     assert out.columns == ["o_year", "mkt_share"]
+
+
+def test_waiting_suppliers_plan_has_no_nonequi_self_join(spark, catalog):
+    """Q21 regression pin: the rewrite replaced two non-equi lineitem
+    self-joins (SMJ sort spill, 221.8 s / alpha=1.16 at sf100) with two
+    map-side-combining aggregates. The physical plan must contain exactly
+    two joins (finished-order semi, supplier lookup), both pure-equi —
+    any `!=` join condition means the self-join crept back."""
+    from mover_spark.operators.subqueries import waiting_suppliers
+
+    df = waiting_suppliers(catalog)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    joins = [l for l in plan.splitlines() if "Join" in l]
+    assert len(joins) == 2, joins
+    assert all("NOT (" not in l for l in joins), joins
