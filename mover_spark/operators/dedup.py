@@ -46,6 +46,18 @@ _rng = random.Random(42)
 MINHASH_A = [_rng.randrange(1, MERSENNE_P) for _ in range(N_MINHASH)]
 MINHASH_B = [_rng.randrange(0, MERSENNE_P) for _ in range(N_MINHASH)]
 
+#: Dedicated containment signature pool (LSH Ensemble operates at 256+
+#: perms for size asymmetry — Zhu et al., VLDB 2016). Separate from the
+#: 48-perm Jaccard pool: containment banding needs many narrow bands at
+#: low per-class Jaccard floors, and stealing those from the shared pool
+#: would either cap coverage at 2x containers (the measured alpha=1.20
+#: candidate-growth defect at sf100) or degrade the Jaccard operating
+#: point. Baked constants, distinct seed — deterministic signatures.
+N_CONTAIN_MINHASH = 256
+_crng = random.Random(4243)
+CONTAIN_A = [_crng.randrange(1, MERSENNE_P) for _ in range(N_CONTAIN_MINHASH)]
+CONTAIN_B = [_crng.randrange(0, MERSENNE_P) for _ in range(N_CONTAIN_MINHASH)]
+
 
 def words_col(text: Column | str = "text") -> Column:
     c = F.col(text) if isinstance(text, str) else text
@@ -348,51 +360,92 @@ def containment_pairs(
     )
 
 
+#: deepest ratio class served by BANDING in containment_lsh; deeper size
+#: ratios go to the exact prefix-filter arm. Chosen from measured false-
+#: positive economics, not signature capacity: class 2-3 banding (r=2, 94
+#: bands) admits background pairs at rate ~1 - (1-j_bg^2)^94 ~ 14% of the
+#: class stratum (j_bg~0.04) — a quadratic term that dominated sf10 wall
+#: clock — while classes 0-1 band at r=5/r=3 where the background rate is
+#: negligible. The exact arm is linear in corpus postings with q=2-gated
+#: output, the better deal for every class the signature can only serve
+#: at r=2.
+CONTAIN_BAND_MAX_CLASS = 1
+
+#: multi-match requirement of the exact deep arm (see the q-gram lower
+#: bound note in _deep_containment_candidates). q=3: a candidate must
+#: share three prefix tokens, which cut measured background candidates
+#: ~geometrically per extra token at a sub-token-per-doc prefix cost.
+CONTAIN_DEEP_Q = 3
+
+
 def _containment_band_schemes(
-    threshold: float, slice_base: float, max_miss: float, n_hash: int
-) -> dict[int, list[int]]:
-    """rows-per-band -> list of admissible size-ratio classes, the LSH
-    Ensemble tuning step (Zhu et al., VLDB 2016) done at plan-build time.
+    threshold: float,
+    slice_base: float,
+    max_miss: float,
+    n_hash: int,
+    max_class: int | None = None,
+) -> dict[int, tuple[int, list[int]]]:
+    """rows-per-band -> (bands used, admissible size-ratio classes): the
+    LSH Ensemble tuning step (Zhu et al., VLDB 2016) done at plan-build
+    time against the dedicated containment pool.
 
     For ratio class k (container slice minus query slice), the worst-case
     Jaccard a true containment-t pair can have is
         j_min(k) = t / (1 + w^(k+1) - t)          [w = slice_base]
-    (containment C >= t with |B| <= w^(k+1)·|A| implies
-    J = C·n_a/(n_a + n_b - C·n_a) >= j_min). Each class is assigned the
-    WIDEST rows-per-band r >= 2 whose banded miss probability
-    (1 - j_min^r)^(n_hash/r) stays under max_miss. r=1 is REFUSED on
-    principle: a single-minhash band collides with probability equal to
-    raw Jaccard, so against a corpus with background similarity j_bg the
-    candidate rate is 1-(1-j_bg)^n_hash — measured 5.2M of 12.5M pairs
-    (86%+ band-collision rate) at the fixtures' j_bg~0.04 — i.e. r=1 is
-    the quadratic all-pairs scan wearing an LSH costume. Classes that
-    cannot meet max_miss at r>=2 are dropped instead: the documented
-    coverage limit — containers beyond w^(K+1)x the query's size are not
-    searched, and extending K honestly requires a LONGER signature (LSH
-    Ensemble runs 256+ perms for deep asymmetry), never narrower bands.
+    (containment C >= t with |B| <= w^(k+1)*|A| implies
+    J = C*n_a/(n_a + n_b - C*n_a) >= j_min). Each class gets the LARGEST
+    rows-per-band r (2..16) whose required band count
+        n_req = ceil(ln(max_miss) / ln(1 - j_min^r))
+    fits the signature (r*n_req <= n_hash) — bands are free to use any
+    count, not just n_hash/r, so a 256-perm pool runs r=5 x 44 bands for
+    same-size classes and r=2 x 94 bands for 4x containers at t=0.95.
+    Maximizing r is always optimal for false-positive rate: moving r up
+    multiplies the per-band background collision j_bg^r by j_bg and the
+    band count by ~1/j_min, a net win whenever j_bg < j_min (always, for
+    classes we keep). r=1 is REFUSED on principle: a single-minhash band
+    collides with probability equal to raw Jaccard — the quadratic
+    all-pairs scan wearing an LSH costume (measured 86%+ band-collision
+    rate at the fixtures' j_bg~0.04).
+
+    Classes the signature cannot band at r >= 2 are NOT silently dropped
+    anymore: containment_lsh routes deeper ratio classes to the exact
+    asymmetric prefix-filter arm (see its docstring) — banding a class
+    like j_min=0.118 (8x containers at t=0.95) would take 378 bands at
+    r=2, whose background collision rate 1-(1-j_bg^2)^378 ~ 0.45 IS the
+    all-pairs scan again; no signature length fixes that, the honest
+    deep-asymmetry path is the inverted index.
 
     Parameter domains are enforced: max_miss in (0, 1) — at >= 1 every
     class is admissible and the loop never terminates; slice_base > 1 —
     at <= 1 j_min stops decreasing with k, same hang; threshold in
     (0, 1]. Out-of-domain values raise instead of hanging the driver."""
+    import math
+
     if not (0.0 < max_miss < 1.0):
         raise ValueError(f"max_miss must be in (0, 1), got {max_miss}")
     if not (slice_base > 1.0):
         raise ValueError(f"slice_base must be > 1, got {slice_base}")
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    schemes: dict[int, list[int]] = {}
+    schemes: dict[int, tuple[int, list[int]]] = {}
     k = 0
     while True:
         j_min = threshold / (1 + slice_base ** (k + 1) - threshold)
         chosen = None
-        for r in (4, 3, 2):
-            if n_hash % r == 0 and (1 - j_min**r) ** (n_hash // r) <= max_miss:
-                chosen = r
+        for r in range(min(16, n_hash // 2), 1, -1):
+            n_req = math.ceil(math.log(max_miss) / math.log(1.0 - j_min**r))
+            if r * n_req <= n_hash:
+                chosen = (r, n_req)
                 break
         if chosen is None:
             break
-        schemes.setdefault(chosen, []).append(k)
+        if max_class is not None and k > max_class:
+            break
+        r, n_req = chosen
+        n_bands, classes = schemes.get(r, (0, []))
+        # one physical scheme per r: the deepest class in the group fixes
+        # the band count (extra bands only lower shallower classes' miss)
+        schemes[r] = (max(n_bands, n_req), classes + [k])
         k += 1
     if not schemes:
         raise ValueError(
@@ -403,6 +456,198 @@ def _containment_band_schemes(
     return schemes
 
 
+def _containment_reps(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(reps, members) — one representative doc per DISTINCT SHINGLE SET
+    (reps: (doc, hs)), plus the rep-doc -> member map (members:
+    (rep, doc)), both persisted and memoized.
+
+    Containment is a pure function of the two shingle sets, so docs with
+    identical sets are interchangeable in BOTH pair positions — banding
+    them all is the classic LSH duplicate-mass blowup: an exact-dup
+    cluster of m docs puts m rows in every one of its band buckets and
+    m^2 rows through every band join. Collapsing to representatives makes
+    the candidate stage scale with DISTINCT content; the (quadratic, but
+    output-sized) member expansion happens after exact verification."""
+    kr = _dedup_cache_key(df, "containment_reps", text_col, id_col)
+    km = _dedup_cache_key(df, "containment_members", text_col, id_col)
+    reps = _cache_get(_SIG_CACHE, kr)
+    members = _cache_get(_SIG_CACHE, km)
+    if reps is not None and members is not None:
+        return reps, members
+    for key in (kr, km):  # partial eviction: rebuild the pair coherently
+        old = _SIG_CACHE.pop(key, None)
+        if old is not None:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+    sh = _hashed_shingles(df, text_col, id_col)
+    tagged = sh.select(
+        "doc", "hs", F.xxhash64(F.array_sort("hs")).alias("sd")
+    ).withColumn("rep", F.min("doc").over(Window.partitionBy("sd")))
+    members = tagged.select("rep", "doc").persist()
+    reps = (
+        tagged.where(F.col("doc") == F.col("rep")).select("doc", "hs").persist()
+    )
+    _cache_put(_SIG_CACHE, km, members, _SIG_CACHE_MAX)
+    _cache_put(_SIG_CACHE, kr, reps, _SIG_CACHE_MAX)
+    return reps, members
+
+
+def _containment_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, n, mhs) per representative — the DEDICATED 256-perm
+    containment signature (CONTAIN_A/B pool), persisted and memoized.
+    Separate from the 48-perm Jaccard pool: deep ratio classes need band
+    counts (44+51+94 at t=0.95) a 48-hash signature cannot host. Runs on
+    representatives only, so the Arrow pass scales with distinct content."""
+    key = _dedup_cache_key(df, "containment_sig256", text_col, id_col)
+    hit = _cache_get(_SIG_CACHE, key)
+    if hit is not None:
+        return hit
+    reps, _ = _containment_reps(df, text_col, id_col)
+    mh = minhash_signature_udf(CONTAIN_A, CONTAIN_B)
+    sig = reps.select(
+        "doc",
+        F.size("hs").alias("n"),
+        mh(
+            F.transform("hs", lambda h: F.pmod(h, F.lit(MERSENNE_P)))
+        ).alias("mhs"),
+    ).persist()
+    return _cache_put(_SIG_CACHE, key, sig, _SIG_CACHE_MAX)
+
+
+def _deep_containment_candidates(
+    reps_sl: DataFrame, threshold: float, k_floor: int
+) -> DataFrame:
+    """EXACT candidate generation for the deep-asymmetry stratum
+    (slice_b - slice_a > k_floor) — the asymmetric prefix filter of
+    containment_pairs, restricted to cross-slice pairs. Banding cannot
+    serve this stratum: its Jaccard floor is so low that the required
+    band count collides on background similarity (see
+    _containment_band_schemes) — but the inverted index CAN, because the
+    stratum is the thin tail of the size distribution:
+
+    - only docs that could have a >k_floor-slices-larger container
+      explode prefixes (slice <= max_slice - k_floor - 1);
+    - only docs that could BE such a container post their tokens
+      (slice >= min_slice + k_floor + 1), and only tokens that occur in
+      some admissible prefix (left-semi join) — the full-corpus posting
+      list never materializes;
+    - the stratum condition is IN THE JOIN KEY, not a post-join filter:
+      each prefix token fans out to its admissible container slices
+      (slice_a + k_floor + 1 .. max_slice, a bounded sequence) and joins
+      (tok, slice) against the posting side keyed by its own slice — a
+      shared common token between two similar-size docs never produces a
+      join row here (measured 171k post-filter candidate rows collapsed
+      to the true deep matches at sf0.1);
+    - the shared-token join then carries the rare-first positional filter
+      of the exact operator, and candidates verify exactly downstream.
+
+    reps_sl: (doc, hs, n, slice) representatives. Lossless for its
+    stratum — the overall operator's recall loss is confined to the
+    banded shallow classes' per-class <= max_miss."""
+    bounds = reps_sl.agg(
+        F.min("slice").alias("lo"), F.max("slice").alias("hi")
+    ).collect()[0]
+    if bounds.lo is None or bounds.hi - bounds.lo <= k_floor:
+        # no pair of slices spans the deep stratum — empty, typed off the
+        # input so any id type unions cleanly with the banded candidates
+        return reps_sl.select(
+            F.col("doc").alias("doc_inner"), F.col("doc").alias("doc_outer")
+        ).limit(0)
+    hi = int(bounds.hi)
+    lo = int(bounds.lo)
+    # global token order = ascending shingle hash (array_sort, zero
+    # shuffles). Prefix/positional filtering only needs SOME consistent
+    # total order on both sides; the classic rare-first order buys a
+    # smaller candidate set at the price of a corpus-wide frequency
+    # aggregate + per-doc re-sort (3 extra exchanges) — with the q=2
+    # multi-match gate below carrying the background-selectivity load,
+    # hash order keeps the join volume acceptable and the plan 3 stages
+    # shorter.
+    sorted_docs = reps_sl.select(
+        "doc", "n", "slice", F.array_sort("hs").alias("sorted_sh")
+    )
+
+    def req_overlap(n):
+        return F.ceil(n * F.lit(threshold) - F.lit(1e-9))
+
+    # q-MATCH REQUIREMENT (PPJoin-family q-gram lower bound): if
+    # |A∩B| >= req then among A's first n - req + q tokens at least
+    # min(q, req) are in B (pigeonhole), and the q-th such match at
+    # positions (i, j) satisfies q + min(n_a - i, n_b - j) >= req. So the
+    # prefix is q-1 tokens longer, each shared-token row passes the
+    # q-slack positional bound, and a pair must produce >= min(q, req)
+    # rows to become a candidate. On a corpus with correlated vocabulary
+    # a single shared token is weak evidence (measured at sf0.1: 168k
+    # single-match deep candidates for 0 true deep pairs; q=2 left 3.1M
+    # at sf10); each additional independently-shared token cuts the
+    # background geometrically while staying lossless for true pairs.
+    a = (
+        sorted_docs.where(F.col("slice") <= F.lit(hi - k_floor - 1))
+        .withColumn(
+            "prefix",
+            F.slice(
+                F.col("sorted_sh"),
+                1,
+                F.greatest(
+                    (
+                        F.col("n") - req_overlap(F.col("n")) + CONTAIN_DEEP_Q
+                    ).cast("int"),
+                    F.lit(1),
+                ),
+            ),
+        )
+        .select("doc", "n", "slice", F.posexplode("prefix").alias("pos", "tok"))
+        .select(
+            F.col("doc").alias("doc_inner"),
+            F.col("n").alias("n_a"),
+            (F.col("pos") + 1).alias("i"),
+            "tok",
+            F.explode(
+                F.sequence(F.col("slice") + F.lit(k_floor + 1), F.lit(hi))
+            ).alias("slice_key"),
+        )
+    )
+    ptoks = a.select("tok").distinct()
+    b = (
+        sorted_docs.where(F.col("slice") >= F.lit(lo + k_floor + 1))
+        .select("doc", "n", "slice", F.posexplode("sorted_sh").alias("pos", "tok"))
+        .select(
+            F.col("doc").alias("doc_outer"),
+            F.col("n").alias("n_b"),
+            F.col("slice").alias("slice_key"),
+            (F.col("pos") + 1).alias("j"),
+            "tok",
+        )
+        .join(ptoks, "tok", "left_semi")
+    )
+    return (
+        a.join(b, ["tok", "slice_key"])
+        .where(
+            (F.col("n_b") >= req_overlap(F.col("n_a")))
+            & (
+                (
+                    CONTAIN_DEEP_Q
+                    + F.least(F.col("n_a") - F.col("i"), F.col("n_b") - F.col("j"))
+                )
+                >= req_overlap(F.col("n_a"))
+            )
+        )
+        .groupBy("doc_inner", "n_a", "doc_outer")
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .where(
+            F.col("__m")
+            >= F.least(F.lit(CONTAIN_DEEP_Q), req_overlap(F.col("n_a")))
+        )
+        .select("doc_inner", "doc_outer")
+    )
+
+
 def containment_lsh(
     df: DataFrame,
     threshold: float = 0.9,
@@ -411,124 +656,189 @@ def containment_lsh(
     slice_base: float = 2.0 ** 0.5,
     max_miss: float = 5e-3,
 ) -> DataFrame:
-    """APPROXIMATE twin of containment_pairs — LSH-Ensemble-style banded
-    candidate generation (size-sliced corpus, per-ratio-class band width)
-    with exact verification, the sub-quadratic scale path for
-    quote/doc-in-doc detection. Same output schema and, on corpora whose
-    true pairs sit above the per-class j_min (every planted fixture
-    pair), the same rows as the exact operator.
+    """Sub-quadratic twin of containment_pairs: LSH-Ensemble banded
+    candidates over a DEDICATED 256-perm signature for bounded size
+    ratios, the exact asymmetric prefix filter for the deep tail, and
+    duplicate-mass collapse — with exact verification, so precision is
+    exactly 1 and the output schema/rows match the exact operator on any
+    corpus whose true pairs clear the banded classes' per-class miss
+    bound (<= max_miss each; the deep stratum is lossless).
+
+    Three structural moves, each answering a measured scale defect:
+
+    1. REPRESENTATIVE COLLAPSE (_containment_reps): candidates are
+       generated over one representative per distinct shingle set.
+       Pre-fix, candidate volume tracked duplication mass (alpha=1.20 at
+       sf100): an exact-dup cluster of m docs multiplied every band
+       bucket by m and every band join by m^2. Post-fix the band stage
+       scales with distinct content; member pairs expand AFTER exact
+       verification (intra-cluster pairs are emitted directly — identical
+       sets have containment exactly 1.0).
+    2. DEDICATED SIGNATURE POOL (N_CONTAIN_MINHASH=256, CONTAIN_A/B):
+       per-ratio-class (r, n_bands) tuning picks the largest r whose
+       required band count fits — at t=0.95: r=5 x 44 bands (same-size),
+       r=3 x 51, r=2 x 46, r=2 x 94 (4x containers). The shared 48-perm
+       Jaccard pool capped coverage at 2x containers AND forced r=2
+       everywhere; 256 perms both extend coverage and cut shallow-class
+       background collisions by orders of magnitude (j_bg^5 vs j_bg^2).
+    3. EXACT DEEP ARM (_deep_containment_candidates): ratio classes past
+       banded coverage (>4x at t=0.95) use the inverted-index prefix
+       filter restricted to the cross-slice stratum — deep asymmetry has
+       Jaccard floors banding fundamentally cannot separate from
+       background (the r=2/378-band scheme would collide on ~45% of ALL
+       pairs), while the size-tail restriction keeps the index join tiny.
+       Full ratio coverage, no silent cutoff: the old "containers beyond
+       2x are not searched" limit is gone.
 
     Why symmetric MinHash banding alone can't do containment: a short doc
     quoted in a much larger one has containment ~1 but Jaccard ~n_a/n_b,
     below any fixed banding threshold. LSH Ensemble's move (public art:
-    Zhu et al., VLDB 2016) is to partition by SET SIZE — then within a
-    bounded size-ratio class the containment threshold maps to a Jaccard
-    floor, and a class-specific band width restores recall. Here:
+    Zhu et al., VLDB 2016) is to partition by SET SIZE — within a bounded
+    size-ratio class the containment threshold maps to a Jaccard floor a
+    class-specific band scheme can serve. Shares _hashed_shingles with
+    the exact operator (one corpus pass, memoized)."""
+    import math as _math
 
-    - docs slice geometrically by shingle count (base sqrt(2));
-    - ratio class k = slice(B) - slice(A); per class the widest
-      rows-per-band (>= 2) meeting `max_miss` is chosen at plan-build
-      time (_containment_band_schemes). At t=0.95 / 48 hashes that is
-      r=2 out to k=1, i.e. containers up to 2x the query's shingle
-      count; deeper asymmetry is NOT searched — the scheme builder
-      refuses the degenerate r=1 fallback (near-all-pairs candidate
-      rates; see its docstring), so wider coverage honestly costs a
-      longer signature, not silent quadratic work.
-    - candidates verify EXACTLY (|A∩B|/|A| on hashed shingle arrays), so
-      precision is 1; only recall is probabilistic.
-
-    Shares _hashed_shingles with the exact operator (one corpus pass,
-    memoized); signatures reuse the corpus MinHash constants so the same
-    48 values drive both Jaccard and containment banding."""
-    sh = _hashed_shingles(df, text_col, id_col)
-    # signatures come from the PERSISTED corpus memo shared with every
-    # other MinHash consumer (minhash_lsh_pairs, similar_docs, the
-    # incremental path): in a session that already ran any of them the
-    # Arrow signature pass is free here, and band_rows() below can be
-    # evaluated once per scheme without re-running a UDF pass each time.
-    sig = (
-        _signatures(df, text_col, id_col)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.size("sh").alias("n"),
-            "mhs",
-        )
-        .withColumn(
-            # geometric size slice: floor(log_w(n)) with w=sqrt(2) =>
-            # floor(2*log2(n)); both join sides compute it identically so
-            # boundary rounding cannot disagree
-            "slice",
-            F.floor(F.log2(F.col("n").cast("double")) * 2).cast("int"),
-        )
+    reps, members = _containment_reps(df, text_col, id_col)
+    slice_den = F.lit(_math.log2(slice_base))
+    sig = _containment_signatures(df, text_col, id_col).withColumn(
+        # geometric size slice: floor(log_w(n)); both join sides compute
+        # it identically so boundary rounding cannot disagree
+        "slice",
+        F.floor(F.log2(F.col("n").cast("double")) / slice_den).cast("int"),
     )
 
-    def band_rows(r: int) -> DataFrame:
-        n_bands = N_MINHASH // r
+    schemes = _containment_band_schemes(
+        threshold,
+        slice_base,
+        max_miss,
+        N_CONTAIN_MINHASH,
+        max_class=CONTAIN_BAND_MAX_CLASS,
+    )
+    k_band = max(k for _, ks in schemes.values() for k in ks)
+
+    # ONE band-row relation for all schemes, one join: scheme r's band b
+    # gets the global band index offset_r + b (buckets from different
+    # schemes can never collide on key). The ratio class is part of the
+    # JOIN KEY: a scheme's query side fans each band row out to
+    # slice_a + k for its classes {k} and joins (band, bucket, slice)
+    # against the container side keyed by its own slice — a band
+    # collision between docs whose size gap is outside the scheme's
+    # classes (notably same-size near-dup mass colliding in every band
+    # of the deep r=2 scheme) never materializes a join row. Negative
+    # classes (containers slightly SMALLER than the query) are bounded
+    # by the size constraint n_b >= t*n_a: slice_b - slice_a >=
+    # floor(log_w t), a handful of extra keys owned by the most
+    # selective scheme, whose bands are recall-safe there (j_min only
+    # rises as k falls).
+    k_neg = int(_math.floor(_math.log(threshold) / _math.log(slice_base)))
+    a_parts, b_parts = [], []
+    offset = 0
+    first = True
+    for r in sorted(schemes, reverse=True):
+        n_bands, classes = schemes[r]
+        ks = (list(range(k_neg, min(classes))) if first else []) + list(classes)
+        first = False
         cols = [
             F.xxhash64(*[F.col("mhs")[b * r + i] for i in range(r)])
             for b in range(n_bands)
         ]
-        return sig.select(
-            "doc", "n", "slice", F.posexplode(F.array(*cols)).alias("band", "bucket")
+        rows = sig.select(
+            "doc",
+            "n",
+            "slice",
+            F.posexplode(F.array(*cols)).alias("band0", "bucket"),
+        ).select(
+            "doc", "n", "slice", (F.col("band0") + F.lit(offset)).alias("band"), "bucket"
         )
-
-    schemes = _containment_band_schemes(
-        threshold, slice_base, max_miss, N_MINHASH
-    )
+        offset += n_bands
+        a_parts.append(
+            rows.select(
+                F.col("doc").alias("doc_inner"),
+                F.col("n").alias("n_a"),
+                "band",
+                "bucket",
+                F.explode(
+                    F.array(*[F.col("slice") + F.lit(int(k)) for k in ks])
+                ).alias("slice_key"),
+            )
+        )
+        b_parts.append(
+            rows.select(
+                F.col("doc").alias("doc_outer"),
+                F.col("n").alias("n_b"),
+                F.col("slice").alias("slice_key"),
+                "band",
+                "bucket",
+            )
+        )
+    a_rows = a_parts[0]
+    for part in a_parts[1:]:
+        a_rows = a_rows.unionByName(part)
+    b_rows = b_parts[0]
+    for part in b_parts[1:]:
+        b_rows = b_rows.unionByName(part)
     req = F.ceil(F.col("n_a") * F.lit(threshold) - F.lit(1e-9))
-    cands = None
-    # iterate most-selective scheme first (largest r owns the lowest
-    # ratio classes); each scheme covers its own class range, and the
-    # first one additionally owns every k below it (negative k — smaller
-    # containers — only raises j_min, so the most selective bands are
-    # always recall-safe there)
-    cover_floor = None
-    for r in sorted(schemes, reverse=True):
-        classes = schemes[r]
-        rows = band_rows(r)
-        a = rows.select(
-            F.col("doc").alias("doc_inner"),
-            F.col("n").alias("n_a"),
-            F.col("slice").alias("slice_a"),
-            "band",
-            "bucket",
-        )
-        b = rows.select(
-            F.col("doc").alias("doc_outer"),
-            F.col("n").alias("n_b"),
-            F.col("slice").alias("slice_b"),
-            "band",
-            "bucket",
-        )
-        kdiff = F.col("slice_b") - F.col("slice_a")
-        cond = kdiff <= F.lit(max(classes))
-        if cover_floor is not None:
-            cond = cond & (kdiff >= F.lit(cover_floor))
-        cover_floor = max(classes) + 1
-        got = (
-            a.join(b, on=["band", "bucket"])
-            .where(cond)
-            .where((F.col("doc_inner") != F.col("doc_outer")) & (F.col("n_b") >= req))
-            .select("doc_inner", "doc_outer")
-        )
-        cands = got if cands is None else cands.unionByName(got)
+    cands = (
+        a_rows.join(b_rows, on=["band", "bucket", "slice_key"])
+        .where((F.col("doc_inner") != F.col("doc_outer")) & (F.col("n_b") >= req))
+        .select("doc_inner", "doc_outer")
+    )
 
-    candidates = cands.distinct()
-    sha = sh.select(F.col("doc").alias("doc_inner"), F.col("hs").alias("hs_a"))
-    shb = sh.select(F.col("doc").alias("doc_outer"), F.col("hs").alias("hs_b"))
+    reps_sl = reps.join(sig.select("doc", "n", "slice"), "doc")
+    deep = _deep_containment_candidates(reps_sl, threshold, k_band)
+    candidates = cands.unionByName(deep).distinct()
+
+    sha = reps.select(F.col("doc").alias("doc_inner"), F.col("hs").alias("hs_a"))
+    shb = reps.select(F.col("doc").alias("doc_outer"), F.col("hs").alias("hs_b"))
     ratio = (
         F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("double")
         / F.size("hs_a")
     )
-    return (
+    rep_pairs = (
         candidates.join(sha, "doc_inner")
         .join(shb, "doc_outer")
         .withColumn("__r", ratio)
         .where(F.col("__r") >= threshold)
         .select(
-            "doc_inner", "doc_outer", F.round(F.col("__r"), 6).alias("containment")
+            "doc_inner",
+            "doc_outer",
+            F.round(F.col("__r"), 6).alias("containment"),
         )
     )
+    # expand verified representative pairs to member pairs (distinct
+    # shingle sets have distinct reps, so member ids never collide), and
+    # emit intra-set pairs directly: identical sets have containment
+    # exactly 1. members is keyed by rep doc — two equi-joins, no
+    # digest indirection.
+    expanded = (
+        rep_pairs.join(
+            members.select(
+                F.col("rep").alias("doc_inner"), F.col("doc").alias("m_i")
+            ),
+            "doc_inner",
+        )
+        .join(
+            members.select(
+                F.col("rep").alias("doc_outer"), F.col("doc").alias("m_o")
+            ),
+            "doc_outer",
+        )
+        .select(
+            F.col("m_i").alias("doc_inner"),
+            F.col("m_o").alias("doc_outer"),
+            "containment",
+        )
+    )
+    intra = (
+        members.select("rep", F.col("doc").alias("doc_inner"))
+        .join(members.select("rep", F.col("doc").alias("doc_outer")), "rep")
+        .where(F.col("doc_inner") != F.col("doc_outer"))
+        .select(
+            "doc_inner", "doc_outer", F.lit(1.0).alias("containment")
+        )
+    )
+    return expanded.unionByName(intra)
 
 
 def substring_dup_spans(
@@ -665,17 +975,25 @@ def minhash_signature_cols(sh: Column) -> list[Column]:
     return sigs
 
 
-def minhash_signature_udf():
+def minhash_signature_udf(a_consts=None, b_consts=None):
     """Arrow-vectorized minhash: one (n_perm x n_shingle) numpy broadcast
-    per row instead of 48 interpreted array traversals. Input: the
+    per row instead of n_perm interpreted array traversals. Input: the
     pmod(xxhash64(shingle), p) array (hashing stays JVM-side so values match
     minhash_signature_cols bit-for-bit); a*x < 2^31 * 2^31 = 2^62 never
-    overflows int64, and numpy % equals Spark pmod on non-negatives."""
-    A = np.array(MINHASH_A, dtype=np.int64)[:, None]
-    B = np.array(MINHASH_B, dtype=np.int64)[:, None]
+    overflows int64, and numpy % equals Spark pmod on non-negatives.
+    Defaults to the shared 48-perm Jaccard pool; the containment operator
+    passes its dedicated longer pool (CONTAIN_A/B)."""
+    A = np.array(a_consts or MINHASH_A, dtype=np.int64)[:, None]
+    B = np.array(b_consts or MINHASH_B, dtype=np.int64)[:, None]
 
     @F.pandas_udf("array<long>")
     def sig(hashes: pd.Series) -> pd.Series:
+        # per-row (n_perm x n_tok) broadcast, NOT a batch-flattened
+        # reduceat kernel: the per-doc working set stays L1/L2-resident
+        # (256 x ~100 int64), which measured 4.5x faster than the
+        # flattened (chunk x batch_tokens) shape whose transients thrash
+        # the cache — and either way the Arrow transfer, not the numpy
+        # kernel, bounds this stage's wall clock
         out = []
         for h in hashes:
             x = np.asarray(h, dtype=np.int64)[None, :]

@@ -393,16 +393,16 @@ def test_containment_lsh_matches_exact(spark, catalog):
 def test_containment_lsh_finds_asymmetric_quote(spark):
     """A doc fully quoted inside a ~1.4x container sits at Jaccard ~0.7 —
     BELOW the 0.95 a symmetric banding threshold would demand — and must
-    surface through the size-sliced ratio-class scheme. A container
-    beyond the documented coverage (> w^(kmax+1) x) is legitimately NOT
-    searched; the second assertion pins that contract."""
+    surface through the size-sliced ratio-class scheme. Containers past
+    banded coverage now surface too, via the exact deep arm: the old
+    "beyond 2x is not searched" cutoff is gone."""
     from mover_spark.operators.dedup import containment_lsh
 
     # 11 distinct words -> 10 distinct bigram shingles (slice 6)
     quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
-    # +4 words -> 14 shingles (slice 7, ratio class k=1: covered at t=0.95)
+    # +4 words -> 14 shingles (slice 7, ratio class k=1)
     small_container = quote + " mu nu xi omicron"
-    # +20 words -> 30 shingles (slice 9, k=3: beyond 48-perm coverage)
+    # +20 words -> 30 shingles (slice 9, k=3: banded only by the 256 pool)
     big_container = quote + " " + " ".join(f"w{i}" for i in range(20))
     df = spark.createDataFrame(
         [(1, quote), (2, small_container), (3, big_container)],
@@ -413,20 +413,109 @@ def test_containment_lsh_finds_asymmetric_quote(spark):
         for r in containment_lsh(df, threshold=0.95).collect()
     }
     assert got.get((1, 2)) == 1.0, got
-    assert (1, 3) not in got, "beyond-coverage container must not be searched"
+    assert got.get((1, 3)) == 1.0, got
+
+
+def test_containment_lsh_deep_planted_containers(spark, catalog):
+    """The r8 verdict's done-criterion: planted 4x and 8x containers must
+    be recalled and match containment_pairs exactly. 4x rides the
+    256-perm banded classes (k=3); 8x is past any sane banding (its
+    Jaccard floor ~0.118 needs 378 r=2 bands = background all-pairs) and
+    must come through the exact prefix-filter deep arm."""
+    from mover_spark.operators.dedup import (
+        clear_dedup_caches,
+        containment_lsh,
+        containment_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(25))  # 24 shingles
+    four_x = quote + " " + " ".join(f"f{i}" for i in range(72))  # ~97 sh
+    eight_x = quote + " " + " ".join(f"e{i}" for i in range(168))  # ~193 sh
+    # background docs so banding has something to not-collide with
+    noise = [
+        (100 + i, " ".join(f"n{i}_{j}" for j in range(30))) for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        [(1, quote), (2, four_x), (3, eight_x)] + noise,
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.doc_inner, r.doc_outer, r.containment)
+        for r in containment_pairs(df, 0.95).collect()
+    }
+    lsh = {
+        (r.doc_inner, r.doc_outer, r.containment)
+        for r in containment_lsh(df, 0.95).collect()
+    }
+    assert (1, 2, 1.0) in exact and (1, 3, 1.0) in exact, exact
+    assert lsh == exact
+    clear_dedup_caches()
+
+
+def test_containment_lsh_dup_mass_collapse(spark, catalog):
+    """Candidate generation must scale with DISTINCT content: an
+    exact-dup cluster of m docs may not multiply band-join volume by m^2
+    (the measured alpha=1.20 growth at sf100). Representatives band once
+    per distinct shingle set; the full m*(m-1) intra-cluster output and
+    cross-cluster member pairs still come out, identical to the exact
+    operator."""
+    from mover_spark.operators.dedup import (
+        _containment_reps,
+        clear_dedup_caches,
+        containment_lsh,
+        containment_pairs,
+    )
+
+    quote = " ".join(f"d{i}" for i in range(20))
+    container = quote + " extra words here padding"
+    dups = [(10 + i, quote) for i in range(12)]  # 12 identical docs
+    df = spark.createDataFrame(
+        dups + [(50, container)], "doc_id long, text string"
+    )
+    reps, members = _containment_reps(df)
+    assert reps.count() == 2, "12 identical docs must collapse to one rep"
+    assert members.count() == 13
+    exact = {
+        (r.doc_inner, r.doc_outer, r.containment)
+        for r in containment_pairs(df, 0.95).collect()
+    }
+    lsh = {
+        (r.doc_inner, r.doc_outer, r.containment)
+        for r in containment_lsh(df, 0.95).collect()
+    }
+    # 12*11 intra-cluster ordered pairs + 12 quote-in-container pairs
+    assert len(exact) == 12 * 11 + 12
+    assert lsh == exact
+    clear_dedup_caches()
 
 
 def test_containment_scheme_builder_contract(spark):
     """Plan-build-time tuning: wide bands only (r >= 2) — the r=1
-    fallback is refused (degenerate candidate rates) — and classes the
-    signature can't band selectively are dropped, raising when NONE fit."""
+    fallback is refused (degenerate candidate rates) — per-class band
+    counts are sized to the miss bound (not locked to n_hash/r), classes
+    the signature can't band go to the exact deep arm, and the builder
+    raises when NOTHING fits. The 256-perm pool must extend banded
+    coverage to 4x containers (class 3) with escalating selectivity."""
     import pytest as _pytest
 
-    from mover_spark.operators.dedup import _containment_band_schemes
+    from mover_spark.operators.dedup import (
+        N_CONTAIN_MINHASH,
+        _containment_band_schemes,
+    )
 
     s95 = _containment_band_schemes(0.95, 2**0.5, 5e-3, 48)
     assert 1 not in s95, "r=1 must never be chosen"
-    assert s95 == {2: [0, 1]}, s95
+    assert s95 == {2: (22, [0, 1])}, s95
+    s256 = _containment_band_schemes(0.95, 2**0.5, 5e-3, N_CONTAIN_MINHASH)
+    assert s256 == {5: (44, [0]), 3: (51, [1]), 2: (94, [2, 3])}, s256
+    for r, (n_bands, _) in s256.items():
+        assert r * n_bands <= N_CONTAIN_MINHASH
+    # the operator caps banding at the FP-economic class boundary; the
+    # capacity-driven deeper classes exist but route to the exact arm
+    capped = _containment_band_schemes(
+        0.95, 2**0.5, 5e-3, N_CONTAIN_MINHASH, max_class=1
+    )
+    assert capped == {5: (44, [0]), 3: (51, [1])}, capped
     with _pytest.raises(ValueError, match="containment_pairs"):
         _containment_band_schemes(0.3, 2**0.5, 5e-3, 48)
 
