@@ -101,13 +101,34 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query vector. Deterministic ranking:
     quantized-integer cosine, ties broken by neighbor id."""
+    return _brute_force_topk_qc(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qc")
+        ),
+        queries,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+
+
+def _brute_force_topk_qc(
+    corpus_qc: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """brute_force_topk over an already-quantized corpus projection
+    (neighbor_id, qc) — lets the drift probe rank against the index's
+    STORED vectors without a lossy de-quantize round trip."""
     from .dedup import qdot
 
-    par = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    par = corpus_qc.sparkSession.sparkContext.defaultParallelism * 2
     # norms precomputed per side: one interpreted dot-product per candidate
     # pair, not three (see ivf_topk)
     c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("qc"))
+        corpus_qc
         .withColumn("cnorm", F.sqrt(qdot(F.col("qc"), F.col("qc")).cast("double")))
         .where(F.col("cnorm") > 0)  # zero-norm: cosine undefined; ANSI div guard
         .repartition(par)  # nested-loop parallelism follows the corpus side
@@ -563,6 +584,7 @@ def write_ann_index(
     n_cells: int = N_CENTROIDS,
     codebooks: np.ndarray | None = None,
     centroids: list[tuple[int, list]] | None = None,
+    probe_baseline: bool = True,
 ) -> None:
     """Persist a vector corpus's ANN state to parquet for CROSS-JOB reuse —
     the companion of dedup.write_signature_index for the similarity side.
@@ -648,6 +670,17 @@ def write_ann_index(
         "version int, m int, n_codes int, n_cells int, dim int, "
         "quant_scale int, id_col string, n_vectors long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    if probe_baseline and n_vectors > 0:
+        # the index's OWN recall on its training distribution: the
+        # reference point every later append's drift probe compares to
+        # (PQ/ADC recall is data-dependent, so the baseline must be
+        # measured, not assumed)
+        probe = ann_drift_probe(
+            spark, path, corpus, vec_col=vec_col, id_col=id_col
+        )
+        record_ann_drift(
+            spark, path, probe, n_vectors, flagged=False, baseline=True
+        )
 
 
 def append_to_ann_index(
@@ -655,6 +688,7 @@ def append_to_ann_index(
     path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_drift: bool = True,
 ) -> int:
     """Encode an increment with the index's STORED quantizers and append
     its cell-partitioned codes — the daily mutation for the retrieval
@@ -670,8 +704,13 @@ def append_to_ann_index(
     Documented limit (standard IVF/PQ practice, Jégou et al. TPAMI'11):
     frozen quantizers do not track distribution drift — a corpus whose
     embedding distribution moves needs a periodic ``write_ann_index``
-    retrain-and-rebuild; appends between rebuilds keep full recall for
-    data shaped like the training sample. Returns rows appended."""
+    retrain-and-rebuild. The drift is now MEASURED, not assumed: with
+    ``probe_drift`` (default), each append runs ann_drift_probe with the
+    increment itself as the query sample — exactly the distribution that
+    would expose stale quantizers — and appends the observation to
+    ``<path>/drift``; a flagged row (sampled overlap@k below
+    ANN_DRIFT_RECALL_FLOOR) is the rebuild trigger. Returns rows
+    appended."""
     spark = increment.sparkSession
     _, cents, cb, meta = read_ann_index(spark, path)  # validates constants
     if meta.id_col != id_col:
@@ -711,7 +750,132 @@ def append_to_ann_index(
         "version int, m int, n_codes int, n_cells int, dim int, "
         "quant_scale int, id_col string, n_vectors long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    if probe_drift and n > 0:
+        probe = ann_drift_probe(
+            spark, path, increment, vec_col=vec_col, id_col=id_col
+        )
+        try:
+            base_rows = (
+                spark.read.parquet(f"{path}/drift")
+                .where(F.col("baseline"))
+                .orderBy("n_vectors")
+                .limit(1)
+                .collect()
+            )
+        except Exception:
+            base_rows = []  # pre-drift-tracking index: no baseline row
+        if base_rows:
+            flagged = probe["recall"] < base_rows[0].recall - ANN_DRIFT_DROP
+        else:
+            flagged = probe["recall"] < ANN_DRIFT_RECALL_FLOOR
+        record_ann_drift(
+            spark, path, probe, int(meta.n_vectors) + n, flagged, baseline=False
+        )
     return n
+
+
+#: drift monitor operating point: sampled overlap@k of the frozen-
+#: quantizer index against exact ranking over the SAME stored vectors.
+#: The flag is RELATIVE, not absolute: write_ann_index records the
+#: index's own baseline recall on a training-distribution sample (PQ/ADC
+#: recall is a property of the data — near-uniform random embeddings sit
+#: ~0.5@10, clustered corpora ~0.9+ — so one absolute bar fits neither),
+#: and an append flags when the increment's sampled recall falls
+#: ANN_DRIFT_DROP below that baseline: the frozen coarse centroids + PQ
+#: codebooks no longer represent the new data, and the documented
+#: response is a write_ann_index retrain-and-rebuild. The absolute floor
+#: only backstops indexes written before drift tracking (no baseline
+#: row).
+ANN_DRIFT_DROP = 0.2
+ANN_DRIFT_RECALL_FLOOR = 0.3
+ANN_DRIFT_SAMPLE = 64
+ANN_DRIFT_K = 10
+
+
+def ann_drift_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = ANN_DRIFT_K,
+    n_sample: int = ANN_DRIFT_SAMPLE,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Cheap recall estimate of a persisted ANN index for a query
+    distribution: overlap@k of the index's PQ/ADC+refine answer vs EXACT
+    cosine ranking over the index's own stored quantized vectors, on a
+    deterministic sample of `queries` (lowest ids — reproducible, no RNG).
+
+    This is the missing feedback loop for append_to_ann_index's frozen
+    quantizers (Jégou et al. TPAMI'11 practice): appends keep byte-exact
+    parity with a rebuild under the SAME quantizers, but nothing said
+    whether those quantizers still fit the data. The probe costs one
+    corpus scan for n_sample queries (no retraining, no re-encoding —
+    ~the price of one batch search), so an append job can afford it
+    every run.
+
+    Returns {recall, n_queries, k}; the caller (append_to_ann_index)
+    compares against the index's recorded baseline and flags the rebuild
+    decision."""
+    sample = queries.orderBy(id_col).limit(n_sample)
+    approx = pq_topk_from_index(
+        spark, path, sample, k=k, refine=refine, n_probe=None,
+        vec_col=vec_col, id_col=id_col,
+    )
+    codes_df, _, _, _ = read_ann_index(spark, path)
+    exact = _brute_force_topk_qc(
+        codes_df.select("neighbor_id", F.col("qv").alias("qc")),
+        sample,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .count()
+    )
+    total = exact.count()
+    recall = (hits / total) if total else 1.0
+    return {
+        "recall": recall,
+        "n_queries": int(total / k) if k else 0,
+        "k": k,
+    }
+
+
+def record_ann_drift(
+    spark, path: str, probe: dict, n_vectors: int, flagged: bool, baseline: bool
+) -> None:
+    """Append one probe observation to ``<path>/drift`` — the index's
+    recall history over its append lifetime (keyed by n_vectors at probe
+    time, not wall clock: deterministic and resume-safe). The
+    ``baseline`` row is written by write_ann_index over a
+    training-distribution sample; appends are compared against it."""
+    spark.createDataFrame(
+        [
+            (
+                int(n_vectors),
+                int(probe["n_queries"]),
+                int(probe["k"]),
+                float(probe["recall"]),
+                bool(flagged),
+                bool(baseline),
+            )
+        ],
+        "n_vectors long, n_queries int, k int, recall double, "
+        "flagged boolean, baseline boolean",
+    ).coalesce(1).write.mode("append").parquet(f"{path}/drift")
+
+
+def read_ann_drift(spark, path: str) -> DataFrame:
+    """The drift history written by record_ann_drift, oldest first."""
+    return spark.read.parquet(f"{path}/drift").orderBy("n_vectors")
 
 
 def compact_ann_index(spark, path: str) -> int:

@@ -506,3 +506,47 @@ def test_compact_ann_index_drops_reappends_and_keeps_results(spark, catalog, tmp
         .collect()
     )
     assert after == before and after
+
+
+def test_ann_drift_probe_flags_shifted_increment(spark, catalog, tmp_path):
+    """The r8 verdict's missing feedback loop: appends under frozen
+    quantizers must MEASURE recall decay, not assume it away. An
+    in-distribution increment probes clean (no rebuild flag); an
+    increment shifted far outside the training distribution — where the
+    frozen coarse centroids and PQ codebooks can no longer separate
+    vectors — must push sampled overlap@k below the floor and flag a
+    retrain. Both observations land in the index's drift history."""
+    from mover_spark.operators.similarity import (
+        append_to_ann_index,
+        read_ann_drift,
+        write_ann_index,
+    )
+
+    emb = catalog.df("embeddings")
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    inc = emb.where(F.col("vec_id") % 3 == 0)
+
+    path = str(tmp_path / "ann_drift_ok")
+    write_ann_index(base, path)  # records the baseline row
+    append_to_ann_index(inc, path)  # probe runs by default
+    hist = read_ann_drift(spark, path).collect()
+    assert len(hist) == 2
+    assert hist[0].baseline and not hist[0].flagged
+    assert not hist[1].baseline
+    assert not hist[1].flagged, f"in-distribution probe flagged: {hist[1]}"
+
+    # drifted increment: collapse variance and move the mass far from
+    # every trained centroid/codeword (an embedding-model swap shape)
+    shifted = inc.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x * F.lit(0.05) + F.lit(8.0)),
+    )
+    path2 = str(tmp_path / "ann_drift_bad")
+    write_ann_index(base, path2)
+    append_to_ann_index(shifted, path2)
+    hist2 = read_ann_drift(spark, path2).collect()
+    assert len(hist2) == 2
+    assert hist2[1].flagged, (
+        f"shifted increment must flag a rebuild: recall={hist2[1].recall} "
+        f"vs baseline {hist2[0].recall}"
+    )
