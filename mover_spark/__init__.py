@@ -20,6 +20,46 @@ Layout
 
 __version__ = "0.1.0"
 
+#: The declared public API. Everything else under mover_spark.* is
+#: implementation surface that may move between minor versions; these
+#: names are importable from the package root and stable:
+#:   from mover_spark import Engine, Catalog, MoverConfig, get_spark
+__all__ = [
+    "Catalog",
+    "Engine",
+    "MoverConfig",
+    "TABLES",
+    "get_spark",
+    "read_table",
+    "tune",
+    "__version__",
+]
+
+
+def __getattr__(name):
+    # lazy re-exports: importing mover_spark stays cheap (no SparkSession
+    # machinery, numpy, or pandas pulled in until a facade is touched),
+    # which keeps `import mover_spark` usable for version/metadata probes
+    # in environments without a JVM
+    if name in ("Catalog", "read_table"):
+        from . import catalog
+
+        return getattr(catalog, name)
+    if name == "Engine":
+        from .engine import Engine
+
+        return Engine
+    if name == "MoverConfig":
+        from .config import MoverConfig
+
+        return MoverConfig
+    if name in ("get_spark", "tune"):
+        from . import session
+
+        return getattr(session, name)
+    raise AttributeError(f"module 'mover_spark' has no attribute {name!r}")
+
+
 TABLES = [
     "region",
     "nation",
