@@ -8,7 +8,8 @@ batches, and every transform is schema-stable.
 The heavy codecs (PIL/ffmpeg/librosa) are NOT in this environment, so each
 decode kernel runs a per-row chain: the real library when importable, a
 PURE-STDLIB decoder for the formats the stdlib can handle (PNG via
-struct+zlib, WAV via the `wave` module — both exercised on real bytes in
+struct+zlib, GIF via a hand-rolled LZW, WAV via the `wave` module — all
+exercised on real bytes in
 tests), and otherwise a DETERMINISTIC fake derived from the content hash.
 The decoder column marks which arm produced each row, and the Spark-side
 plumbing — schemas, Arrow batch iteration, partitioning — is identical
@@ -155,6 +156,106 @@ def _png_decode(content: bytes) -> tuple[int, int, float]:
     return w, h, luma_sum / (w * h) / 255.0
 
 
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_decode(content: bytes) -> tuple[int, int, float]:
+    """REAL GIF decode with the stdlib only: logical-screen parse, global/
+    local color table, full LZW decompression (variable code width, CLEAR/
+    EOI handling) of the FIRST image frame, mean ITU-R 601 luma through
+    the palette. Non-interlaced only (mean luma is order-invariant, but
+    truncation detection is not) — raises ValueError on anything it
+    cannot prove it decoded, so callers fall back explicitly, same
+    contract as _png_decode."""
+    import struct
+
+    if len(content) < 13 or content[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = content[pos : pos + 3 * n]
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(content) and content[p]:
+            p += 1 + content[p]
+        return p + 1
+
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif b == 0x2C:  # image descriptor
+            _l, _t, iw, ih, ipk = struct.unpack("<HHHHB", content[pos + 1 : pos + 10])
+            pos += 10
+            table = gct
+            if ipk & 0x80:  # local color table wins
+                n = 2 << (ipk & 0x07)
+                table = content[pos : pos + 3 * n]
+                pos += 3 * n
+            if ipk & 0x40:
+                raise ValueError("interlaced GIF")
+            if table is None:
+                raise ValueError("GIF frame without a color table")
+            min_code = content[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(content) and content[pos]:
+                ln = content[pos]
+                data += content[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            # --- LZW ---
+            clear, eoi = 1 << min_code, (1 << min_code) + 1
+            width = min_code + 1
+            dictionary = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+            out = bytearray()
+            acc = nbits = 0
+            prev = None
+            for byte in data:
+                acc |= byte << nbits
+                nbits += 8
+                while nbits >= width:
+                    code = acc & ((1 << width) - 1)
+                    acc >>= width
+                    nbits -= width
+                    if code == clear:
+                        dictionary = dictionary[: (1 << min_code) + 2]
+                        width = min_code + 1
+                        prev = None
+                        continue
+                    if code == eoi:
+                        nbits = 0
+                        break
+                    if code < len(dictionary):
+                        entry = dictionary[code]
+                    elif code == len(dictionary) and prev is not None:
+                        entry = prev + prev[:1]
+                    else:
+                        raise ValueError("corrupt LZW stream")
+                    out += entry
+                    if prev is not None:
+                        dictionary.append(prev + entry[:1])
+                        if len(dictionary) == (1 << width) and width < 12:
+                            width += 1
+                    prev = entry
+            if len(out) < iw * ih:
+                raise ValueError("truncated GIF frame")
+            luma_sum = 0.0
+            for px in out[: iw * ih]:
+                r, g, bl = table[3 * px], table[3 * px + 1], table[3 * px + 2]
+                luma_sum += 0.299 * r + 0.587 * g + 0.114 * bl
+            return iw, ih, luma_sum / (iw * ih) / 255.0
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF without an image frame")
+
+
 def _wav_decode(content: bytes) -> tuple[int, int, float]:
     """REAL WAV decode with the stdlib `wave` module: (duration_ms,
     sample_rate, rms of normalized samples). 8/16-bit PCM; raises
@@ -225,6 +326,14 @@ def image_features(media: DataFrame) -> DataFrame:
                     try:
                         w, h, luma = _png_decode(content)
                         decoder = "png-stdlib"
+                    except Exception:
+                        w, h, luma = _fake_decode(content)
+                        decoder = "fake"
+                elif content[:6] in GIF_MAGICS:
+                    # second real stdlib image arm (same degrade contract)
+                    try:
+                        w, h, luma = _gif_decode(content)
+                        decoder = "gif-stdlib"
                     except Exception:
                         w, h, luma = _fake_decode(content)
                         decoder = "fake"
