@@ -421,14 +421,33 @@ def _drain_confs(spark: SparkSession, input_bytes: int | None, extra: dict | Non
                 spark.conf.set(k, v)
 
 
-#: source bytes beyond which a file drain switches the state store to
-#: RocksDB (off-heap, disk-backed): the default HDFSBackedStateStore is a
-#: pure in-heap HashMap — ingest-dedup state over the 100x fixture (~200M
-#: keys) is several GiB of heap and OOMed a 16g driver. Below the
-#: threshold the in-heap store's lower per-batch overhead wins.
-_ROCKSDB_STATE_BYTES = int(
-    os.environ.get("MOVER_SPARK_ROCKSDB_BYTES", str(512 << 20))
-)
+def _rocksdb_threshold_bytes(spark) -> int:
+    """Source bytes beyond which a file drain switches the state store to
+    RocksDB (off-heap, disk-backed). ADAPTIVE to the JVM heap, not a fixed
+    512 MiB. Measured sweep (BASELINE.md round-9 state-store table, 16g
+    heap): the in-heap HDFSBackedStateStore wins every size it survives —
+    streaming_dedup at sf10 (410 MB source) runs 17.6 s heap vs 26.5 s
+    RocksDB, streaming_session 15.8 vs 20.0 — and dies by OOM at sf100
+    (session input 1.7 GB compressed parquet: keyed state + result table
+    expand ~10x into the heap). So the right rule is 'heap until the heap
+    can't', which a fixed 512 MiB gets wrong in BOTH directions: at 16g
+    it pushes the 410 MB sf10 drain onto RocksDB needlessly (1.5x), and
+    on a 4g executor it would keep a 500 MB source in-heap and OOM.
+    heap/16 (1 GiB at 16g) sits inside the measured safe(0.41 GB)..
+    fatal(1.7 GB) gap with ~1.7x margin for worse-compressed sources;
+    RocksDB's modest constant factor is the cheap side of that
+    asymmetry. ``MOVER_SPARK_ROCKSDB_BYTES`` overrides for testing and
+    ops."""
+    env = os.environ.get("MOVER_SPARK_ROCKSDB_BYTES")
+    if env is not None:
+        return int(env)
+    try:
+        heap = int(
+            spark._jvm.java.lang.Runtime.getRuntime().maxMemory()  # noqa: SLF001
+        )
+    except Exception:
+        heap = 16 << 30  # conservative default matching the bench session
+    return heap // 16
 
 #: temp dirs of past run_to_files drains — kept for the session (returned
 #: DataFrames lazily read them), removed at interpreter exit
@@ -465,9 +484,10 @@ def run_to_files(
     goes through foreachBatch + distributed parquet overwrite: the result
     table lives in executor state-store memory, each batch rewrites it in
     parallel, the last rewrite is the complete answer. Big drains
-    (source > ``$MOVER_SPARK_ROCKSDB_BYTES``, default 512 MiB) also swap
-    the per-query state store to RocksDB (off-heap, disk-backed) — keyed
-    state no longer competes with the JVM heap.
+    (source > heap/8, adaptive — see ``_rocksdb_threshold_bytes``;
+    ``$MOVER_SPARK_ROCKSDB_BYTES`` overrides) also swap the per-query
+    state store to RocksDB (off-heap, disk-backed) — keyed state no
+    longer competes with the JVM heap.
 
     Returns the parquet read-back (source schema enforced; empty stream →
     empty DataFrame). The drain's temp dir lives until interpreter exit so
@@ -483,7 +503,7 @@ def run_to_files(
     out_dir = _os.path.join(base, "out")
     ckpt = _os.path.join(base, "ckpt")
     extra = None
-    if input_bytes and input_bytes >= _ROCKSDB_STATE_BYTES:
+    if input_bytes and input_bytes >= _rocksdb_threshold_bytes(spark):
         extra = {
             "spark.sql.streaming.stateStore.providerClass": (
                 "org.apache.spark.sql.execution.streaming."

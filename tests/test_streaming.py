@@ -385,3 +385,23 @@ def test_streaming_ann_probe_batch_redelivery_idempotent(spark, catalog, tmp_pat
     # holds batch 0's output
     drain(str(tmp_path / "ckpt2"))
     assert spark.read.parquet(out_dir).count() == once
+
+
+def test_rocksdb_threshold_adapts_to_heap(spark, monkeypatch):
+    """The state-store switch scales with executor memory (r8 verdict #6):
+    env override wins, otherwise heap/16 — a 16g bench session keeps
+    sf10 drains on the (measured 1.5x faster) in-heap store while the
+    sf100 inputs that OOMed a 16g heap (1.7 GB session source) go to
+    RocksDB."""
+    import os
+
+    from mover_spark.streaming.events import _rocksdb_threshold_bytes
+
+    monkeypatch.delenv("MOVER_SPARK_ROCKSDB_BYTES", raising=False)
+    thresh = _rocksdb_threshold_bytes(spark)
+    heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    assert thresh == heap // 16
+    assert 410 << 20 < thresh, "sf10 dedup (2x205MB) must stay in-heap at 16g"
+    assert int(1.7 * (1 << 30)) > thresh, "the measured-fatal sf100 session input must go to RocksDB"
+    monkeypatch.setenv("MOVER_SPARK_ROCKSDB_BYTES", "123")
+    assert _rocksdb_threshold_bytes(spark) == 123
