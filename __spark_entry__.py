@@ -1783,6 +1783,41 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(docs, k=3)
 
 
+#: the literal BM25 query set — three multi-term queries over the
+#: synthetic corpus vocabulary (TESTDATA.md documents fixture)
+_BM25_QUERIES = [
+    (1, "spark window agg"),
+    (2, "hash join table"),
+    (3, "stream batch query"),
+]
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 lexical top-10 per query — broadcast-pruned postings join,
+    integer-quantized score sums (operators/retrieval.py)."""
+    from mover_spark.operators.retrieval import bm25_topk
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, query_text string")
+    return bm25_topk(docs, queries, k=10)
+
+
+def _q_hybrid_retrieval_rrf(spark, sf_dir):
+    """Hybrid query-by-document retrieval: BM25 over the query doc's text
+    fused with exact-cosine over its embedding via reciprocal-rank fusion
+    (Cormack et al. SIGIR'09), query ids shared across both id spaces."""
+    from mover_spark.operators.retrieval import hybrid_topk
+
+    cat = _catalog(spark, sf_dir)
+    return hybrid_topk(
+        cat.df("documents"),
+        cat.df("embeddings"),
+        query_ids=[0, 1, 2, 3, 4],
+        k=10,
+        n_candidates=20,
+    )
+
+
 def _q_outlier_events(spark, sf_dir):
     """3-sigma outlier counts per event type from exact decimal moments."""
     from mover_spark.operators.events import outlier_events
@@ -1865,6 +1900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_topk": _q_bm25_topk,
+        "hybrid_retrieval_rrf": _q_hybrid_retrieval_rrf,
         "redact_pii": _q_redact_pii,
         "decontaminate_ngram": _q_decontaminate,
         "token_packing": _q_token_packing,
@@ -2289,6 +2326,53 @@ def _ivfpq_oracle_sql(n_probe: int = 4) -> str:
         'PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS "rank" '
         'FROM ref) WHERE "rank" <= 10'
     )
+
+
+def _bm25_cte(exclude_self: bool = False) -> str:
+    """BM25 oracle CTE chain mirroring operators/retrieval.bm25_topk
+    expression-for-expression: same Lucene +1 idf floor, same 2.2 / 1.2 /
+    0.25 / 0.75 double literals (k1=1.2, b=0.75 pre-folded the way the
+    Spark plan folds them), same 1e-6-grain integer contribution sums so
+    accumulation order can't perturb the 6-decimal rounded score.
+    The caller's WITH must already define qset(query_id, query_text);
+    the chain ends in br(query_id, doc_id, "rank", score) unlimited."""
+    self_filter = " WHERE t.doc_id != qt.query_id" if exclude_self else ""
+    return (
+        "btok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "FROM documents), "
+        "btok2 AS (SELECT * FROM btok WHERE term != ''), "
+        "btf AS (SELECT doc_id, term, COUNT(*) AS tf FROM btok2 "
+        "GROUP BY doc_id, term), "
+        "bdl AS (SELECT doc_id, COUNT(*) AS dl FROM btok2 GROUP BY doc_id), "
+        "bstats AS (SELECT COUNT(*) AS n_docs, "
+        "CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM bdl), "
+        "qt AS (SELECT DISTINCT query_id, term FROM ("
+        "SELECT query_id, unnest(string_split(query_text, ' ')) AS term "
+        "FROM qset) WHERE term != ''), "
+        "bdfc AS (SELECT term, COUNT(*) AS dfc FROM btf "
+        "WHERE term IN (SELECT term FROM qt) GROUP BY term), "
+        "bpost AS (SELECT qt.query_id, t.doc_id, "
+        "CAST(round(ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) "
+        "* ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))) "
+        "* 1000000) AS BIGINT) AS qs "
+        "FROM btf t JOIN qt ON t.term = qt.term "
+        "JOIN bdl ON t.doc_id = bdl.doc_id "
+        "JOIN bdfc ON t.term = bdfc.term CROSS JOIN bstats"
+        f"{self_filter}), "
+        "bsc AS (SELECT query_id, doc_id, "
+        "ROUND(SUM(qs) / 1000000.0, 6) AS score FROM bpost "
+        "GROUP BY query_id, doc_id), "
+        "br AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        'ORDER BY score DESC, doc_id) AS "rank" FROM bsc)'
+    )
+
+
+#: the literal-query-set qset CTE for the bm25_topk oracle
+_BM25_QSET = (
+    "qset(query_id, query_text) AS (SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    + ") v(query_id, query_text))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2929,6 +3013,39 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
             "ORDER BY score DESC, term) AS rn FROM sc) "
             "SELECT doc_id, term, score FROM r WHERE rn <= 3"
+        ),
+        "bm25_topk": (
+            f"WITH {_BM25_QSET}, {_bm25_cte()} "
+            'SELECT query_id, doc_id, "rank", score FROM br WHERE "rank" <= 10'
+        ),
+        "hybrid_retrieval_rrf": (
+            "WITH qset AS (SELECT doc_id AS query_id, text AS query_text "
+            "FROM documents WHERE doc_id < 5), "
+            + _bm25_cte(exclude_self=True)
+            + ", lex AS (SELECT query_id, doc_id, \"rank\" FROM br "
+            'WHERE "rank" <= 20), '
+            + _QVEC_CTE
+            + ", qr AS (SELECT * FROM q WHERE vec_id < 5), "
+            "vp AS (SELECT qr.vec_id AS query_id, c.vec_id AS doc_id, "
+            f"ROUND({_qcos('qr.qv', 'c.qv')}, 6) AS cosine "
+            "FROM qr JOIN q c ON c.vec_id != qr.vec_id), "
+            "vr AS (SELECT query_id, doc_id, ROW_NUMBER() OVER ("
+            'PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS "rank" '
+            "FROM vp), "
+            'vec AS (SELECT query_id, doc_id, "rank" FROM vr '
+            'WHERE "rank" <= 20), '
+            "un AS (SELECT query_id, doc_id, "
+            'CAST(round(1000000000.0 / (60 + "rank")) AS BIGINT) AS qs '
+            "FROM lex UNION ALL SELECT query_id, doc_id, "
+            'CAST(round(1000000000.0 / (60 + "rank")) AS BIGINT) AS qs '
+            "FROM vec), "
+            "fs AS (SELECT query_id, doc_id, "
+            "ROUND(SUM(qs) / 1000000000.0, 6) AS rrf_score FROM un "
+            "GROUP BY query_id, doc_id), "
+            "fr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+            'ORDER BY rrf_score DESC, doc_id) AS "rank" FROM fs) '
+            'SELECT query_id, doc_id, "rank", rrf_score FROM fr '
+            'WHERE "rank" <= 10'
         ),
         "cdc_latest_snapshot": (
             "SELECT user_id, event_type, ts AS last_ts, "

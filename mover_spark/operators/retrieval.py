@@ -1,0 +1,222 @@
+"""Lexical (BM25) retrieval and hybrid rank fusion — the text-side
+complement of `operators/similarity.py`'s vector search. Scale extensions
+beyond the reference surface (mover owns no search operator at all; its
+only text op is template substitution, etl/sanitizer.go:110-124).
+
+Design for 100 TB:
+
+- The corpus-sized work is exactly three hash aggregations — per-(doc,
+  term) frequency, per-doc length, per-term document frequency — all
+  map-side-combining, plus ONE doc-keyed join between the query-pruned
+  postings and the doc-length table. Everything query-sized (the term
+  lists, their document frequencies, the corpus stats row) is broadcast;
+  no shuffle is proportional to |queries| x |corpus|.
+- The postings table is pruned to the query vocabulary FIRST (broadcast
+  semi-shape join on term), so the scoring join moves |matching postings|
+  rows, not the corpus.
+- Scoring is pure JVM column math (whole-stage codegen); there is no UDF
+  anywhere in the module.
+- Determinism for the oracle: per-term BM25 contributions and per-list
+  RRF contributions are quantized to integer grains before the SUM, so
+  accumulation order (which Spark does not define) cannot perturb the
+  6-decimal rounded output. Same trick as text.unigram_xent and
+  dedup.qcosine.
+
+BM25 is the Robertson/Sparck-Jones formulation with the Lucene +1 idf
+floor (public art: Robertson & Zaragoza 2009, "The Probabilistic
+Relevance Framework"; Lucene's BM25Similarity):
+
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tfn(t,d) = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    score    = sum_t idf(t) * tfn(t,d)
+
+N counts documents with at least one token (documents whose text is
+empty/null have no postings and no length; keeping them out of N makes
+the Spark and SQL formulations agree without an outer join).
+
+RRF is Cormack, Clarke & Buettcher SIGIR'09: score(d) = sum over input
+rankings of 1 / (k0 + rank_i(d)), candidates being the union of the
+per-list top-N members.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: integer grain for order-invariant double sums (1e-6 of a BM25 point /
+#: 1e-9 of an RRF point — both far below the 6-decimal reported rounding)
+_BM25_GRAIN = 1_000_000
+_RRF_GRAIN = 1_000_000_000
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str, out_id: str) -> DataFrame:
+    """(id, term) pairs — whitespace tokens, empties dropped. The same
+    tokenizer the text-analysis family uses (split on single space), so
+    BM25 vocabulary agrees with tfidf_top_terms / word_freq_topk."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Per-query BM25 top-k over a document corpus.
+
+    `queries` is a small relation (query_id, query_text) — a literal
+    frame, or a slice of the corpus itself for query-by-document (set
+    `exclude_self=True` to drop the trivial self match when query ids
+    share the document id space).
+
+    Returns (query_id, doc_id, rank, score): rank 1-based by score desc
+    with doc_id-ascending tie-break, score rounded to 6 decimals.
+    Documents matching zero query terms do not appear (their BM25 score
+    is 0); a query whose terms miss the corpus vocabulary entirely yields
+    no rows.
+    """
+    tok = _tokens(docs, id_col, text_col, "doc_id")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # one corpus-stats row: N and avgdl (integer sum / integer count so
+    # both engines derive the identical double)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    qterms = (
+        _tokens(queries, query_id_col, query_text_col, "query_id")
+        .distinct()  # repeated words in one query count once (set-of-terms)
+    )
+    # document frequency for QUERY terms only: prune the term-level agg
+    # with a broadcast join before it ever reaches the scoring join
+    dfc = tf.join(F.broadcast(qterms.select("term").distinct()), "term").groupBy(
+        "term"
+    ).agg(F.count(F.lit(1)).alias("dfc"))
+
+    postings = (
+        tf.join(F.broadcast(qterms), "term")  # prune to query vocabulary
+        .join(dl, "doc_id")  # the one corpus-keyed join
+        .join(F.broadcast(dfc), "term")
+        .join(F.broadcast(stats))
+    )
+    if exclude_self:
+        postings = postings.where(F.col("query_id") != F.col("doc_id"))
+
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5)
+    )
+    tfn = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * tfn * _BM25_GRAIN).cast("long")
+
+    scored = (
+        postings.select("query_id", "doc_id", contrib.alias("qs"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("qs") / float(_BM25_GRAIN), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+    cand_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings, each (query_id, <cand_col>,
+    rank). Returns (query_id, <cand_col>, rank, rrf_score) — the fused
+    top-k per query, rrf_score rounded to 6 decimals, candidate-id
+    ascending tie-break.
+
+    Implementation is a union + one grouped sum of integer-quantized
+    contributions — no join tree that widens with the number of input
+    rankings, and order-invariant accumulation. Each input list
+    contributes at most once per (query, candidate): duplicate ranks for
+    the same candidate within one list are an upstream bug, kept visible
+    (they would sum), not silently deduped.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contrib = F.round(_RRF_GRAIN / (F.lit(k0) + F.col("rank"))).cast("long")
+    parts = [
+        r.select("query_id", F.col(cand_col), contrib.alias("qs")) for r in rankings
+    ]
+    all_parts = parts[0]
+    for p in parts[1:]:
+        all_parts = all_parts.unionByName(p)
+    fused = all_parts.groupBy("query_id", cand_col).agg(
+        F.round(F.sum("qs") / float(_RRF_GRAIN), 6).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc(cand_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", cand_col, "rank", "rrf_score")
+    )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_candidates: int = 20,
+    k0: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval, query-by-document: for each query
+    id (present in BOTH id spaces), fuse the BM25 ranking of the query
+    document's text against the corpus with the exact-cosine ranking of
+    its embedding, via RRF. The two per-query top-`n_candidates` lists
+    are each produced by their native operator (bm25_topk /
+    similarity.brute_force_topk — at scale the vector arm swaps to the
+    IVF/PQ index path, the fusion is arm-agnostic).
+
+    Returns (query_id, doc_id, rank, rrf_score).
+    """
+    from .similarity import brute_force_topk
+
+    ids = list(query_ids)
+    lex_queries = docs.where(F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("query_id"), F.col(text_col).alias("query_text")
+    )
+    lex = bm25_topk(
+        docs,
+        lex_queries,
+        k=n_candidates,
+        id_col=id_col,
+        text_col=text_col,
+        exclude_self=True,
+    )
+    vec = brute_force_topk(
+        embeddings,
+        embeddings.where(F.col(vec_id_col).isin(ids)),
+        k=n_candidates,
+        vec_col=vec_col,
+        id_col=vec_id_col,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, vec], k=k, k0=k0)
