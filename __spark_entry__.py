@@ -1094,6 +1094,30 @@ def _q_substring_dedup(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_substring_dedup_clean(spark, sf_dir):
+    """The cleaned corpus after exact-substring span excision (Lee et al.
+    2022 output side): duplicated >=8-token spans removed, global first
+    occurrence kept, survivors rejoined."""
+    from mover_spark.operators.dedup import substring_dedup_clean
+
+    return substring_dedup_clean(
+        _catalog(spark, sf_dir).df("documents"), min_len=8
+    )
+
+
+def _q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup canonicalization: per cluster keep the
+    LONGEST member (n_chars, ties -> smallest id) — the RefinedWeb-style
+    keeper policy — instead of the blind minimum id."""
+    from mover_spark.operators.dedup import dedup_keep_best
+
+    return dedup_keep_best(
+        _catalog(spark, sf_dir).df("documents"),
+        quality_col="n_chars",
+        threshold=0.8,
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def _q_unigram_xent(spark, sf_dir):
     """Perplexity-proxy quality score: per-doc unigram cross-entropy vs
     the corpus LM, order-invariant via 1e-9-grain integer log-prob sums."""
@@ -2003,6 +2027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocation_pmi": _q_collocation_pmi,
         "unigram_xent": _q_unigram_xent,
         "substring_dedup_stats": _q_substring_dedup,
+        "substring_dedup_clean": _q_substring_dedup_clean,
+        "dedup_keep_best": _q_dedup_keep_best,
         "streaming_quality_gate": _q_streaming_quality_gate,
         "doc_novelty": _q_doc_novelty,
         "source_drift_kl": _q_source_drift,
@@ -3335,6 +3361,59 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_keep_canonical": _DEDUP_KEEP_CANONICAL_SQL,
+        "dedup_keep_best": (
+            "WITH RECURSIVE " + _SHINGLE_CTE + ", " + _PAIRS_CTE + ", "
+            "pj AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.8), "
+            "e AS (SELECT doc_a AS a, doc_b AS b FROM pj "
+            "UNION SELECT doc_b, doc_a FROM pj), "
+            "reach(n, m) AS (SELECT a, b FROM e "
+            "UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a), "
+            "cl AS (SELECT n AS doc_id, LEAST(n, MIN(m)) AS cluster_id "
+            "FROM reach GROUP BY n), "
+            "mb AS (SELECT cl.doc_id, cl.cluster_id, d0.n_chars "
+            "FROM cl JOIN documents d0 USING (doc_id)), "
+            "kp AS (SELECT cluster_id, doc_id AS keep FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id "
+            "ORDER BY n_chars DESC, doc_id) AS rn FROM mb) WHERE rn = 1), "
+            "dr AS (SELECT mb.doc_id FROM mb JOIN kp "
+            "ON mb.cluster_id = kp.cluster_id WHERE mb.doc_id != kp.keep) "
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM dr)"
+        ),
+        "substring_dedup_clean": (
+            # the stats oracle's marking CTEs + covered-position distinct
+            # union + token anti-join + ordered string_agg rebuild
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents), "
+            "g AS (SELECT doc_id, "
+            "unnest(list_transform(range(1, len(w) - 6), "
+            "p -> array_to_string(list_slice(w, p, p + 7), ' '))) AS gram, "
+            "unnest(range(1, len(w) - 6)) AS pos FROM d), "
+            "f AS (SELECT gram, MIN(doc_id * 1048576 + pos) AS fk "
+            "FROM g GROUP BY gram), "
+            "dup AS (SELECT g.doc_id, g.pos FROM g JOIN f ON g.gram = f.gram "
+            "WHERE g.doc_id * 1048576 + g.pos != f.fk), "
+            "cov AS (SELECT DISTINCT doc_id, cpos FROM ("
+            "SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS cpos "
+            "FROM dup)), "
+            "nc AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov "
+            "GROUP BY doc_id), "
+            "t AS (SELECT doc_id, unnest(w) AS tok, "
+            "unnest(range(1, len(w) + 1)) AS pos FROM d), "
+            "kept AS (SELECT t.doc_id, t.pos, t.tok FROM t "
+            "WHERE NOT EXISTS (SELECT 1 FROM cov "
+            "WHERE cov.doc_id = t.doc_id AND cov.cpos = t.pos)), "
+            "ca AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT d0.doc_id, "
+            "CASE WHEN d0.text IS NULL THEN NULL "
+            "WHEN nc.doc_id IS NULL THEN d0.text "
+            "ELSE COALESCE(ca.ct, '') END AS clean_text, "
+            "len(string_split(d0.text, ' ')) AS n_tokens, "
+            "CAST(COALESCE(nc.n_removed, 0) AS BIGINT) AS n_removed "
+            "FROM documents d0 LEFT JOIN ca ON d0.doc_id = ca.doc_id "
+            "LEFT JOIN nc ON d0.doc_id = nc.doc_id"
+        ),
         # brute-force per-query twin of the LSH probe: exact jaccard from
         # the same shingle CTE, top-5 per query, same tie-break
         "similar_docs": (

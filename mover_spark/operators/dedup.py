@@ -841,6 +841,131 @@ def containment_lsh(
     return expanded.unionByName(intra)
 
 
+def _dup_marked_positions(
+    df: DataFrame, min_len: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc, pos) of every min_len-gram occurrence that is NOT its gram's
+    global first occurrence — the shared marking pass behind
+    substring_dup_spans (interval-union stats) and substring_dedup_clean
+    (span excision). Gram keys are xxhash64'd in-row so the MIN aggregate
+    and the join-back shuffle longs, never min_len-token strings;
+    first-occurrence order is the scalar doc*2^20 + pos (LOUD failure
+    past 2^20 tokens — see substring_dup_spans docstring)."""
+    grams = (
+        # the token array binds to a COLUMN before the lambda uses it: an
+        # expression inside a higher-order-function body is re-evaluated
+        # per element (Spark hoists nothing out of lambdas), so
+        # slice(split(text)) in the gram builder would re-split the whole
+        # document once PER GRAM — O(n_tokens²) work per doc
+        df.select(F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__w"))
+        .select(
+            "doc",
+            F.explode(
+                F.when(
+                    F.size("__w") >= min_len,
+                    F.expr(
+                        f"transform(sequence(1, size(__w) - {min_len} + 1), "
+                        f"p -> struct(p AS pos, "
+                        f"xxhash64(array_join(slice(__w, p, {min_len}), ' ')) AS gram))"
+                    ),
+                ).otherwise(F.array().cast("array<struct<pos:int,gram:bigint>>"))
+            ).alias("g"),
+        )
+        .select("doc", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    # the scalar encoding is only valid for pos < 2^20: fail LOUDLY on a
+    # longer doc rather than silently truncating its gram stream
+    okey = F.when(
+        F.col("pos") < F.lit(1 << 20), F.col("doc") * F.lit(1 << 20) + F.col("pos")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "substring dedup: document exceeds 2^20 tokens; the "
+                "doc*2^20+pos first-occurrence encoding cannot represent it — "
+                "chunk the document or widen the encoding"
+            )
+        ).cast("long")
+    )
+    first = grams.groupBy("gram").agg(F.min(okey).alias("first_key"))
+    return (
+        grams.join(first, "gram")
+        .where(okey != F.col("first_key"))
+        .select("doc", "pos")
+    )
+
+
+def substring_dedup_clean(
+    df: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The OUTPUT side of exact-substring dedup (Lee et al. 2022): excise
+    every token covered by a duplicated min_len-gram span (union of the
+    marked [pos, pos+min_len) intervals, global first occurrence kept)
+    and emit the cleaned corpus — `substring_dup_spans` is the analysis
+    view, this is what the pipeline writes downstream.
+
+    Returns (doc_id, clean_text, n_tokens, n_removed) for every corpus
+    row: clean_text is the surviving tokens rejoined on single spaces
+    (bit-identical to the input when nothing is excised — single-space
+    split/join is lossless), '' when the whole doc is duplicated text,
+    NULL for NULL input text.
+
+    Plan shape: the shared marking pass (gram explode, min agg, long-keyed
+    join back), one bounded explode of marked spans into covered positions
+    (x min_len, then distinct — corpus-token scale, same asymptotics as
+    the gram stream), one anti-join of token positions against covered
+    ones, and one per-doc sort-and-rejoin aggregation. No UDFs; the only
+    per-doc materialization is the surviving token array a doc already
+    carried in its text."""
+    dups = _dup_marked_positions(df, min_len, text_col, id_col)
+    covered = (
+        dups.select(
+            "doc",
+            F.explode(F.expr(f"sequence(pos, pos + {min_len - 1})")).alias("cpos"),
+        )
+        .distinct()
+    )
+    n_cov = covered.groupBy("doc").agg(F.count(F.lit(1)).alias("n_removed"))
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "tok"),
+    ).select("doc", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = toks.join(
+        covered,
+        (toks["doc"] == covered["doc"]) & (toks["pos"] == covered["cpos"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("__ct")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+    )
+    return (
+        base.join(rebuilt, base[id_col] == rebuilt["doc"], "left")
+        .join(n_cov, base[id_col] == n_cov["doc"], "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__text").isNull(), F.lit(None).cast("string"))
+            .when(F.col("n_removed").isNull(), F.col("__text"))
+            .otherwise(F.coalesce(F.col("__ct"), F.lit("")))
+            .alias("clean_text"),
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+        )
+    )
+
+
 def substring_dup_spans(
     df: DataFrame,
     min_len: int = 8,
@@ -879,47 +1004,7 @@ def substring_dup_spans(
     occurrences); doc_id >= 2^43 likewise errors via ANSI overflow."""
     w = F.split(F.col(text_col), " ")
     n = F.size(w)
-    # the token array binds to a COLUMN before the lambda uses it: an
-    # expression inside a higher-order-function body is re-evaluated per
-    # element (Spark hoists nothing out of lambdas), so slice(split(text))
-    # in the gram builder would re-split the whole document once PER GRAM
-    # — O(n_tokens²) work per doc
-    grams = (
-        df.select(F.col(id_col).alias("doc"), w.alias("__w"))
-        .select(
-            "doc",
-            F.explode(
-                F.when(
-                    F.size("__w") >= min_len,
-                    F.expr(
-                        f"transform(sequence(1, size(__w) - {min_len} + 1), "
-                        f"p -> struct(p AS pos, "
-                        f"xxhash64(array_join(slice(__w, p, {min_len}), ' ')) AS gram))"
-                    ),
-                ).otherwise(F.array().cast("array<struct<pos:int,gram:bigint>>"))
-            ).alias("g"),
-        )
-        .select("doc", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
-    )
-    # the scalar encoding is only valid for pos < 2^20: fail LOUDLY on a
-    # longer doc rather than silently truncating its gram stream
-    okey = F.when(
-        F.col("pos") < F.lit(1 << 20), F.col("doc") * F.lit(1 << 20) + F.col("pos")
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "substring_dup_spans: document exceeds 2^20 tokens; the "
-                "doc*2^20+pos first-occurrence encoding cannot represent it — "
-                "chunk the document or widen the encoding"
-            )
-        ).cast("long")
-    )
-    first = grams.groupBy("gram").agg(F.min(okey).alias("first_key"))
-    dups = (
-        grams.join(first, "gram")
-        .where(okey != F.col("first_key"))
-        .select("doc", "pos")
-    )
+    dups = _dup_marked_positions(df, min_len, text_col, id_col)
     wdoc = (
         Window.partitionBy("doc")
         .orderBy("pos")
@@ -1828,6 +1913,50 @@ def dedup_keep_canonical(
         df, threshold=threshold, text_col=text_col, id_col=id_col, method=method
     )
     drop = clusters.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(drop, id_col, "left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    quality_col: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "propagation",
+) -> DataFrame:
+    """dedup_keep_canonical with a QUALITY-aware keeper: per near-dup
+    cluster keep the member maximizing `quality_col` (ties -> smallest
+    id) instead of blindly keeping the minimum id. This is what curation
+    pipelines actually want — when a crawl picks up the same article five
+    times, keep the longest/cleanest capture, not the one that happened
+    to get the smallest id (Penedo et al. 2023 (RefinedWeb) keep the
+    longest member; any scoring column works here).
+
+    Same scale shape as dedup_keep_canonical: cluster membership is
+    cluster-mass-sized, the keeper choice is one max(struct) per cluster
+    (map-side combining, no window sort), and the drop list anti-joins
+    the corpus — AQE broadcasts it in the common small-drop-rate case.
+    NULL quality sorts below every non-NULL score (the struct comparison
+    is NULL-safe via a -inf coalesce only when the column is numeric-
+    castable; callers pass a non-null score column in practice)."""
+    clusters = dedup_clusters(
+        df, threshold=threshold, text_col=text_col, id_col=id_col, method=method
+    )
+    members = clusters.join(
+        df.select(F.col(id_col), F.col(quality_col).alias("__q")), id_col
+    )
+    # argmax by (quality, -id): negate the id so ONE max(struct) both
+    # maximizes quality and breaks ties toward the smallest id
+    keeper = members.groupBy("cluster_id").agg(
+        (-F.max(F.struct(F.col("__q"), (-F.col(id_col)).alias("__nid")))["__nid"]).alias(
+            "__keep"
+        )
+    )
+    drop = (
+        members.join(keeper, "cluster_id")
+        .where(F.col(id_col) != F.col("__keep"))
+        .select(id_col)
+    )
     return df.join(drop, id_col, "left_anti")
 
 

@@ -279,6 +279,72 @@ def test_substring_dup_spans_hand_computed(spark):
     assert again == {d: r.n_removed for d, r in got.items()}
 
 
+def test_substring_dedup_clean_hand_computed(spark):
+    """Span excision mirrors the stats view: the same fixture's marked
+    intervals are REMOVED from the text, first occurrences keep every
+    token, full-duplicate docs collapse to '', null text stays null, and
+    untouched docs come back bit-identical."""
+    from mover_spark.operators.dedup import substring_dedup_clean, substring_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x a b c d e y"),          # [2,7) excised -> "x y"
+            (3, "p q r s p q r s"),        # self-repeat tail excised
+            (4, "u v"),
+            (5, "a b c d"),                # whole doc = doc 1's prefix gram -> ""
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in substring_dedup_clean(docs, min_len=4).collect()}
+    assert got[1].clean_text == "a b c d e f" and got[1].n_removed == 0
+    assert got[2].clean_text == "x y" and got[2].n_removed == 5
+    assert got[3].clean_text == "p q r s" and got[3].n_removed == 4
+    assert got[4].clean_text == "u v"
+    assert got[5].clean_text == "" and got[5].n_removed == 4
+    assert got[6].clean_text is None and got[6].n_removed == 0
+    # n_removed agrees with the stats view on every doc
+    stats = {r.doc_id: r.n_removed
+             for r in substring_dup_spans(docs, min_len=4).collect()}
+    assert {d: r.n_removed for d, r in got.items() if d != 6} == {
+        d: n for d, n in stats.items() if d != 6
+    }
+
+
+def test_dedup_keep_best_prefers_quality(spark):
+    """Per near-dup cluster the max-quality member survives (ties ->
+    smallest id); singletons always pass. Contrast with
+    dedup_keep_canonical, which would keep the minimum id."""
+    from mover_spark.operators.dedup import dedup_keep_best, dedup_keep_canonical
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base, 10),
+            (2, base + " extended with a longer tail", 40),  # best of cluster
+            (3, base, 10),                                    # tie with 1 on quality
+            (9, "a completely different singleton document entirely", 5),
+        ],
+        "doc_id long, text string, quality int",
+    )
+    best = sorted(
+        r.doc_id
+        for r in dedup_keep_best(docs, "quality", threshold=0.5).collect()
+    )
+    assert best == [2, 9]
+    canon = sorted(
+        r.doc_id for r in dedup_keep_canonical(docs, threshold=0.5).collect()
+    )
+    assert canon == [1, 9]
+    # quality tie inside a cluster -> smallest id wins
+    tie = docs.where(F.col("doc_id").isin([1, 3, 9]))
+    kept = sorted(
+        r.doc_id for r in dedup_keep_best(tie, "quality", threshold=0.5).collect()
+    )
+    assert kept == [1, 9]
+
+
 def test_substring_dup_spans_raises_on_mega_doc(spark):
     """A doc past the 2^20-token encoding limit must raise loudly, never
     silently drop its tail grams (which would undercount and misattribute
