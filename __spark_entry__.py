@@ -1094,6 +1094,47 @@ def _q_substring_dedup(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _snapshot_fixture(spark, sf_dir) -> str:
+    """Two-version documents snapshot under /tmp, built once per sf dir:
+    v1 = doc_id % 3 != 0 (the 'yesterday' corpus), v2 appends the rest.
+    A partial build (crashed process) is detected by the version count
+    and rebuilt from scratch — orphan data dirs were never visible."""
+    import shutil
+
+    from mover_spark.sources.snapshots import _list_versions, snapshot_commit
+
+    path = os.path.join(
+        "/tmp/mover_spark_snap",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "documents",
+    )
+    if len(_list_versions(spark, path)) < 2:
+        shutil.rmtree(path, ignore_errors=True)
+        docs = _catalog(spark, sf_dir).df("documents")
+        snapshot_commit(docs.where(F.col("doc_id") % 3 != 0), path)
+        snapshot_commit(docs.where(F.col("doc_id") % 3 == 0), path)
+    return path
+
+
+def _q_snapshot_time_travel(spark, sf_dir):
+    """Manifest-driven time travel: the corpus as of version 1 — reads
+    exactly v1's data directories with v1's stored schema, no directory
+    walk over later commits (sources/snapshots.py)."""
+    from mover_spark.sources.snapshots import read_snapshot
+
+    return read_snapshot(spark, _snapshot_fixture(spark, sf_dir), version=1)
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    """Key-level membership diff v1 -> v2 of the versioned corpus: every
+    doc the append made visible, tagged 'added'."""
+    from mover_spark.sources.snapshots import snapshot_diff
+
+    return snapshot_diff(
+        spark, _snapshot_fixture(spark, sf_dir), 1, 2, ["doc_id"]
+    )
+
+
 def _q_substring_dedup_clean(spark, sf_dir):
     """The cleaned corpus after exact-substring span excision (Lee et al.
     2022 output side): duplicated >=8-token spans removed, global first
@@ -2029,6 +2070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_stats": _q_substring_dedup,
         "substring_dedup_clean": _q_substring_dedup_clean,
         "dedup_keep_best": _q_dedup_keep_best,
+        "snapshot_time_travel": _q_snapshot_time_travel,
+        "snapshot_diff": _q_snapshot_diff,
         "streaming_quality_gate": _q_streaming_quality_gate,
         "doc_novelty": _q_doc_novelty,
         "source_drift_kl": _q_source_drift,
@@ -3379,6 +3422,14 @@ def oracle_sql() -> dict[str, str]:
             "ON mb.cluster_id = kp.cluster_id WHERE mb.doc_id != kp.keep) "
             "SELECT doc_id, lang, source, n_chars FROM documents "
             "WHERE doc_id NOT IN (SELECT doc_id FROM dr)"
+        ),
+        "snapshot_time_travel": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents "
+            "WHERE doc_id % 3 != 0"
+        ),
+        "snapshot_diff": (
+            "SELECT doc_id, 'added' AS change FROM documents "
+            "WHERE doc_id % 3 = 0"
         ),
         "substring_dedup_clean": (
             # the stats oracle's marking CTEs + covered-position distinct

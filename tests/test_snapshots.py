@@ -1,0 +1,100 @@
+"""Versioned parquet snapshots (sources/snapshots.py): commit protocol,
+time travel, crash invisibility, overwrite lineage, key diff."""
+
+import os
+
+import pytest
+
+from mover_spark.sources.snapshots import (
+    read_snapshot,
+    snapshot_commit,
+    snapshot_diff,
+    snapshot_versions,
+)
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"doc {i}") for i in ids], "id long, text string")
+
+
+def test_commit_append_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    assert snapshot_commit(_df(spark, [1, 2]), path) == 1
+    assert snapshot_commit(_df(spark, [3]), path) == 2
+    assert sorted(r.id for r in read_snapshot(spark, path).collect()) == [1, 2, 3]
+    assert sorted(r.id for r in read_snapshot(spark, path, 1).collect()) == [1, 2]
+    hist = {r.version: (r.mode, r.n_dirs) for r in snapshot_versions(spark, path).collect()}
+    assert hist == {1: ("append", 1), 2: ("append", 2)}
+    with pytest.raises(ValueError):
+        read_snapshot(spark, path, 7)
+
+
+def test_overwrite_starts_new_lineage_history_stays(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, [1, 2]), path)
+    snapshot_commit(_df(spark, [9]), path, mode="overwrite")
+    assert [r.id for r in read_snapshot(spark, path).collect()] == [9]
+    # the pre-overwrite version is still readable — history is immutable
+    assert sorted(r.id for r in read_snapshot(spark, path, 1).collect()) == [1, 2]
+    # and appends on top of the overwrite see only the new lineage
+    snapshot_commit(_df(spark, [10]), path)
+    assert sorted(r.id for r in read_snapshot(spark, path).collect()) == [9, 10]
+
+
+def test_orphan_data_dir_is_invisible(spark, tmp_path):
+    """A writer that died after writing data but before the manifest
+    rename leaves nothing a reader can see — and the next real commit
+    proceeds normally without absorbing the orphan's rows."""
+    path = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, [1]), path)
+    # simulate the crash: a version-2 data dir exists, no manifest
+    _df(spark, [99]).write.parquet(
+        os.path.join(path, "data", "v000000002-deadcafe")
+    )
+    assert [r.id for r in read_snapshot(spark, path).collect()] == [1]
+    assert [r.version for r in snapshot_versions(spark, path).collect()] == [1]
+    snapshot_commit(_df(spark, [3]), path)
+    assert sorted(r.id for r in read_snapshot(spark, path).collect()) == [1, 3]
+
+
+def test_concurrent_version_claim_raises(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency: a writer whose view of the version list is
+    stale (the race window between listing and rename) must fail loudly
+    at the manifest rename, never publish over the winner."""
+    import mover_spark.sources.snapshots as snap
+
+    path = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, [1]), path)
+    snapshot_commit(_df(spark, [2]), path)  # the "winner" holds v2
+    before = {
+        v: sorted(r.id for r in read_snapshot(spark, path, v).collect())
+        for v in (1, 2)
+    }
+    monkeypatch.setattr(snap, "_list_versions", lambda s, p: [1])  # stale view
+    with pytest.raises(RuntimeError, match="concurrent"):
+        snapshot_commit(_df(spark, [666]), path)
+    monkeypatch.undo()
+    after = {
+        v: sorted(r.id for r in read_snapshot(spark, path, v).collect())
+        for v in (1, 2)
+    }
+    assert after == before  # the loser changed nothing visible
+
+
+def test_empty_commit_reads_with_stored_schema(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, []), path)
+    out = read_snapshot(spark, path)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "text"]
+
+
+def test_snapshot_diff_added_and_removed(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, [1, 2, 3]), path)
+    snapshot_commit(_df(spark, [4]), path)                      # append
+    snapshot_commit(_df(spark, [2, 4, 5]), path, mode="overwrite")
+    d12 = {(r.id, r.change) for r in snapshot_diff(spark, path, 1, 2, ["id"]).collect()}
+    assert d12 == {(4, "added")}
+    d23 = {(r.id, r.change) for r in snapshot_diff(spark, path, 2, 3, ["id"]).collect()}
+    assert d23 == {(5, "added"), (1, "removed"), (3, "removed")}

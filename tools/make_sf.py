@@ -78,11 +78,16 @@ def main() -> int:
             elif name == "embeddings":
                 df = df.withColumn(
                     "embedding",
+                    # cast back: the perturbation arithmetic widens float
+                    # elements to double, and a replica file with
+                    # array<double> breaks every reader that binds the
+                    # base fixture's array<float> schema explicitly
+                    # (streaming sources must declare their schema)
                     F.transform(
                         "embedding",
                         lambda x, i: x
                         + (F.col("__rep") % 7).cast("float") * 0.001 * (i % 3),
-                    ),
+                    ).cast("array<float>"),
                 )
             df = df.repartition(32).drop("__rep")
         df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
