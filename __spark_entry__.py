@@ -1073,6 +1073,17 @@ def _q_streaming_ann_probe(spark, sf_dir):
     return ann_probe_parity(spark, sf_dir)
 
 
+def _q_streaming_ann_probe_pruned(spark, sf_dir):
+    """The SCALE path of the streaming vector probe: per micro-batch the
+    code scan is pruned to the union of the batch queries' 4 nearest
+    cell directories via partition filters. The all-cells parity twin
+    (streaming_ann_probe) is O(|stream| x |codes|) by construction;
+    this is the shape that survives a corpus-proportional query stream."""
+    from mover_spark.streaming.annprobe import ann_probe_parity
+
+    return ann_probe_parity(spark, sf_dir, n_probe=4)
+
+
 def _q_streaming_quality_gate(spark, sf_dir):
     """Online perplexity-proxy gate: stream docs scored in-row against a
     literal-map LM built from the static corpus — stateless append mode,
@@ -1981,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_neardup_probe": _q_streaming_neardup_probe,
         "streaming_ann_probe": _q_streaming_ann_probe,
+        "streaming_ann_probe_pruned": _q_streaming_ann_probe_pruned,
         "sketch_kmv_distinct": _q_kmv_distinct,
         "q5_region_revenue": _q_region_revenue,
         "scalar_subquery_min": _q_scalar_subquery_min,
@@ -2330,7 +2342,11 @@ def _pq_oracle_sql(
     )
 
 
-def _ivfpq_oracle_sql(n_probe: int = 4) -> str:
+def _ivfpq_oracle_sql(
+    n_probe: int = 4,
+    corpus_where: str = "",
+    query_where: str = "WHERE vec_id < 10",
+) -> str:
     """Oracle for the PRUNED persisted-index search (pq_topk_from_index
     with n_probe): deterministic coarse cells (the 16 smallest-id corpus
     vectors, cid = vec_id), every corpus vector assigned to its top-1
@@ -2338,11 +2354,14 @@ def _ivfpq_oracle_sql(n_probe: int = 4) -> str:
     the UNION of all queries' probed cells (that is what the partition
     filter prunes the scan to — every query is then scored against the
     whole pruned scan), followed by the same ADC + exact-refine pipeline
-    as _pq_oracle_sql restricted to those candidates."""
+    as _pq_oracle_sql restricted to those candidates. `corpus_where`
+    restricts the indexed corpus (cells, codewords, and candidates all
+    derive from it); `query_where` picks the query set — the streaming
+    probe splits embeddings into corpus (vec_id % 20 != 0) and stream."""
     return (
         "WITH " + _QVEC_CTE + ", "
-        "qc AS (SELECT vec_id, qv FROM q), "
-        "qr AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 10), "
+        f"qc AS (SELECT vec_id, qv FROM q {corpus_where}), "
+        f"qr AS (SELECT vec_id AS query_id, qv FROM q {query_where}), "
         "cent AS (SELECT vec_id AS cid, qv AS qcent FROM qc ORDER BY vec_id LIMIT 16), "
         "assign AS (SELECT vec_id, cid FROM ("
         "SELECT v.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id "
@@ -3745,6 +3764,15 @@ def oracle_sql() -> dict[str, str]:
         # split — same parameterized ADC oracle
         "streaming_ann_probe": _pq_oracle_sql(
             "WHERE e.vec_id % 20 != 0", "WHERE vec_id % 20 = 0"
+        ),
+        # the pruned streaming probe == the probed-cells batch search
+        # over the same stream/corpus split (micro-batch caveat: cell
+        # probing is per BATCH-UNION on the Spark side, per QUERY-UNION
+        # here — identical because availableNow drains this fixture in
+        # one batch; the per-query answers only ever widen with more
+        # probed cells, and the refine step re-ranks exactly)
+        "streaming_ann_probe_pruned": _ivfpq_oracle_sql(
+            4, "WHERE vec_id % 20 != 0", "WHERE vec_id % 20 = 0"
         ),
         "streaming_neardup_probe": (
             # stateless stream-static LSH probe == exact cross-side pairs

@@ -497,19 +497,26 @@ def _containment_reps(
 
 
 def _containment_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_slots: int = N_CONTAIN_MINHASH,
 ) -> DataFrame:
-    """(doc, n, mhs) per representative — the DEDICATED 256-perm
-    containment signature (CONTAIN_A/B pool), persisted and memoized.
-    Separate from the 48-perm Jaccard pool: deep ratio classes need band
-    counts (44+51+94 at t=0.95) a 48-hash signature cannot host. Runs on
-    representatives only, so the Arrow pass scales with distinct content."""
-    key = _dedup_cache_key(df, "containment_sig256", text_col, id_col)
+    """(doc, n, mhs) per representative — the DEDICATED containment
+    signature (a prefix of the 256-perm CONTAIN_A/B pool), persisted and
+    memoized per slot count. Separate from the 48-perm Jaccard pool:
+    deep ratio classes need band counts (44+51+94 at t=0.95) a 48-hash
+    signature cannot host. Runs on representatives only, so the Arrow
+    pass scales with distinct content; computing only the slots the
+    caller's band schemes actually index (threshold-dependent — 195 of
+    256 at t=0.9) trims both the numpy kernel and the Arrow transfer,
+    which bound this stage."""
+    key = _dedup_cache_key(df, "containment_sig256", text_col, id_col, n_slots)
     hit = _cache_get(_SIG_CACHE, key)
     if hit is not None:
         return hit
     reps, _ = _containment_reps(df, text_col, id_col)
-    mh = minhash_signature_udf(CONTAIN_A, CONTAIN_B)
+    mh = minhash_signature_udf(CONTAIN_A[:n_slots], CONTAIN_B[:n_slots])
     sig = reps.select(
         "doc",
         F.size("hs").alias("n"),
@@ -700,20 +707,24 @@ def containment_lsh(
     import math as _math
 
     reps, members = _containment_reps(df, text_col, id_col)
-    slice_den = F.lit(_math.log2(slice_base))
-    sig = _containment_signatures(df, text_col, id_col).withColumn(
-        # geometric size slice: floor(log_w(n)); both join sides compute
-        # it identically so boundary rounding cannot disagree
-        "slice",
-        F.floor(F.log2(F.col("n").cast("double")) / slice_den).cast("int"),
-    )
-
     schemes = _containment_band_schemes(
         threshold,
         slice_base,
         max_miss,
         N_CONTAIN_MINHASH,
         max_class=CONTAIN_BAND_MAX_CLASS,
+    )
+    # compute only the signature slots the schemes index (each scheme r
+    # reads slots [0, r*n_bands); they overlap deliberately — buckets are
+    # namespaced by the global band offset, so cross-scheme slot reuse
+    # never aliases a bucket key)
+    n_slots = max(r * n_bands for r, (n_bands, _) in schemes.items())
+    slice_den = F.lit(_math.log2(slice_base))
+    sig = _containment_signatures(df, text_col, id_col, n_slots=n_slots).withColumn(
+        # geometric size slice: floor(log_w(n)); both join sides compute
+        # it identically so boundary rounding cannot disagree
+        "slice",
+        F.floor(F.log2(F.col("n").cast("double")) / slice_den).cast("int"),
     )
     k_band = max(k for _, ks in schemes.values() for k in ks)
 

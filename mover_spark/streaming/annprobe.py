@@ -103,13 +103,23 @@ def ann_probe_stream(
     return q
 
 
-def ann_probe_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_probe_parity(
+    spark: SparkSession, sf_dir: str, n_probe: int | None = None
+) -> DataFrame:
     """Driver-contract entry: corpus = embeddings with vec_id % 20 != 0
     (indexed once per sf dir, persisted cross-run), stream = the rest;
-    drain, then return the appended results. All cells scanned
-    (n_probe=None), so the output is bit-identical to the batch
-    pq_topk_from_index over the same split — hash-checked against the
-    parameterized PQ/ADC SQL oracle."""
+    drain, then return the appended results.
+
+    n_probe=None scans all cells, so the output is bit-identical to the
+    batch pq_topk_from_index over the same split — hash-checked against
+    the parameterized PQ/ADC SQL oracle. That parity harness is
+    O(|stream| x |codes|) BY CONSTRUCTION (each streamed query ADC-scans
+    the whole index) — quadratic when the query stream grows with the
+    corpus, so it is a correctness surface, not the scale path. n_probe=k
+    is the production shape: each micro-batch's scan is pruned to the
+    union of the queries' k nearest cell directories via partition
+    filters (hash-checked against the probed-cells oracle), cutting
+    per-query work by cells/k and the decade exponent with it."""
     import tempfile
 
     from mover_spark.catalog import Catalog
@@ -139,7 +149,8 @@ def ann_probe_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     _DRAIN_DIRS.append(work)
     out_dir = os.path.join(work, "out")
     ann_probe_stream(
-        stream, index_path, out_dir, os.path.join(work, "ckpt")
+        stream, index_path, out_dir, os.path.join(work, "ckpt"),
+        n_probe=n_probe,
     )
     if not os.path.isdir(out_dir):
         # non-empty tenant whose stream split is empty: no batch ever
