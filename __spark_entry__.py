@@ -1878,6 +1878,62 @@ def _q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, queries, k=10)
 
 
+def _text_index_fixture(spark, sf_dir, variant: str) -> str:
+    """Persisted BM25 inverted index under /tmp, built once per sf dir.
+    'full' = one writer pass over the corpus; 'app' = base (doc_id % 3
+    != 0) indexed, the rest folded in by append_to_text_index — readers
+    over 'app' must be row-identical to 'full'. A partial build (crashed
+    process) is detected by the missing done-marker and rebuilt."""
+    import shutil
+
+    from mover_spark.operators.retrieval import (
+        append_to_text_index,
+        write_text_index,
+    )
+
+    path = os.path.join(
+        "/tmp/mover_spark_textindex",
+        os.path.basename(os.path.normpath(sf_dir)),
+        variant,
+    )
+    done = os.path.join(path, ".done")
+    if not os.path.exists(done):
+        shutil.rmtree(path, ignore_errors=True)
+        docs = _catalog(spark, sf_dir).df("documents")
+        if variant == "full":
+            write_text_index(docs, path)
+        else:
+            write_text_index(docs.where(F.col("doc_id") % 3 != 0), path)
+            append_to_text_index(docs.where(F.col("doc_id") % 3 == 0), path)
+        with open(done, "w") as f:
+            f.write("ok")
+    return path
+
+
+def _q_bm25_topk_persisted(spark, sf_dir):
+    """CROSS-JOB lexical search: BM25 answered from the persisted
+    inverted index — corpus never re-tokenized; the postings scan is
+    pruned to the query vocabulary by a source filter over term-sorted
+    parquet. Row-identical to bm25_topk (same oracle)."""
+    from mover_spark.operators.retrieval import bm25_from_index
+
+    path = _text_index_fixture(spark, sf_dir, "full")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, query_text string")
+    return bm25_from_index(spark, path, queries, k=10)
+
+
+def _q_bm25_topk_appended(spark, sf_dir):
+    """Daily-increment retrieval, lexical edition: the base corpus is
+    indexed once, the day's docs appended increment-sized (stats merge
+    by row-union addition, df derived at query time so nothing goes
+    stale) — searches row-identical to a full rebuild, same oracle."""
+    from mover_spark.operators.retrieval import bm25_from_index
+
+    path = _text_index_fixture(spark, sf_dir, "app")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, query_text string")
+    return bm25_from_index(spark, path, queries, k=10)
+
+
 def _q_hybrid_retrieval_rrf(spark, sf_dir):
     """Hybrid query-by-document retrieval: BM25 over the query doc's text
     fused with exact-cosine over its embedding via reciprocal-rank fusion
@@ -1977,6 +2033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bm25_topk": _q_bm25_topk,
+        "bm25_topk_persisted": _q_bm25_topk_persisted,
+        "bm25_topk_appended": _q_bm25_topk_appended,
         "hybrid_retrieval_rrf": _q_hybrid_retrieval_rrf,
         "redact_pii": _q_redact_pii,
         "decontaminate_ngram": _q_decontaminate,
@@ -3103,6 +3161,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, term, score FROM r WHERE rn <= 3"
         ),
         "bm25_topk": (
+            f"WITH {_BM25_QSET}, {_bm25_cte()} "
+            'SELECT query_id, doc_id, "rank", score FROM br WHERE "rank" <= 10'
+        ),
+        # the persisted/appended index paths are row-identical to the
+        # live computation by construction (disjoint row unions + querytime
+        # df derivation) — same oracle
+        "bm25_topk_persisted": (
+            f"WITH {_BM25_QSET}, {_bm25_cte()} "
+            'SELECT query_id, doc_id, "rank", score FROM br WHERE "rank" <= 10'
+        ),
+        "bm25_topk_appended": (
             f"WITH {_BM25_QSET}, {_bm25_cte()} "
             'SELECT query_id, doc_id, "rank", score FROM br WHERE "rank" <= 10'
         ),

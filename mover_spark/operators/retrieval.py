@@ -136,6 +136,131 @@ def bm25_topk(
     )
 
 
+def write_text_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_term_buckets: int = 64,
+) -> None:
+    """Persist the BM25 inverted index — the lexical twin of
+    similarity.write_ann_index / dedup.write_signature_index: the
+    corpus-sized tokenize+aggregate pass runs ONCE in the writer job,
+    query jobs read back only the postings their terms touch.
+
+    Layout: `postings` (term, doc_id, tf) range-partitioned and sorted
+    by term, so a query's `term IN (...)` filter prunes whole files via
+    parquet min/max before any row is read; `doclen` (doc_id, dl);
+    `stats` (n_docs, sum_dl) — one row, appendable by addition. Document
+    frequency is NOT stored: it derives at query time from the pruned
+    postings (a count over query-term rows only), which is what makes
+    `append_to_text_index` exact — no stored statistic goes stale."""
+    tok = _tokens(docs, id_col, text_col, "doc_id")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    (
+        tf.repartitionByRange(n_term_buckets, "term")
+        .sortWithinPartitions("term")
+        .write.mode("error")
+        .parquet(f"{path}/postings")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl.write.mode("error").parquet(f"{path}/doclen")
+    dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).write.mode("error").parquet(f"{path}/stats")
+
+
+def append_to_text_index(
+    increment: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_term_buckets: int = 8,
+) -> None:
+    """Fold a document increment into a persisted text index with
+    increment-sized work: append its postings and doc lengths, and add a
+    stats delta row (readers SUM the stats dataset, so the merge is
+    associative and append-only — no read-modify-write race window).
+    Query results over the appended index are row-identical to a full
+    rebuild because every stored relation is a disjoint row union and
+    document frequency is derived at query time."""
+    tok = _tokens(increment, id_col, text_col, "doc_id")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    (
+        tf.repartitionByRange(n_term_buckets, "term")
+        .sortWithinPartitions("term")
+        .write.mode("append")
+        .parquet(f"{path}/postings")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl.write.mode("append").parquet(f"{path}/doclen")
+    dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).write.mode("append").parquet(f"{path}/stats")
+
+
+def bm25_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BM25 top-k answered from a persisted text index: the corpus is
+    never re-tokenized — the postings scan carries a `term IN (query
+    vocabulary)` source filter (pruning sorted parquet by min/max), the
+    doc-length join is the only corpus-keyed work, and document
+    frequency is counted over the pruned postings. Output is
+    row-identical to bm25_topk over the same corpus (equality-tested)."""
+    qterms = (
+        _tokens(queries, query_id_col, query_text_col, "query_id").distinct()
+    )
+    terms = [r.term for r in qterms.select("term").distinct().collect()]
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, rank int, score double"
+        )
+    postings = spark.read.parquet(f"{path}/postings").where(
+        F.col("term").isin(terms)
+    )
+    dl = spark.read.parquet(f"{path}/doclen")
+    stats = spark.read.parquet(f"{path}/stats").agg(
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum("sum_dl").cast("double") / F.sum("n_docs")).alias("avgdl"),
+    )
+    dfc = postings.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    scored_rows = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfc), "term")
+        .join(F.broadcast(stats))
+    )
+    if exclude_self:
+        scored_rows = scored_rows.where(F.col("query_id") != F.col("doc_id"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5)
+    )
+    tfn = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * tfn * _BM25_GRAIN).cast("long")
+    scored = (
+        scored_rows.select("query_id", "doc_id", contrib.alias("qs"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("qs") / float(_BM25_GRAIN), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     k: int = 10,

@@ -126,6 +126,53 @@ def test_hybrid_topk_fixture(spark, catalog):
     assert all(r.doc_id != r.query_id for r in rows)  # both arms self-exclude
 
 
+def test_bm25_index_matches_live(spark, catalog, tmp_path):
+    """Persisted-index search is row-identical to the live computation,
+    and an appended index is row-identical to a full rebuild."""
+    from mover_spark.operators.retrieval import (
+        append_to_text_index,
+        bm25_from_index,
+        write_text_index,
+    )
+
+    docs = catalog.df("documents")
+    queries = spark.createDataFrame(
+        [(1, "spark window agg"), (2, "table scan")],
+        "query_id int, query_text string",
+    )
+    live = bm25_topk(docs, queries, k=10).collect()
+
+    full = str(tmp_path / "full")
+    write_text_index(docs, full)
+    from_full = bm25_from_index(spark, full, queries, k=10).collect()
+    assert sorted(map(tuple, from_full)) == sorted(map(tuple, live))
+
+    app = str(tmp_path / "app")
+    write_text_index(docs.where(F.col("doc_id") % 3 != 0), app)
+    append_to_text_index(docs.where(F.col("doc_id") % 3 == 0), app)
+    from_app = bm25_from_index(spark, app, queries, k=10).collect()
+    assert sorted(map(tuple, from_app)) == sorted(map(tuple, live))
+
+
+def test_bm25_index_prunes_postings_scan(spark, catalog, tmp_path):
+    """The scale contract of the index path: the postings scan carries
+    the query-vocabulary source filter (pushed to parquet over the
+    term-sorted layout), and empty query vocabularies short-circuit."""
+    from mover_spark.operators.retrieval import bm25_from_index, write_text_index
+    from mover_spark.plans.audit import audit_plan
+
+    path = str(tmp_path / "ix")
+    write_text_index(catalog.df("documents"), path)
+    queries = spark.createDataFrame(
+        [(1, "spark window")], "query_id int, query_text string"
+    )
+    facts = audit_plan(bm25_from_index(spark, path, queries, k=5))
+    assert any("term" in p for p in facts["pushed_filters"])
+    assert not facts["has_python_eval"]
+    empty = spark.createDataFrame([(1, " ")], "query_id int, query_text string")
+    assert bm25_from_index(spark, path, empty).count() == 0
+
+
 def test_bm25_plan_shape(spark, catalog):
     """The scale contract: query-sized relations (terms, dfc, stats) join
     broadcast; no row-at-a-time Python eval anywhere; the corpus-keyed

@@ -17,7 +17,7 @@ ONCE="q21_waiting_suppliers containment_lsh \
 mixture_epoch_sample training_shard_summary curation_pipeline_bucketed \
 bm25_topk hybrid_retrieval_rrf"
 TWICE="ann_topk_pq_persisted ann_topk_pq_appended ann_topk_ivfpq_persisted \
-streaming_ann_probe_pruned"
+streaming_ann_probe_pruned bm25_topk_persisted bm25_topk_appended"
 # the all-cells PARITY probe is O(|stream| x |codes|) BY CONSTRUCTION
 # (correctness surface, not the scale path) — measured at sf10 only;
 # the pruned variant above is the decade-pair query
@@ -43,7 +43,8 @@ EOF
 for fx in ${1:-sf10 sf100}; do
   [ "$fx" = both ] && continue
   # fresh index state per fixture so run1 really includes the build
-  rm -rf "/tmp/mover_spark_annindex/$fx" "/tmp/mover_spark_annindex_app/$fx" 2>/dev/null || true
+  rm -rf "/tmp/mover_spark_annindex/$fx" "/tmp/mover_spark_annindex_app/$fx" \
+    "/tmp/mover_spark_textindex/$fx" 2>/dev/null || true
   for q in $ONCE; do run_cell "$fx" "$q" ""; done
   if [ "$fx" = sf10 ]; then
     for q in $SF10_ONLY; do
