@@ -172,6 +172,55 @@ def snapshot_versions(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def snapshot_compact(
+    spark: SparkSession, path: str, target_partitions: int | None = None
+) -> int:
+    """Rewrite the LATEST version's content as one fresh overwrite commit
+    with a controlled file count — the small-files maintenance step for
+    an append-heavy snapshot (every daily append adds a directory; after
+    N appends a read opens N directories). History stays readable: old
+    versions keep their manifests and data until `snapshot_vacuum`
+    reclaims them. Returns the new version number."""
+    cur = read_snapshot(spark, path)
+    if target_partitions is None:
+        # one output file per shuffle partition worth of data, floor 1
+        target_partitions = max(1, cur.rdd.getNumPartitions() // 4)
+    return snapshot_commit(cur.coalesce(target_partitions), path, mode="overwrite")
+
+
+def snapshot_vacuum(
+    spark: SparkSession, path: str, keep_versions: int | None = None
+) -> list[str]:
+    """Reclaim storage: delete data directories no retained manifest
+    references (orphans from crashed/raced writers, and — when
+    `keep_versions` bounds the history — directories only old versions
+    used, whose manifests are dropped too). Returns the deleted
+    directory names.
+
+    CAVEAT (same as every lakehouse vacuum): an orphan directory is
+    indistinguishable from a commit IN PROGRESS — run vacuum from the
+    same single-maintenance-job discipline as compaction, or only when
+    no writer can be active."""
+    fs, jvm = _fs(spark, path)
+    versions = _list_versions(spark, path)
+    keep = versions if keep_versions is None else versions[-keep_versions:]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_read_manifest(spark, path, v)["dirs"])
+    deleted: list[str] = []
+    for v in versions:
+        if v not in keep:
+            fs.delete(_jpath(jvm, f"{path}/{_MANIFEST_DIR}/v{v:09d}.json"), False)
+    ddir = _jpath(jvm, f"{path}/{_DATA_DIR}")
+    if fs.exists(ddir):
+        for st in fs.listStatus(ddir):
+            name = st.getPath().getName()
+            if f"{_DATA_DIR}/{name}" not in referenced:
+                fs.delete(st.getPath(), True)
+                deleted.append(name)
+    return sorted(deleted)
+
+
 def snapshot_diff(
     spark: SparkSession,
     path: str,

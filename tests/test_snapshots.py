@@ -89,6 +89,32 @@ def test_empty_commit_reads_with_stored_schema(spark, tmp_path):
     assert [f.name for f in out.schema.fields] == ["id", "text"]
 
 
+def test_compact_and_vacuum(spark, tmp_path):
+    """Compaction rewrites the latest content into a fresh overwrite
+    commit (fewer directories per read); vacuum reclaims orphans and —
+    with a retention bound — old-only directories, while every retained
+    version stays readable."""
+    import os as _os
+
+    from mover_spark.sources.snapshots import snapshot_compact, snapshot_vacuum
+
+    path = str(tmp_path / "snap")
+    for ids in ([1, 2], [3], [4]):
+        snapshot_commit(_df(spark, ids), path)
+    # an orphaned (crashed-writer) directory to reclaim
+    _df(spark, [99]).write.parquet(_os.path.join(path, "data", "v000000009-dead"))
+    v4 = snapshot_compact(spark, path)
+    assert v4 == 4
+    assert sorted(r.id for r in read_snapshot(spark, path).collect()) == [1, 2, 3, 4]
+    # keep only the compacted tip: the three append dirs + orphan go
+    deleted = snapshot_vacuum(spark, path, keep_versions=1)
+    assert len(deleted) == 4 and any(d.endswith("-dead") for d in deleted)
+    assert sorted(r.id for r in read_snapshot(spark, path).collect()) == [1, 2, 3, 4]
+    assert [r.version for r in snapshot_versions(spark, path).collect()] == [4]
+    # unbounded vacuum right after: nothing left to reclaim
+    assert snapshot_vacuum(spark, path) == []
+
+
 def test_snapshot_diff_added_and_removed(spark, tmp_path):
     path = str(tmp_path / "snap")
     snapshot_commit(_df(spark, [1, 2, 3]), path)
