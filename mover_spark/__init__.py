@@ -12,9 +12,10 @@ Layout
 - ``config``     mover's config.json format, verbatim (config/config.go:11-52)
 - ``engine``     Engine facade: describe / extract / load (etl/engine.go)
 - ``operators``  closure (BFS FK-reachability), sanitize, dedup, similarity,
-                 text analysis, event windows
+                 text analysis, lexical/hybrid retrieval, event windows
 - ``sources``    JSON envelope source/sink (etl/engine.go:141-164, loader.go),
-                 JDBC catalog/upsert (gated; no DB in the test env)
+                 JDBC catalog/upsert (gated; no DB in the test env),
+                 versioned parquet snapshots (manifest time travel)
 - ``streaming``  Structured Streaming ingest over the events table
 """
 

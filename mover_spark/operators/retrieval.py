@@ -150,11 +150,13 @@ def write_text_index(
 
     Layout: `postings` (term, doc_id, tf) range-partitioned and sorted
     by term, so a query's `term IN (...)` filter prunes whole files via
-    parquet min/max before any row is read; `doclen` (doc_id, dl);
-    `stats` (n_docs, sum_dl) — one row, appendable by addition. Document
-    frequency is NOT stored: it derives at query time from the pruned
-    postings (a count over query-term rows only), which is what makes
-    `append_to_text_index` exact — no stored statistic goes stale."""
+    parquet min/max before any row is read; `doclen` (doc_id, dl).
+    NOTHING derived is stored — document frequency comes from the pruned
+    postings at query time and the corpus stats (N, avgdl) from one
+    narrow aggregation over `doclen` — which is what makes
+    `append_to_text_index` exact: no stored statistic can go stale, and
+    a doc is visible if and only if its doclen row landed (see the
+    append-ordering contract there)."""
     tok = _tokens(docs, id_col, text_col, "doc_id")
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     (
@@ -163,11 +165,9 @@ def write_text_index(
         .write.mode("error")
         .parquet(f"{path}/postings")
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dl.write.mode("error").parquet(f"{path}/doclen")
-    dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).write.mode("error").parquet(f"{path}/stats")
+    tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).write.mode(
+        "error"
+    ).parquet(f"{path}/doclen")
 
 
 def append_to_text_index(
@@ -178,12 +178,19 @@ def append_to_text_index(
     n_term_buckets: int = 8,
 ) -> None:
     """Fold a document increment into a persisted text index with
-    increment-sized work: append its postings and doc lengths, and add a
-    stats delta row (readers SUM the stats dataset, so the merge is
-    associative and append-only — no read-modify-write race window).
+    increment-sized work: append its postings, then its doc lengths.
     Query results over the appended index are row-identical to a full
     rebuild because every stored relation is a disjoint row union and
-    document frequency is derived at query time."""
+    every derived statistic (df, N, avgdl) is computed at query time
+    from VISIBLE docs only — a doc is visible iff its doclen row landed,
+    and the reader inner-joins postings to doclen before counting df.
+
+    Append-ordering contract: postings land BEFORE doclen (each dataset
+    append is an atomic job commit). A crash between the two leaves the
+    increment's postings inert — no doclen row means they join to
+    nothing, count toward nothing — so every crash prefix reads exactly
+    like the pre-append index; re-running the append after cleaning the
+    orphaned postings (or rebuilding) restores the post-append state."""
     tok = _tokens(increment, id_col, text_col, "doc_id")
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     (
@@ -192,11 +199,9 @@ def append_to_text_index(
         .write.mode("append")
         .parquet(f"{path}/postings")
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dl.write.mode("append").parquet(f"{path}/doclen")
-    dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).write.mode("append").parquet(f"{path}/stats")
+    tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).write.mode(
+        "append"
+    ).parquet(f"{path}/doclen")
 
 
 def bm25_from_index(
@@ -212,10 +217,13 @@ def bm25_from_index(
 ) -> DataFrame:
     """BM25 top-k answered from a persisted text index: the corpus is
     never re-tokenized — the postings scan carries a `term IN (query
-    vocabulary)` source filter (pruning sorted parquet by min/max), the
-    doc-length join is the only corpus-keyed work, and document
-    frequency is counted over the pruned postings. Output is
-    row-identical to bm25_topk over the same corpus (equality-tested)."""
+    vocabulary)` source filter (pruning sorted parquet by min/max; the
+    vocabulary is collected driver-side, query-sized by contract), the
+    doc-length join is the only corpus-keyed work, document frequency is
+    counted over the pruned VISIBLE postings (inner-joined to doclen —
+    see append_to_text_index's crash contract), and N/avgdl come from
+    one narrow aggregation over doclen. Output is row-identical to
+    bm25_topk over the same corpus (equality-tested)."""
     qterms = (
         _tokens(queries, query_id_col, query_text_col, "query_id").distinct()
     )
@@ -228,14 +236,14 @@ def bm25_from_index(
         F.col("term").isin(terms)
     )
     dl = spark.read.parquet(f"{path}/doclen")
-    stats = spark.read.parquet(f"{path}/stats").agg(
-        F.sum("n_docs").alias("n_docs"),
-        (F.sum("sum_dl").cast("double") / F.sum("n_docs")).alias("avgdl"),
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    dfc = postings.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    base = postings.join(dl, "doc_id")
+    dfc = base.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
     scored_rows = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(dl, "doc_id")
+        base.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfc), "term")
         .join(F.broadcast(stats))
     )

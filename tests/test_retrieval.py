@@ -154,6 +154,33 @@ def test_bm25_index_matches_live(spark, catalog, tmp_path):
     assert sorted(map(tuple, from_app)) == sorted(map(tuple, live))
 
 
+def test_bm25_index_partial_append_is_invisible(spark, catalog, tmp_path):
+    """The crash contract: postings land before doclen, so an append
+    that died in between leaves the increment's postings inert — the
+    index answers exactly like the pre-append index (df, N, avgdl all
+    derive from visible docs only)."""
+    from mover_spark.operators.retrieval import (
+        _tokens,
+        bm25_from_index,
+        write_text_index,
+    )
+
+    docs = catalog.df("documents")
+    path = str(tmp_path / "ix")
+    write_text_index(docs.where(F.col("doc_id") % 3 != 0), path)
+    queries = spark.createDataFrame(
+        [(1, "spark window agg")], "query_id int, query_text string"
+    )
+    before = bm25_from_index(spark, path, queries, k=10).collect()
+    # simulate the crash: the increment's postings appended, doclen not
+    inc = _tokens(docs.where(F.col("doc_id") % 3 == 0), "doc_id", "text", "doc_id")
+    inc.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).write.mode(
+        "append"
+    ).parquet(f"{path}/postings")
+    after = bm25_from_index(spark, path, queries, k=10).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+
+
 def test_bm25_index_prunes_postings_scan(spark, catalog, tmp_path):
     """The scale contract of the index path: the postings scan carries
     the query-vocabulary source filter (pushed to parquet over the
