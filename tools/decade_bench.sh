@@ -15,7 +15,10 @@ mkdir -p "$OUT"
 
 ONCE="q21_waiting_suppliers containment_lsh \
 mixture_epoch_sample training_shard_summary curation_pipeline_bucketed \
-bm25_topk hybrid_retrieval_rrf"
+bm25_topk hybrid_retrieval_rrf substring_dedup_clean dedup_keep_best \
+snapshot_time_travel snapshot_diff"
+# snapshot_time_travel runs first of the two, so ITS cell carries the
+# one-time two-commit fixture build; snapshot_diff reads it warm
 TWICE="ann_topk_pq_persisted ann_topk_pq_appended ann_topk_ivfpq_persisted \
 streaming_ann_probe_pruned bm25_topk_persisted bm25_topk_appended"
 # the all-cells PARITY probe is O(|stream| x |codes|) BY CONSTRUCTION
@@ -44,7 +47,7 @@ for fx in ${1:-sf10 sf100}; do
   [ "$fx" = both ] && continue
   # fresh index state per fixture so run1 really includes the build
   rm -rf "/tmp/mover_spark_annindex/$fx" "/tmp/mover_spark_annindex_app/$fx" \
-    "/tmp/mover_spark_textindex/$fx" 2>/dev/null || true
+    "/tmp/mover_spark_textindex/$fx" "/tmp/mover_spark_snap/$fx" 2>/dev/null || true
   for q in $ONCE; do run_cell "$fx" "$q" ""; done
   if [ "$fx" = sf10 ]; then
     for q in $SF10_ONLY; do
