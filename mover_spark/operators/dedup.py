@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 # ---------------------------------------------------------------------------
 # shingling
@@ -469,30 +470,31 @@ def _containment_reps(
     cluster of m docs puts m rows in every one of its band buckets and
     m^2 rows through every band join. Collapsing to representatives makes
     the candidate stage scale with DISTINCT content; the (quadratic, but
-    output-sized) member expansion happens after exact verification."""
-    kr = _dedup_cache_key(df, "containment_reps", text_col, id_col)
-    km = _dedup_cache_key(df, "containment_members", text_col, id_col)
-    reps = _cache_get(_SIG_CACHE, kr)
-    members = _cache_get(_SIG_CACHE, km)
-    if reps is not None and members is not None:
-        return reps, members
-    for key in (kr, km):  # partial eviction: rebuild the pair coherently
-        old = _SIG_CACHE.pop(key, None)
-        if old is not None:
-            try:
-                old.unpersist()
-            except Exception:
-                pass
-    sh = _hashed_shingles(df, text_col, id_col)
-    tagged = sh.select(
-        "doc", "hs", F.xxhash64(F.array_sort("hs")).alias("sd")
-    ).withColumn("rep", F.min("doc").over(Window.partitionBy("sd")))
-    members = tagged.select("rep", "doc").persist()
-    reps = (
-        tagged.where(F.col("doc") == F.col("rep")).select("doc", "hs").persist()
-    )
-    _cache_put(_SIG_CACHE, km, members, _SIG_CACHE_MAX)
-    _cache_put(_SIG_CACHE, kr, reps, _SIG_CACHE_MAX)
+    output-sized) member expansion happens after exact verification.
+
+    MEMORY SHAPE (the sf100 OOM fix): ONE persisted relation — tagged
+    (doc, hs, rep) — with reps and members as unpersisted projections
+    over it, instead of persisting reps' hs arrays a second time next to
+    _hashed_shingles' copy. And the persist is DISK_ONLY: on a nearly
+    dup-free corpus this relation is corpus-sized (~5 GB of shingle
+    arrays at 5M docs), its consumers are sequential scans, and pinning
+    it in a 16g heap next to the signature cache left Arrow/task
+    allocations nothing to live in (java.lang.OutOfMemoryError at sf100,
+    ~13 GB of persisted blocks). Local disk + page cache serve re-scans
+    at near-memory speed for this access pattern."""
+    kt = _dedup_cache_key(df, "containment_tagged", text_col, id_col)
+    tagged = _cache_get(_SIG_CACHE, kt)
+    if tagged is None:
+        sh = _hashed_shingles(df, text_col, id_col)
+        tagged = (
+            sh.select("doc", "hs", F.xxhash64(F.array_sort("hs")).alias("sd"))
+            .withColumn("rep", F.min("doc").over(Window.partitionBy("sd")))
+            .select("doc", "hs", "rep")
+            .persist(StorageLevel.DISK_ONLY)
+        )
+        tagged = _cache_put(_SIG_CACHE, kt, tagged, _SIG_CACHE_MAX)
+    reps = tagged.where(F.col("doc") == F.col("rep")).select("doc", "hs")
+    members = tagged.select("rep", "doc")
     return reps, members
 
 
@@ -523,7 +525,11 @@ def _containment_signatures(
         mh(
             F.transform("hs", lambda h: F.pmod(h, F.lit(MERSENNE_P)))
         ).alias("mhs"),
-    ).persist()
+        # DISK_ONLY, same memory contract as _containment_reps: ~1.6 KB
+        # of minhash values per doc is signature-cache poison for the
+        # heap at the 5M-doc decade, and every consumer scans it
+        # sequentially (the band-row builders)
+    ).persist(StorageLevel.DISK_ONLY)
     return _cache_put(_SIG_CACHE, key, sig, _SIG_CACHE_MAX)
 
 

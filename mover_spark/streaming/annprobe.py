@@ -58,9 +58,24 @@ STREAM_MOD = 20
 
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings fixture as a file stream (glob tolerates single-file and
-    directory parquet layouts, same as neardup's document stream)."""
-    return spark.readStream.schema(_EMB_SCHEMA).parquet(
-        f"{sf_dir}/embeddings.parque*"
+    directory parquet layouts, same as neardup's document stream).
+
+    maxFilesPerTrigger=1 bounds every micro-batch to one source file —
+    load-bearing at scale, not a tuning nicety: the per-batch retrieval
+    job holds a (candidate_codes x batch_queries) scoring surface, so an
+    unbounded availableNow batch carrying a corpus-proportional query
+    set grows that surface quadratically (the kernel OOM-killer took the
+    whole JVM at 2M vectors / 100k streamed queries in one batch).
+    Bounded batches also make per-batch probed-cell pruning effective —
+    the cell union of ~3k queries is small; the union of 100k is every
+    cell. All-cells (parity) answers are batch-invariant; pruned answers
+    can only WIDEN a query's candidate set with batch-mates' cells (the
+    single-file sf0.01 fixture drains in one batch, so the oracle
+    comparison is exact — see the oracle note in __spark_entry__)."""
+    return (
+        spark.readStream.schema(_EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/embeddings.parque*")
     )
 
 
