@@ -32,7 +32,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
 # ---------------------------------------------------------------------------
 # shingling
@@ -472,25 +471,35 @@ def _containment_reps(
     the candidate stage scale with DISTINCT content; the (quadratic, but
     output-sized) member expansion happens after exact verification.
 
-    MEMORY SHAPE (the sf100 OOM fix): ONE persisted relation — tagged
-    (doc, hs, rep) — with reps and members as unpersisted projections
-    over it, instead of persisting reps' hs arrays a second time next to
-    _hashed_shingles' copy. And the persist is DISK_ONLY: on a nearly
-    dup-free corpus this relation is corpus-sized (~5 GB of shingle
-    arrays at 5M docs), its consumers are sequential scans, and pinning
-    it in a 16g heap next to the signature cache left Arrow/task
-    allocations nothing to live in (java.lang.OutOfMemoryError at sf100,
-    ~13 GB of persisted blocks). Local disk + page cache serve re-scans
-    at near-memory speed for this access pattern."""
+    MEMORY SHAPE (the sf100 OOM fix): ONE persisted corpus-sized array
+    relation — tagged (doc, hs, rep) — with reps and members as
+    unpersisted projections over it. The pre-fix shape persisted the
+    shingle arrays TWICE (once in _hashed_shingles' shared cache, again
+    inside reps) next to the signature cache: ~17.6 GB of requested
+    blocks against a 16g heap, java.lang.OutOfMemoryError at 5M docs.
+    tagged therefore builds straight from the shingle EXPRESSION, not
+    from the persisted _hashed_shingles relation — in this flow the
+    shingles have exactly one downstream consumer (this build), so
+    caching them separately bought nothing and cost a full second copy.
+    (The exact operator keeps its own _hashed_shingles cache; at the
+    fixture scales where both run in one session the overlap is MBs.)
+    Storage level stays the default MEMORY_AND_DISK: a DISK_ONLY variant
+    re-deserialized the array columns on every one of the ~6 consumer
+    scans and measured 3x slower end-to-end at sf10 (276.7 vs 93.8 s)."""
     kt = _dedup_cache_key(df, "containment_tagged", text_col, id_col)
     tagged = _cache_get(_SIG_CACHE, kt)
     if tagged is None:
-        sh = _hashed_shingles(df, text_col, id_col)
+        base = df.select(
+            F.col(id_col).alias("doc"),
+            F.transform(
+                shingles_udf()(F.col(text_col)), lambda s: F.xxhash64(s)
+            ).alias("hs"),
+        ).where(F.size("hs") > 0)
         tagged = (
-            sh.select("doc", "hs", F.xxhash64(F.array_sort("hs")).alias("sd"))
+            base.select("doc", "hs", F.xxhash64(F.array_sort("hs")).alias("sd"))
             .withColumn("rep", F.min("doc").over(Window.partitionBy("sd")))
             .select("doc", "hs", "rep")
-            .persist(StorageLevel.DISK_ONLY)
+            .persist()
         )
         tagged = _cache_put(_SIG_CACHE, kt, tagged, _SIG_CACHE_MAX)
     reps = tagged.where(F.col("doc") == F.col("rep")).select("doc", "hs")
@@ -525,11 +534,7 @@ def _containment_signatures(
         mh(
             F.transform("hs", lambda h: F.pmod(h, F.lit(MERSENNE_P)))
         ).alias("mhs"),
-        # DISK_ONLY, same memory contract as _containment_reps: ~1.6 KB
-        # of minhash values per doc is signature-cache poison for the
-        # heap at the 5M-doc decade, and every consumer scans it
-        # sequentially (the band-row builders)
-    ).persist(StorageLevel.DISK_ONLY)
+    ).persist()
     return _cache_put(_SIG_CACHE, key, sig, _SIG_CACHE_MAX)
 
 
@@ -749,7 +754,17 @@ def containment_lsh(
     # selective scheme, whose bands are recall-safe there (j_min only
     # rises as k falls).
     k_neg = int(_math.floor(_math.log(threshold) / _math.log(slice_base)))
-    a_parts, b_parts = [], []
+    # PER-SCHEME SEQUENTIAL MATERIALIZATION (the sf100 disk-space fix):
+    # each scheme's band join shuffles ~(n_bands x fan) rows per doc —
+    # at 5M docs the two schemes' joins planned together wrote their
+    # shuffle files CONCURRENTLY (~60+ GB) and filled the disk. Running
+    # one scheme at a time, reducing its join to the candidate-sized
+    # distinct pair set eagerly (localCheckpoint truncates the lineage so
+    # nothing re-executes the join), and nudging the ContextCleaner lets
+    # each scheme's shuffle files be reclaimed before the next scheme
+    # writes its own — peak scratch = one scheme's join, not the sum.
+    req = F.ceil(F.col("n_a") * F.lit(threshold) - F.lit(1e-9))
+    cand_parts = []
     offset = 0
     first = True
     for r in sorted(schemes, reverse=True):
@@ -769,38 +784,40 @@ def containment_lsh(
             "doc", "n", "slice", (F.col("band0") + F.lit(offset)).alias("band"), "bucket"
         )
         offset += n_bands
-        a_parts.append(
-            rows.select(
-                F.col("doc").alias("doc_inner"),
-                F.col("n").alias("n_a"),
-                "band",
-                "bucket",
-                F.explode(
-                    F.array(*[F.col("slice") + F.lit(int(k)) for k in ks])
-                ).alias("slice_key"),
-            )
+        a_rows = rows.select(
+            F.col("doc").alias("doc_inner"),
+            F.col("n").alias("n_a"),
+            "band",
+            "bucket",
+            F.explode(
+                F.array(*[F.col("slice") + F.lit(int(k)) for k in ks])
+            ).alias("slice_key"),
         )
-        b_parts.append(
-            rows.select(
-                F.col("doc").alias("doc_outer"),
-                F.col("n").alias("n_b"),
-                F.col("slice").alias("slice_key"),
-                "band",
-                "bucket",
-            )
+        b_rows = rows.select(
+            F.col("doc").alias("doc_outer"),
+            F.col("n").alias("n_b"),
+            F.col("slice").alias("slice_key"),
+            "band",
+            "bucket",
         )
-    a_rows = a_parts[0]
-    for part in a_parts[1:]:
-        a_rows = a_rows.unionByName(part)
-    b_rows = b_parts[0]
-    for part in b_parts[1:]:
-        b_rows = b_rows.unionByName(part)
-    req = F.ceil(F.col("n_a") * F.lit(threshold) - F.lit(1e-9))
-    cands = (
-        a_rows.join(b_rows, on=["band", "bucket", "slice_key"])
-        .where((F.col("doc_inner") != F.col("doc_outer")) & (F.col("n_b") >= req))
-        .select("doc_inner", "doc_outer")
-    )
+        part = (
+            a_rows.join(b_rows, on=["band", "bucket", "slice_key"])
+            .where(
+                (F.col("doc_inner") != F.col("doc_outer")) & (F.col("n_b") >= req)
+            )
+            .select("doc_inner", "doc_outer")
+            .distinct()
+            .localCheckpoint(eager=True)  # candidate-sized; frees the join
+        )
+        cand_parts.append(part)
+        # the big shuffle's files are reclaimed once its ShuffleDependency
+        # is unreachable; the ContextCleaner reacts to driver GC, so give
+        # it one — a no-op everywhere but exactly here, where the next
+        # scheme is about to need the disk the last one is still holding
+        sig.sparkSession._jvm.System.gc()
+    cands = cand_parts[0]
+    for part in cand_parts[1:]:
+        cands = cands.unionByName(part)
 
     reps_sl = reps.join(sig.select("doc", "n", "slice"), "doc")
     deep = _deep_containment_candidates(reps_sl, threshold, k_band)
