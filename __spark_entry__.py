@@ -2018,10 +2018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_simhash": _q_dedup_simhash,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_incremental_persisted": _q_dedup_incremental_persisted,
-        "dedup_incremental_appended": _q_dedup_incremental_appended,
         "containment_pairs": _q_containment_pairs,
         "containment_lsh": _q_containment_lsh,
         "dedup_clusters": _q_dedup_clusters,
@@ -2033,9 +2031,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bm25_topk": _q_bm25_topk,
-        "bm25_topk_persisted": _q_bm25_topk_persisted,
-        "bm25_topk_appended": _q_bm25_topk_appended,
         "hybrid_retrieval_rrf": _q_hybrid_retrieval_rrf,
+        "substring_dedup_clean": _q_substring_dedup_clean,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "snapshot_time_travel": _q_snapshot_time_travel,
+        "snapshot_diff": _q_snapshot_diff,
         "redact_pii": _q_redact_pii,
         "decontaminate_ngram": _q_decontaminate,
         "token_packing": _q_token_packing,
@@ -2138,10 +2138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocation_pmi": _q_collocation_pmi,
         "unigram_xent": _q_unigram_xent,
         "substring_dedup_stats": _q_substring_dedup,
-        "substring_dedup_clean": _q_substring_dedup_clean,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "snapshot_time_travel": _q_snapshot_time_travel,
-        "snapshot_diff": _q_snapshot_diff,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_incremental_appended": _q_dedup_incremental_appended,
+        "bm25_topk_persisted": _q_bm25_topk_persisted,
+        "bm25_topk_appended": _q_bm25_topk_appended,
         "streaming_quality_gate": _q_streaming_quality_gate,
         "doc_novelty": _q_doc_novelty,
         "source_drift_kl": _q_source_drift,
