@@ -1970,9 +1970,11 @@ def dedup_keep_best(
     cluster-mass-sized, the keeper choice is one max(struct) per cluster
     (map-side combining, no window sort), and the drop list anti-joins
     the corpus — AQE broadcasts it in the common small-drop-rate case.
-    NULL quality sorts below every non-NULL score (the struct comparison
-    is NULL-safe via a -inf coalesce only when the column is numeric-
-    castable; callers pass a non-null score column in practice)."""
+    NULL quality sorts below every non-NULL score — not via any coalesce
+    but because Spark's struct ordering puts NULL fields lowest under
+    max(), so a NULL-quality member never beats a scored one and an
+    all-NULL cluster degrades to the tie-break (keep the smallest id,
+    i.e. dedup_keep_canonical's behavior)."""
     clusters = dedup_clusters(
         df, threshold=threshold, text_col=text_col, id_col=id_col, method=method
     )

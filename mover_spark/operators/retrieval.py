@@ -229,8 +229,13 @@ def bm25_from_index(
     )
     terms = [r.term for r in qterms.select("term").distinct().collect()]
     if not terms:
+        # mirror the non-empty path's schema: query_id inherits the
+        # caller's type there (via _tokens), so derive it here too —
+        # otherwise a union/schema-pinned consumer breaks only on the
+        # empty-vocabulary edge case
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
         return spark.createDataFrame(
-            [], "query_id long, doc_id long, rank int, score double"
+            [], f"query_id {qid_t}, doc_id long, rank int, score double"
         )
     postings = spark.read.parquet(f"{path}/postings").where(
         F.col("term").isin(terms)

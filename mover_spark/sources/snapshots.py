@@ -6,7 +6,7 @@ dump, etl/engine.go:141-164); the commit protocol is the public
 lakehouse-table pattern (Armbrust et al., "Delta Lake: High-Performance
 ACID Table Storage over Cloud Object Stores", VLDB 2020), re-expressed
 minimally: immutable data directories + a JSON manifest per version,
-made visible by ONE atomic rename.
+made visible by ONE non-overwrite manifest create.
 
 Layout under ``<path>/``:
 
@@ -22,14 +22,21 @@ Scale/durability properties:
 - **Time travel is manifest-driven pruning**: reading version N opens
   exactly the directories N's manifest lists — like partition pruning,
   no directory walk over the full history.
-- **Crash safety**: the manifest is staged and renamed into place; a
-  writer that dies mid-commit leaves an orphan data directory that no
-  manifest references — invisible to every reader, reclaimable by
-  inspection. Readers never see a partial commit.
-- **Optimistic concurrency**: the rename target embeds the version
-  number, so two racing writers cannot both commit the same version —
-  the loser's rename fails and raises (single-writer pipelines never
-  notice; the check is free).
+- **Crash safety**: a writer that dies before its manifest create leaves
+  an orphan data directory that no manifest references — invisible to
+  every reader, reclaimable by inspection. A writer that dies INSIDE the
+  manifest write leaves a torn manifest that fails loudly at JSON parse
+  (never a silently wrong view); `snapshot_vacuum` under the usual
+  no-active-writer discipline is the recovery point.
+- **Optimistic concurrency**: the manifest file itself is the version
+  claim — it is created with ``overwrite=False``, so two racing writers
+  cannot both commit the same version: the loser's create fails before
+  a single byte lands and raises. On HDFS-like stores non-overwrite
+  create is atomic; on connectors whose non-overwrite create is
+  check-then-act (raw local FS) the race window shrinks to that one
+  call — and crucially there is no rename step, so a POSIX
+  rename-replaces-destination can never silently swap the winner's
+  manifest for the loser's.
 - **Storage-agnostic**: all filesystem access goes through the Hadoop
   FileSystem API of the session (manifest reads through spark.read.text),
   so the same code runs on local disk, HDFS, or an object store mount.
@@ -125,19 +132,28 @@ def snapshot_commit(
     }
     mdir = _jpath(jvm, f"{path}/{_MANIFEST_DIR}")
     fs.mkdirs(mdir)
-    tmp = _jpath(jvm, f"{path}/{_MANIFEST_DIR}/.tmp-v{version:09d}.json")
     final = _jpath(jvm, f"{path}/{_MANIFEST_DIR}/v{version:09d}.json")
-    out = fs.create(tmp, True)
+    # The non-overwrite CREATE of the manifest is the sole version
+    # arbiter (no rename: several connectors' rename replaces an existing
+    # destination, which would let a stale-view loser silently swap out
+    # the winner's manifest in the exists()+rename TOCTOU window). The
+    # manifest streams through the claiming create, so a loser fails
+    # before any bytes land; a crash mid-stream leaves a torn manifest
+    # that reads loudly, never a silently wrong one.
+    conflict = RuntimeError(
+        f"snapshot_commit: version {version} at {path} was committed "
+        "concurrently; retry to commit on top of it"
+    )
+    if fs.exists(final):  # fast path + friendly error for the common case
+        raise conflict
+    try:
+        out = fs.create(final, False)
+    except Exception:
+        if fs.exists(final):  # lost the create race to a concurrent writer
+            raise conflict from None
+        raise
     out.write(bytearray(json.dumps(manifest).encode("utf-8")))
     out.close()
-    if fs.exists(final) or not fs.rename(tmp, final):
-        # a racing writer won this version; our data dir is orphaned
-        # (invisible) and reclaimable — surface the conflict loudly
-        fs.delete(tmp, False)
-        raise RuntimeError(
-            f"snapshot_commit: version {version} at {path} was committed "
-            "concurrently; retry to commit on top of it"
-        )
     return version
 
 

@@ -174,6 +174,25 @@ def ann_probe_parity(
         from mover_spark.operators.similarity import _empty_topk
 
         return _empty_topk(emb, "vec_id")
+    if n_probe is not None and not os.environ.get(
+        "SPARK_GRAFT_PROBE_MULTIBATCH_OK"
+    ):
+        # Oracle-exactness guard: pruned answers are batch-dependent (a
+        # query's candidate set widens with its batch-mates' cells), so
+        # the hash comparison against the probed-cells SQL oracle is only
+        # exact when the whole stream drained as ONE batch — true for the
+        # single-file correctness fixtures by layout. If the fixture ever
+        # becomes multi-file this fails as a clear assertion instead of a
+        # confusing oracle diff. Bench-only multi-batch runs opt out via
+        # SPARK_GRAFT_PROBE_MULTIBATCH_OK=1 (decade_bench sets it).
+        batches = [d for d in os.listdir(out_dir) if d.startswith("batch=")]
+        if len(batches) != 1:
+            raise AssertionError(
+                f"pruned ANN probe drained in {len(batches)} micro-batches; "
+                "the probed-cells oracle is only exact for a single-batch "
+                "drain (single-file fixture). Set "
+                "SPARK_GRAFT_PROBE_MULTIBATCH_OK=1 for bench-only runs."
+            )
     # `batch` is the sink's idempotency partition key, not part of the
     # result contract — drop it after partition discovery
     return (

@@ -197,7 +197,15 @@ def test_bm25_index_prunes_postings_scan(spark, catalog, tmp_path):
     assert any("term" in p for p in facts["pushed_filters"])
     assert not facts["has_python_eval"]
     empty = spark.createDataFrame([(1, " ")], "query_id int, query_text string")
-    assert bm25_from_index(spark, path, empty).count() == 0
+    empty_out = bm25_from_index(spark, path, empty)
+    assert empty_out.count() == 0
+    # the short-circuit branch mirrors the non-empty branch's schema
+    # (query_id inherits the caller's int type in both), so a union or
+    # schema-pinned consumer can't break only on the empty edge case
+    nonempty_out = bm25_from_index(spark, path, queries, k=5)
+    assert [
+        (f.name, f.dataType.simpleString()) for f in empty_out.schema.fields
+    ] == [(f.name, f.dataType.simpleString()) for f in nonempty_out.schema.fields]
 
 
 def test_bm25_plan_shape(spark, catalog):

@@ -43,7 +43,7 @@ def test_overwrite_starts_new_lineage_history_stays(spark, tmp_path):
 
 def test_orphan_data_dir_is_invisible(spark, tmp_path):
     """A writer that died after writing data but before the manifest
-    rename leaves nothing a reader can see — and the next real commit
+    create leaves nothing a reader can see — and the next real commit
     proceeds normally without absorbing the orphan's rows."""
     path = str(tmp_path / "snap")
     snapshot_commit(_df(spark, [1]), path)
@@ -59,8 +59,9 @@ def test_orphan_data_dir_is_invisible(spark, tmp_path):
 
 def test_concurrent_version_claim_raises(spark, tmp_path, monkeypatch):
     """Optimistic concurrency: a writer whose view of the version list is
-    stale (the race window between listing and rename) must fail loudly
-    at the manifest rename, never publish over the winner."""
+    stale (the race window between listing and committing) must fail
+    loudly at the non-overwrite manifest create — the sole arbiter, no
+    rename involved — and never publish over the winner."""
     import mover_spark.sources.snapshots as snap
 
     path = str(tmp_path / "snap")
@@ -79,6 +80,28 @@ def test_concurrent_version_claim_raises(spark, tmp_path, monkeypatch):
         for v in (1, 2)
     }
     assert after == before  # the loser changed nothing visible
+
+
+def test_torn_manifest_reads_loudly(spark, tmp_path):
+    """A writer that crashed INSIDE the manifest write (post-claim,
+    mid-stream) leaves a torn manifest. Reads of that version must fail
+    with a parse error — loud, never a silently wrong view — and the
+    version number stays claimed (a retrying writer moves past it)."""
+    import json as _json
+
+    path = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, [1]), path)
+    torn = os.path.join(path, "_manifest", "v000000002.json")
+    with open(torn, "w") as f:
+        f.write('{"version": 2, "mode": "app')  # truncated mid-stream
+    with pytest.raises(_json.JSONDecodeError):
+        read_snapshot(spark, path)  # latest = the torn v2
+    with pytest.raises(_json.JSONDecodeError):
+        snapshot_commit(_df(spark, [3]), path)  # append needs the torn tip
+    assert sorted(r.id for r in read_snapshot(spark, path, 1).collect()) == [1]
+    # the claim holds: an overwrite retry lands at v3, never replaces v2
+    assert snapshot_commit(_df(spark, [3]), path, mode="overwrite") == 3
+    assert [r.id for r in read_snapshot(spark, path).collect()] == [3]
 
 
 def test_empty_commit_reads_with_stored_schema(spark, tmp_path):

@@ -355,6 +355,36 @@ def test_streaming_ann_probe_multibatch_equals_batch(spark, catalog, tmp_path):
     assert got == want and want, "stream union != batch top-k"
 
 
+def test_streaming_ann_probe_pruned_multibatch_guard(
+    spark, catalog, tmp_path, monkeypatch
+):
+    """Pruned (n_probe set) answers are batch-dependent, so the oracle
+    comparison is only exact for a single-batch drain. A fixture whose
+    embeddings relation is MULTI-file drains in several batches under
+    maxFilesPerTrigger=1 — that must surface as a clear assertion, not a
+    confusing oracle hash diff; bench-only runs opt out via env."""
+    import os as _os
+    import shutil
+
+    from mover_spark.streaming.annprobe import ann_probe_parity
+
+    monkeypatch.delenv("SPARK_GRAFT_PROBE_MULTIBATCH_OK", raising=False)
+    sf_dir = str(tmp_path / "mfx")
+    _os.makedirs(sf_dir)
+    catalog.df("embeddings").repartition(3).write.parquet(
+        f"{sf_dir}/embeddings.parquet"
+    )
+    try:
+        with pytest.raises(AssertionError, match="micro-batches"):
+            ann_probe_parity(spark, sf_dir, n_probe=4)
+        # the bench escape hatch turns the same drain into a result
+        monkeypatch.setenv("SPARK_GRAFT_PROBE_MULTIBATCH_OK", "1")
+        assert ann_probe_parity(spark, sf_dir, n_probe=4).count() > 0
+    finally:
+        shutil.rmtree(f"/tmp/mover_spark_annindex/{_os.path.basename(sf_dir)}",
+                      ignore_errors=True)
+
+
 def test_streaming_ann_probe_batch_redelivery_idempotent(spark, catalog, tmp_path):
     """foreachBatch is at-least-once: a batch can be re-delivered after a
     successful write whose checkpoint commit was lost. The sink keys each

@@ -32,6 +32,7 @@ run_cell() { # fixture query suffix
   [ -s "$f" ] && { echo "skip $f"; return; }
   SPARK_GRAFT_SF_DIR=".bench/$fx" SPARK_GRAFT_BENCH_REPS=1 \
   SPARK_GRAFT_BENCH_ONLY="$q" SPARK_GRAFT_BENCH_DETAIL="$f" \
+  SPARK_GRAFT_PROBE_MULTIBATCH_OK=1 \
     python bench.py > "$OUT/${fx}_${q}${sfx}.log" 2>&1
   python - "$f" "$fx $q$sfx" <<'EOF'
 import json, sys
@@ -43,8 +44,10 @@ except Exception as e:
 EOF
 }
 
-for fx in ${1:-sf10 sf100}; do
-  [ "$fx" = both ] && continue
+# expand the documented 'both' (and the no-arg default) BEFORE the
+# loop — iterating over the literal word 'both' would run zero cells
+[ "${1:-both}" = both ] && set -- sf10 sf100
+for fx in "$@"; do
   # fresh index state per fixture so run1 really includes the build
   rm -rf "/tmp/mover_spark_annindex/$fx" "/tmp/mover_spark_annindex_app/$fx" \
     "/tmp/mover_spark_textindex/$fx" "/tmp/mover_spark_snap/$fx" 2>/dev/null || true
