@@ -378,6 +378,33 @@ CONTAIN_BAND_MAX_CLASS = 1
 CONTAIN_DEEP_Q = 3
 
 
+#: measured background (random-pair) Jaccard on the document fixtures —
+#: the constant the false-positive admission model below is built on.
+CONTAIN_J_BG = 0.04
+
+#: per-pair background ADMISSION caps (expected band collisions for a
+#: random pair, n_bands * j_bg^r): class 0 sits on the same-size stratum
+#: — the most pair-massive one, where near-dup clusters live — so its
+#: cap is tight; deeper cross-slice strata share less vocabulary and
+#: carry less mass, and the round-9 measurement showed ~3.3e-3 per pair
+#: (class 1 at r=3 x 51) costs nothing visible in the verify stage.
+CONTAIN_FP_CAP_CLASS0 = 1.5e-4
+CONTAIN_FP_CAP_DEEPER = 4e-3
+
+#: pair-mass prior over banded ratio classes, p_k ~ decay^k: true
+#: containment pairs concentrate at small size ratios (a near-dup crawl
+#: duplicates whole documents far more often than it quotes 2x-larger
+#: ones), so a deeper class can carry a larger share of the global miss
+#: budget for far fewer bands. The prior is an assumption, stated here,
+#: not a fixture measurement — the per-class cap below bounds the damage
+#: if it is wrong for a corpus.
+CONTAIN_PRIOR_DECAY = 0.25
+
+#: per-class worst-case miss cap: no allocation may push any single
+#: class's miss above this, however little pair mass the prior assigns.
+CONTAIN_MISS_CAP = 0.05
+
+
 def _containment_band_schemes(
     threshold: float,
     slice_base: float,
@@ -387,38 +414,62 @@ def _containment_band_schemes(
 ) -> dict[int, tuple[int, list[int]]]:
     """rows-per-band -> (bands used, admissible size-ratio classes): the
     LSH Ensemble tuning step (Zhu et al., VLDB 2016) done at plan-build
-    time against the dedicated containment pool.
+    time against the dedicated containment pool — under a COST MODEL
+    with measured constants, not per-class constants (round-10 redesign;
+    the round-9 table is the W_SLOT->inf, flat-miss corner of this one).
 
     For ratio class k (container slice minus query slice), the worst-case
     Jaccard a true containment-t pair can have is
         j_min(k) = t / (1 + w^(k+1) - t)          [w = slice_base]
     (containment C >= t with |B| <= w^(k+1)*|A| implies
-    J = C*n_a/(n_a + n_b - C*n_a) >= j_min). Each class gets the LARGEST
-    rows-per-band r (2..16) whose required band count
-        n_req = ceil(ln(max_miss) / ln(1 - j_min^r))
-    fits the signature (r*n_req <= n_hash) — bands are free to use any
-    count, not just n_hash/r, so a 256-perm pool runs r=5 x 44 bands for
-    same-size classes and r=2 x 94 bands for 4x containers at t=0.95.
-    Maximizing r is always optimal for false-positive rate: moving r up
-    multiplies the per-band background collision j_bg^r by j_bg and the
-    band count by ~1/j_min, a net win whenever j_bg < j_min (always, for
-    classes we keep). r=1 is REFUSED on principle: a single-minhash band
-    collides with probability equal to raw Jaccard — the quadratic
-    all-pairs scan wearing an LSH costume (measured 86%+ band-collision
-    rate at the fixtures' j_bg~0.04).
+    J = C*n_a/(n_a + n_b - C*n_a) >= j_min). A class banded at r
+    rows-per-band with per-class miss budget m needs
+        n_req(r, m) = ceil(ln(m) / ln(1 - j_min^r))
+    bands. Two measured facts drive the choice of (r, m) per class:
 
-    Classes the signature cannot band at r >= 2 are NOT silently dropped
-    anymore: containment_lsh routes deeper ratio classes to the exact
-    asymmetric prefix-filter arm (see its docstring) — banding a class
-    like j_min=0.118 (8x containers at t=0.95) would take 378 bands at
-    r=2, whose background collision rate 1-(1-j_bg^2)^378 ~ 0.45 IS the
-    all-pairs scan again; no signature length fixes that, the honest
-    deep-asymmetry path is the inverted index.
+    - EVERY cost term scales with the band count, and ONLY the signature
+      kernel scales with r: band-join shuffle rows are n_bands*(1+fan)
+      per doc, true near-dup pairs (j ~ 0.95+) collide in essentially
+      every band at any r in 2..5 (j^r stays ~0.8+), and the sf100
+      signature pass is ~0.9 s per slot at 220 slots. Since n_req(r, m)
+      GROWS with r, the cheapest admissible scheme is the SMALLEST r —
+      bounded below by false positives:
+    - a random pair's expected band admissions are n_req * j_bg^r
+      (j_bg = CONTAIN_J_BG, measured 0.04). The smallest r whose
+      admissions clear the class's cap (CONTAIN_FP_CAP_*) is chosen; at
+      t=0.95 that lands r=4 for the same-size class (r=3's 1.1e-3 per
+      pair over the near-dup-cluster stratum would feed the verify join
+      millions of background candidates) and r=3 for class 1 (measured
+      fine at 3.3e-3 in round 9). r=1 is REFUSED on principle: a
+      single-minhash band collides with probability equal to raw
+      Jaccard — the quadratic all-pairs scan wearing an LSH costume
+      (measured 86%+ band-collision rate at j_bg~0.04).
+
+    `max_miss` is a GLOBAL miss budget, allocated across classes by the
+    pair-mass prior p_k ~ CONTAIN_PRIOR_DECAY^k: the allocator searches
+    a small per-class miss grid under sum(p_k * m_k) <= max_miss (each
+    m_k <= CONTAIN_MISS_CAP) and keeps the allocation minimizing
+        W_SLOT * max_r(r * n_r)  +  sum_r n_r * (1 + fan_r)
+    (W_SLOT = 0.7: sf100 measured ~0.9 s/slot signature vs ~1.3 s/unit
+    band stage). Shallow classes carry almost all true pairs, so they
+    keep tight budgets; deep classes trade a slightly higher miss for
+    materially fewer bands — exactly the slot-driver relief: at t=0.95
+    the r=3 group's band count (the 256-pool slot ceiling) drops 51->41.
+
+    Classes the signature cannot band at r >= 2 (or whose background
+    admissions exceed the cap at every feasible r) are NOT silently
+    dropped: containment_lsh routes deeper ratio classes to the exact
+    asymmetric prefix-filter arm — banding a class like j_min=0.118 (8x
+    containers at t=0.95) would take 378 bands at r=2, whose background
+    collision rate 1-(1-j_bg^2)^378 ~ 0.45 IS the all-pairs scan again;
+    no signature length fixes that, the honest deep-asymmetry path is
+    the inverted index.
 
     Parameter domains are enforced: max_miss in (0, 1) — at >= 1 every
     class is admissible and the loop never terminates; slice_base > 1 —
     at <= 1 j_min stops decreasing with k, same hang; threshold in
     (0, 1]. Out-of-domain values raise instead of hanging the driver."""
+    import itertools
     import math
 
     if not (0.0 < max_miss < 1.0):
@@ -427,33 +478,92 @@ def _containment_band_schemes(
         raise ValueError(f"slice_base must be > 1, got {slice_base}")
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    schemes: dict[int, tuple[int, list[int]]] = {}
-    k = 0
-    while True:
+
+    def options(k: int) -> list[tuple[float, int, int]]:
+        """feasible (miss, r, n_req) for class k: per miss-grid point,
+        the smallest r in 2..16 meeting the class's background-admission
+        cap within the signature; empty -> the class cannot be banded."""
         j_min = threshold / (1 + slice_base ** (k + 1) - threshold)
-        chosen = None
-        for r in range(min(16, n_hash // 2), 1, -1):
-            n_req = math.ceil(math.log(max_miss) / math.log(1.0 - j_min**r))
-            if r * n_req <= n_hash:
-                chosen = (r, n_req)
+        cap = CONTAIN_FP_CAP_CLASS0 if k == 0 else CONTAIN_FP_CAP_DEEPER
+        out = []
+        for g in (0.25, 0.5, 1.0, 2.0, 3.0, 4.0):
+            m = min(g * max_miss, CONTAIN_MISS_CAP)
+            for r in range(2, min(16, n_hash // 2) + 1):
+                n_req = math.ceil(math.log(m) / math.log(1.0 - j_min**r))
+                if r * n_req > n_hash:
+                    continue
+                if n_req * CONTAIN_J_BG**r > cap:
+                    continue
+                out.append((m, r, n_req))
                 break
-        if chosen is None:
+        if not out:
+            # the cap is a PREFERENCE, not a coverage cutoff: when no
+            # (r, m) on the grid clears it within the signature (e.g.
+            # t=0.8's class 0 needs r=4 x 344 > 256 slots), band the
+            # class anyway at the LARGEST r that fits per grid point —
+            # the least background admission the pool can buy (the
+            # round-9 rule). Coverage beats the FP economics here;
+            # callers at such thresholds accept the verify load.
+            for g in (0.25, 0.5, 1.0, 2.0, 3.0, 4.0):
+                m = min(g * max_miss, CONTAIN_MISS_CAP)
+                for r in range(min(16, n_hash // 2), 1, -1):
+                    n_req = math.ceil(math.log(m) / math.log(1.0 - j_min**r))
+                    if r * n_req <= n_hash:
+                        out.append((m, r, n_req))
+                        break
+        return out
+
+    # banded class range: stop at the first class with NO feasible
+    # option (deeper classes only get harder) or at max_class
+    per_class: list[list[tuple[float, int, int]]] = []
+    k = 0
+    while max_class is None or k <= max_class:
+        opts = options(k)
+        if not opts:
             break
-        if max_class is not None and k > max_class:
-            break
-        r, n_req = chosen
-        n_bands, classes = schemes.get(r, (0, []))
-        # one physical scheme per r: the deepest class in the group fixes
-        # the band count (extra bands only lower shallower classes' miss)
-        schemes[r] = (max(n_bands, n_req), classes + [k])
+        per_class.append(opts)
         k += 1
-    if not schemes:
+    if not per_class:
         raise ValueError(
             f"no r>=2 band scheme reaches miss<={max_miss} at t={threshold} "
             f"with {n_hash} hashes — use containment_pairs (exact) or a "
             "longer signature"
         )
-    return schemes
+
+    weights = [CONTAIN_PRIOR_DECAY**i for i in range(len(per_class))]
+    priors = [w / sum(weights) for w in weights]
+    W_SLOT = 0.7
+
+    def grouped(combo) -> dict[int, tuple[int, list[int]]]:
+        sch: dict[int, tuple[int, list[int]]] = {}
+        for kk, (_, r, n_req) in enumerate(combo):
+            n_bands, classes = sch.get(r, (0, []))
+            # one physical scheme per r: the deepest class in the group
+            # fixes the band count (extra bands only lower the others')
+            sch[r] = (max(n_bands, n_req), classes + [kk])
+        return sch
+
+    best, best_cost = None, None
+    for combo in itertools.product(*per_class):
+        if sum(p * m for p, (m, _, _) in zip(priors, combo)) > max_miss * (
+            1 + 1e-9
+        ):
+            continue
+        sch = grouped(combo)
+        slots = max(r * nb for r, (nb, _) in sch.items())
+        units = sum(nb * (1 + len(ks)) for nb, ks in sch.values())
+        cost = W_SLOT * slots + units
+        if best_cost is None or cost < best_cost:
+            best, best_cost = sch, cost
+    if best is None:
+        # the grid cannot meet the global budget (pathologically small
+        # max_miss, or a class whose only cap-feasible options sit above
+        # it): fall back to each class's option closest to max_miss —
+        # the flat-budget corner the round-9 table used
+        best = grouped(
+            [min(opts, key=lambda o: abs(o[0] - max_miss)) for opts in per_class]
+        )
+    return best
 
 
 def _containment_reps(
@@ -552,18 +662,18 @@ def _deep_containment_candidates(
     - only docs that could have a >k_floor-slices-larger container
       explode prefixes (slice <= max_slice - k_floor - 1);
     - only docs that could BE such a container post their tokens
-      (slice >= min_slice + k_floor + 1), and only tokens that occur in
-      some admissible prefix (left-semi join) — the full-corpus posting
-      list never materializes;
-    - the stratum condition is IN THE JOIN KEY, not a post-join filter:
-      each prefix token fans out to its admissible container slices
-      (slice_a + k_floor + 1 .. max_slice, a bounded sequence) and joins
-      (tok, slice) against the posting side keyed by its own slice — a
-      shared common token between two similar-size docs never produces a
-      join row here (measured 171k post-filter candidate rows collapsed
-      to the true deep matches at sf0.1);
-    - the shared-token join then carries the rare-first positional filter
-      of the exact operator, and candidates verify exactly downstream.
+      (slice >= min_slice + k_floor + 1) — the full-corpus posting list
+      never materializes;
+    - one token-keyed shuffle per side, with the stratum condition
+      (slice_b >= slice_a + k_floor + 1), the size gate, and the
+      positional bound evaluated INSIDE the join: a shared common token
+      between two similar-size docs is evaluated-and-dropped by the join
+      predicate, never emitted (the round-9 shape keyed the join on
+      (tok, slice) instead, which cost a 2-3x a-side slice fan plus a
+      second b-side shuffle for a ptoks semi-join — round-10 measured
+      the one-shuffle predicate form strictly cheaper at sf100);
+    - the q-gram multi-match gate below then collapses background
+      shared-token rows, and candidates verify exactly downstream.
 
     reps_sl: (doc, hs, n, slice) representatives. Lossless for its
     stratum — the overall operator's recall loss is confined to the
@@ -605,6 +715,19 @@ def _deep_containment_candidates(
     # single-match deep candidates for 0 true deep pairs; q=2 left 3.1M
     # at sf10); each additional independently-shared token cuts the
     # background geometrically while staying lossless for true pairs.
+    # TOK-ONLY EQUI-JOIN with the stratum/size/positional conditions as
+    # join predicates (round-10, measured at sf100): the old shape keyed
+    # the join on (tok, slice_key), which required (a) fanning every
+    # a-side prefix row out over its admissible container slices (~2-3x
+    # row replication) and (b) shuffling the b-side TWICE — once for a
+    # ptoks left-semi, again on the composite key. One shuffle per side
+    # on the bare token, with `slice_b >= slice_a + k_floor + 1` (the
+    # stratum), the size gate, and the positional bound evaluated INSIDE
+    # the join, moves strictly fewer bytes; same-size doc pairs sharing a
+    # prefix token are now evaluated-and-dropped by the join condition
+    # rather than never meeting — the q>=2 multi-match gate downstream is
+    # unchanged and the candidate set is row-identical (equality over the
+    # emitted predicate set).
     a = (
         sorted_docs.where(F.col("slice") <= F.lit(hi - k_floor - 1))
         .withColumn(
@@ -624,37 +747,35 @@ def _deep_containment_candidates(
         .select(
             F.col("doc").alias("doc_inner"),
             F.col("n").alias("n_a"),
+            F.col("slice").alias("slice_a"),
             (F.col("pos") + 1).alias("i"),
             "tok",
-            F.explode(
-                F.sequence(F.col("slice") + F.lit(k_floor + 1), F.lit(hi))
-            ).alias("slice_key"),
         )
     )
-    ptoks = a.select("tok").distinct()
     b = (
         sorted_docs.where(F.col("slice") >= F.lit(lo + k_floor + 1))
         .select("doc", "n", "slice", F.posexplode("sorted_sh").alias("pos", "tok"))
         .select(
             F.col("doc").alias("doc_outer"),
             F.col("n").alias("n_b"),
-            F.col("slice").alias("slice_key"),
+            F.col("slice").alias("slice_b"),
             (F.col("pos") + 1).alias("j"),
             "tok",
         )
-        .join(ptoks, "tok", "left_semi")
     )
     return (
-        a.join(b, ["tok", "slice_key"])
-        .where(
-            (F.col("n_b") >= req_overlap(F.col("n_a")))
+        a.join(
+            b,
+            (a["tok"] == b["tok"])
+            & (F.col("slice_b") >= F.col("slice_a") + F.lit(k_floor + 1))
+            & (F.col("n_b") >= req_overlap(F.col("n_a")))
             & (
                 (
                     CONTAIN_DEEP_Q
                     + F.least(F.col("n_a") - F.col("i"), F.col("n_b") - F.col("j"))
                 )
                 >= req_overlap(F.col("n_a"))
-            )
+            ),
         )
         .groupBy("doc_inner", "n_a", "doc_outer")
         .agg(F.count(F.lit(1)).alias("__m"))
@@ -679,10 +800,11 @@ def containment_lsh(
     ratios, the exact asymmetric prefix filter for the deep tail, and
     duplicate-mass collapse — with exact verification, so precision is
     exactly 1 and the output schema/rows match the exact operator on any
-    corpus whose true pairs clear the banded classes' per-class miss
-    bound (<= max_miss each; the deep stratum is lossless).
+    corpus whose true pairs clear the banded classes' miss allocation
+    (expected miss <= max_miss under the pair-mass prior, every class
+    <= CONTAIN_MISS_CAP; the deep stratum is lossless).
 
-    Three structural moves, each answering a measured scale defect:
+    Four structural moves, each answering a measured scale defect:
 
     1. REPRESENTATIVE COLLAPSE (_containment_reps): candidates are
        generated over one representative per distinct shingle set.
@@ -692,21 +814,30 @@ def containment_lsh(
        scales with distinct content; member pairs expand AFTER exact
        verification (intra-cluster pairs are emitted directly — identical
        sets have containment exactly 1.0).
-    2. DEDICATED SIGNATURE POOL (N_CONTAIN_MINHASH=256, CONTAIN_A/B):
-       per-ratio-class (r, n_bands) tuning picks the largest r whose
-       required band count fits — at t=0.95: r=5 x 44 bands (same-size),
-       r=3 x 51, r=2 x 46, r=2 x 94 (4x containers). The shared 48-perm
+    2. DEDICATED SIGNATURE POOL (N_CONTAIN_MINHASH=256, CONTAIN_A/B)
+       tuned by _containment_band_schemes' round-10 cost model: per
+       class the smallest r clearing its background-admission cap, band
+       counts from the prior-weighted global miss budget — at t=0.95
+       that is r=4 x 31 (same-size) + r=3 x 41 (to-2x), 124 slots / 72
+       bands vs the round-9 flat table's 220 / 95. The shared 48-perm
        Jaccard pool capped coverage at 2x containers AND forced r=2
-       everywhere; 256 perms both extend coverage and cut shallow-class
-       background collisions by orders of magnitude (j_bg^5 vs j_bg^2).
-    3. EXACT DEEP ARM (_deep_containment_candidates): ratio classes past
-       banded coverage (>4x at t=0.95) use the inverted-index prefix
-       filter restricted to the cross-slice stratum — deep asymmetry has
-       Jaccard floors banding fundamentally cannot separate from
-       background (the r=2/378-band scheme would collide on ~45% of ALL
-       pairs), while the size-tail restriction keeps the index join tiny.
-       Full ratio coverage, no silent cutoff: the old "containers beyond
-       2x are not searched" limit is gone.
+       everywhere.
+    3. SINGLE-LONG-KEY BAND ROWS: each band row is (xxhash64(band,
+       bucket, slice_key), doc) — the shuffle that IS the band stage's
+       cost (measured: candidate counts are 100x smaller than the
+       explode) moves 16-byte rows; the size gate joins candidate-scale
+       instead of riding every row. Schemes still materialize one at a
+       time (a one-DAG variant measured 646 s vs 535 s at sf100 — the
+       round-9 peak-scratch argument survives narrow rows).
+    4. EXACT DEEP ARM (_deep_containment_candidates): ratio classes past
+       banded coverage use the inverted-index prefix filter restricted
+       to the cross-slice stratum — deep asymmetry has Jaccard floors
+       banding fundamentally cannot separate from background (an
+       r=2/378-band scheme would collide on ~45% of ALL pairs), while
+       the size-tail restriction keeps the index join tiny. Round-10
+       re-shape: one token-keyed shuffle per side with the stratum in
+       the join predicate (see its docstring). Full ratio coverage, no
+       silent cutoff.
 
     Why symmetric MinHash banding alone can't do containment: a short doc
     quoted in a much larger one has containment ~1 but Jaccard ~n_a/n_b,
@@ -763,48 +894,59 @@ def containment_lsh(
     # nothing re-executes the join), and nudging the ContextCleaner lets
     # each scheme's shuffle files be reclaimed before the next scheme
     # writes its own — peak scratch = one scheme's join, not the sum.
-    req = F.ceil(F.col("n_a") * F.lit(threshold) - F.lit(1e-9))
+    #
+    # SINGLE-LONG-KEY SHUFFLE (round-10, measured at sf100): the band
+    # join rows are (key, doc) where key = xxhash64(band, bucket,
+    # slice_key) — one 8-byte join column instead of the 3-column
+    # composite plus n riding along. The explode+shuffle of ~440M rows
+    # was the band stage's whole cost (273 s of the 605 s sf100 profile;
+    # candidate counts are 100x smaller), so shuffle bytes ARE the lever.
+    # The n_b >= t*n_a size gate moves AFTER the candidate distinct,
+    # where it joins the candidate-sized pair set to rep sizes (2.5M
+    # rows, broadcast-able) instead of tagging every band row. A 64-bit
+    # key collision can only ADD a candidate pair, never drop one, and
+    # the exact verify downstream discards it — recall is untouched.
+    # negative classes ride with the scheme owning the SHALLOWEST class:
+    # any scheme serving class k is recall-safe for every k' < k (j_min
+    # only rises as k falls), and that owner is the tightest such scheme
+    # (a single-DAG all-schemes variant — one explode, one join, one
+    # distinct — measured WORSE at sf100: 646.4 s vs 535.3 s for this
+    # sequential form; the round-9 peak-scratch argument holds even at
+    # 16-byte rows, so one scheme's shuffle at a time stays the shape)
+    k_min = min(k for _, ks in schemes.values() for k in ks)
     cand_parts = []
     offset = 0
-    first = True
     for r in sorted(schemes, reverse=True):
         n_bands, classes = schemes[r]
-        ks = (list(range(k_neg, min(classes))) if first else []) + list(classes)
-        first = False
-        cols = [
+        negs = list(range(k_neg, k_min)) if min(classes) == k_min else []
+        ks = negs + list(classes)
+        buckets = [
             F.xxhash64(*[F.col("mhs")[b * r + i] for i in range(r)])
             for b in range(n_bands)
         ]
-        rows = sig.select(
-            "doc",
-            "n",
-            "slice",
-            F.posexplode(F.array(*cols)).alias("band0", "bucket"),
-        ).select(
-            "doc", "n", "slice", (F.col("band0") + F.lit(offset)).alias("band"), "bucket"
+        a_keys = F.array(
+            *[
+                F.xxhash64(F.lit(b + offset), bucket, F.col("slice") + F.lit(int(k)))
+                for b, bucket in enumerate(buckets)
+                for k in ks
+            ]
+        )
+        b_keys = F.array(
+            *[
+                F.xxhash64(F.lit(b + offset), bucket, F.col("slice"))
+                for b, bucket in enumerate(buckets)
+            ]
         )
         offset += n_bands
-        a_rows = rows.select(
-            F.col("doc").alias("doc_inner"),
-            F.col("n").alias("n_a"),
-            "band",
-            "bucket",
-            F.explode(
-                F.array(*[F.col("slice") + F.lit(int(k)) for k in ks])
-            ).alias("slice_key"),
+        a_rows = sig.select(
+            F.col("doc").alias("doc_inner"), F.explode(a_keys).alias("key")
         )
-        b_rows = rows.select(
-            F.col("doc").alias("doc_outer"),
-            F.col("n").alias("n_b"),
-            F.col("slice").alias("slice_key"),
-            "band",
-            "bucket",
+        b_rows = sig.select(
+            F.col("doc").alias("doc_outer"), F.explode(b_keys).alias("key")
         )
         part = (
-            a_rows.join(b_rows, on=["band", "bucket", "slice_key"])
-            .where(
-                (F.col("doc_inner") != F.col("doc_outer")) & (F.col("n_b") >= req)
-            )
+            a_rows.join(b_rows, "key")
+            .where(F.col("doc_inner") != F.col("doc_outer"))
             .select("doc_inner", "doc_outer")
             .distinct()
             .localCheckpoint(eager=True)  # candidate-sized; frees the join
@@ -818,6 +960,15 @@ def containment_lsh(
     cands = cand_parts[0]
     for part in cand_parts[1:]:
         cands = cands.unionByName(part)
+    # the size gate, applied at candidate scale: containers below t*n_a
+    # cannot reach containment t (|A ∩ B| <= |B|)
+    sizes = sig.select("doc", "n")
+    cands = (
+        cands.join(sizes.select(F.col("doc").alias("doc_inner"), F.col("n").alias("n_a")), "doc_inner")
+        .join(sizes.select(F.col("doc").alias("doc_outer"), F.col("n").alias("n_b")), "doc_outer")
+        .where(F.col("n_b") >= F.ceil(F.col("n_a") * F.lit(threshold) - F.lit(1e-9)))
+        .select("doc_inner", "doc_outer")
+    )
 
     reps_sl = reps.join(sig.select("doc", "n", "slice"), "doc")
     deep = _deep_containment_candidates(reps_sl, threshold, k_band)

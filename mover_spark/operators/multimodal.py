@@ -8,8 +8,9 @@ batches, and every transform is schema-stable.
 The heavy codecs (PIL/ffmpeg/librosa) are NOT in this environment, so each
 decode kernel runs a per-row chain: the real library when importable, a
 PURE-STDLIB decoder for the formats the stdlib can handle (PNG via
-struct+zlib, GIF via a hand-rolled LZW, WAV via the `wave` module — all
-exercised on real bytes in
+struct+zlib, GIF via a hand-rolled LZW, BMP via struct over the
+uncompressed pixel array, WAV via the `wave` module — all exercised on
+real bytes in
 tests), and otherwise a DETERMINISTIC fake derived from the content hash.
 The decoder column marks which arm produced each row, and the Spark-side
 plumbing — schemas, Arrow batch iteration, partitioning — is identical
@@ -256,6 +257,48 @@ def _gif_decode(content: bytes) -> tuple[int, int, float]:
     raise ValueError("GIF without an image frame")
 
 
+BMP_MAGIC = b"BM"
+
+
+def _bmp_decode(content: bytes) -> tuple[int, int, float]:
+    """REAL BMP decode with the stdlib only (struct): BITMAPINFOHEADER
+    parse, uncompressed (BI_RGB) 24/32-bit pixel array with 4-byte row
+    padding, bottom-up or top-down row order (mean luma is
+    order-invariant), mean ITU-R 601 luma over the BGR(X) pixels.
+    Raises ValueError on palette/RLE/core-header shapes so callers fall
+    back explicitly — same contract as _png_decode/_gif_decode."""
+    import struct
+
+    if len(content) < 54 or content[:2] != BMP_MAGIC:
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack_from("<I", content, 10)
+    (hdr_size,) = struct.unpack_from("<I", content, 14)
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header (BITMAPCOREHEADER)")
+    w, h_signed, _planes, bpp, comp = struct.unpack_from("<iiHHI", content, 18)
+    h = abs(h_signed)
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP shape (bpp={bpp}, comp={comp})")
+    if w <= 0 or h == 0:
+        raise ValueError("degenerate BMP dimensions")
+    n_b = bpp // 8
+    stride = (w * n_b + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(content) < pix_off + stride * h:
+        raise ValueError("truncated BMP pixel array")
+    luma_sum = 0.0
+    for y in range(h):
+        base = pix_off + y * stride
+        for x in range(w):
+            px = base + x * n_b
+            # stored BGR(X): blue first, red third
+            luma_sum += (
+                0.299 * content[px + 2]
+                + 0.587 * content[px + 1]
+                + 0.114 * content[px]
+            )
+    return w, h, luma_sum / (w * h) / 255.0
+
+
 def _wav_decode(content: bytes) -> tuple[int, int, float]:
     """REAL WAV decode with the stdlib `wave` module: (duration_ms,
     sample_rate, rms of normalized samples). 8/16-bit PCM; raises
@@ -291,10 +334,11 @@ def image_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract images in Arrow batches (mapInPandas).
 
     Per-row decoder chain, most capable first: PIL when importable
-    ('pil'), the stdlib PNG decoder for real PNG bytes ('png-stdlib'),
-    else the deterministic digest fake ('fake') — the decoder column
-    records which arm produced each row, so mixed corpora (real PNGs next
-    to opaque blobs) decode what they can and mark the rest."""
+    ('pil'), the stdlib decoders for real PNG/GIF/BMP bytes
+    ('png-stdlib'/'gif-stdlib'/'bmp-stdlib'), else the deterministic
+    digest fake ('fake') — the decoder column records which arm produced
+    each row, so mixed corpora (real images next to opaque blobs) decode
+    what they can and mark the rest."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
@@ -334,6 +378,14 @@ def image_features(media: DataFrame) -> DataFrame:
                     try:
                         w, h, luma = _gif_decode(content)
                         decoder = "gif-stdlib"
+                    except Exception:
+                        w, h, luma = _fake_decode(content)
+                        decoder = "fake"
+                elif content[:2] == BMP_MAGIC:
+                    # third real stdlib image arm (same degrade contract)
+                    try:
+                        w, h, luma = _bmp_decode(content)
+                        decoder = "bmp-stdlib"
                     except Exception:
                         w, h, luma = _fake_decode(content)
                         decoder = "fake"

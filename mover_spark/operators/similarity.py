@@ -439,13 +439,22 @@ def _pq_topk_core(
     refine: int,
     vec_col: str,
     id_col: str,
+    probed_cells: dict[int, list[int]] | None = None,
 ) -> DataFrame:
     """ADC scan + exact refine over an explicit (codes, vectors) pair —
     shared by pq_topk (which derives both from the live corpus) and
     pq_topk_from_index (which loads both from a persisted parquet index).
     `codes` is (neighbor_id, codes array<int>, cnorm_sq long); `vectors`
     is (neighbor_id, qc array<long>) and is only touched for the
-    refine×k survivors per query."""
+    refine×k survivors per query.
+
+    With `probed_cells` (query_id -> its probed cell ids; `codes` then
+    carries a `cell` column) the kernel scores each cell's rows ONLY
+    against the queries probing that cell — per-cell tiles instead of
+    the all-queries-by-all-rows block. The index layout partitions codes
+    by cell, so a scan partition holds one (or few) cells and the tile
+    loop degenerates to the dense kernel restricted to the right query
+    subset."""
     from .dedup import qdot
 
     m, n_codes, dsub = cb.shape
@@ -476,6 +485,15 @@ def _pq_topk_core(
         axis=1,
     )  # (nq, m, n_codes)
     r_cut = max(k * refine, k)
+    # per-query-cell mode: invert to cell -> probing query indices (the
+    # kernel walks cells, not queries)
+    cell_to_q = None
+    if probed_cells is not None:
+        cell_to_q = {}
+        for qi, qid in enumerate(qids):
+            for c0 in probed_cells.get(int(qid), []):
+                cell_to_q.setdefault(int(c0), []).append(qi)
+        cell_to_q = {c0: np.array(v) for c0, v in cell_to_q.items()}
 
     def score_partition(batches):
         for pdf in batches:
@@ -486,29 +504,54 @@ def _pq_topk_core(
             cn_sq = pdf["cnorm_sq"].to_numpy(dtype=np.int64)
             cn = np.sqrt(cn_sq.astype(np.float64))
             ok = cn > 0
-            # ADC: gather per subspace, sum — (nq, n)
-            dots = np.zeros((nq, C.shape[0]), dtype=np.float64)
-            for j in range(m):
-                dots += lut[:, j, :][:, C[:, j]]
             out_q, out_n, out_d, out_c = [], [], [], []
-            for qi in range(nq):
-                s = np.where(ok & (nid != qids[qi]), dots[qi] / np.where(ok, cn, 1.0), -np.inf)
-                live = np.isfinite(s)
-                n_live = int(live.sum())
-                if n_live == 0:
-                    continue
-                if n_live > r_cut:
-                    kth = np.partition(s, -r_cut)[-r_cut]
-                else:
-                    kth = s[live].min()
-                # margin: a row can only displace a kept one after 6-dp
-                # rounding if its cos is within 1e-6 — i.e. its unnormalized
-                # score within 2e-6 * qnorm of the cut
-                sel = np.flatnonzero(s >= kth - 2e-6 * qnorm[qi])
-                out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
-                out_n.append(nid[sel])
-                out_d.append(np.rint(dots[qi][sel]).astype(np.int64))
-                out_c.append(cn_sq[sel])
+
+            def score_tile(q_sel, r_sel):
+                """ADC + per-query top-r_cut for a (queries x rows) tile.
+                q_sel/r_sel None = the full dense block."""
+                Ct = C if r_sel is None else C[r_sel]
+                nid_t = nid if r_sel is None else nid[r_sel]
+                cn_t = cn if r_sel is None else cn[r_sel]
+                ok_t = ok if r_sel is None else ok[r_sel]
+                cnsq_t = cn_sq if r_sel is None else cn_sq[r_sel]
+                lut_t = lut if q_sel is None else lut[q_sel]
+                q_iter = range(nq) if q_sel is None else q_sel
+                # ADC: gather per subspace, sum — (tile queries, tile rows)
+                dots = np.zeros((lut_t.shape[0], Ct.shape[0]), dtype=np.float64)
+                for j in range(m):
+                    dots += lut_t[:, j, :][:, Ct[:, j]]
+                for ti, qi in enumerate(q_iter):
+                    s = np.where(
+                        ok_t & (nid_t != qids[qi]),
+                        dots[ti] / np.where(ok_t, cn_t, 1.0),
+                        -np.inf,
+                    )
+                    live = np.isfinite(s)
+                    n_live = int(live.sum())
+                    if n_live == 0:
+                        continue
+                    if n_live > r_cut:
+                        kth = np.partition(s, -r_cut)[-r_cut]
+                    else:
+                        kth = s[live].min()
+                    # margin: a row can only displace a kept one after 6-dp
+                    # rounding if its cos is within 1e-6 — i.e. its
+                    # unnormalized score within 2e-6 * qnorm of the cut
+                    sel = np.flatnonzero(s >= kth - 2e-6 * qnorm[qi])
+                    out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
+                    out_n.append(nid_t[sel])
+                    out_d.append(np.rint(dots[ti][sel]).astype(np.int64))
+                    out_c.append(cnsq_t[sel])
+
+            if cell_to_q is None:
+                score_tile(None, None)
+            else:
+                cells_arr = pdf["cell"].to_numpy()
+                for cell_val in np.unique(cells_arr):
+                    q_sel = cell_to_q.get(int(cell_val))
+                    if q_sel is None or len(q_sel) == 0:
+                        continue
+                    score_tile(q_sel, np.flatnonzero(cells_arr == cell_val))
             if not out_q:
                 continue
             yield pd.DataFrame(
@@ -965,6 +1008,7 @@ def pq_topk_from_index(
     n_probe: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    per_query_cells: bool = False,
 ) -> DataFrame:
     """PQ/ADC top-k answered ENTIRELY from a persisted ANN index — the
     corpus is never re-encoded (the cross-job shape: the index-writer job
@@ -975,31 +1019,62 @@ def pq_topk_from_index(
     the oracle-checkable mode. With ``n_probe=p`` each query re-ranks only
     its p nearest coarse cells; the union of probed cells becomes an
     IN-list filter on the partition column, so whole cell directories are
-    pruned at planning time (PartitionFilters, plan-pinned in tests)."""
+    pruned at planning time (PartitionFilters, plan-pinned in tests).
+
+    ``per_query_cells=True`` (requires n_probe) additionally restricts the
+    SCORING, not just the scan: each query is ADC-scored only against its
+    OWN p cells' codes (standard IVF semantics) instead of the batch
+    union. This is the shape whose per-batch cost is nq * p * (n/cells)
+    — linear for corpus-proportional query batches — where union scoring
+    is nq * |union| (quadratic once the batch unions most cells, which a
+    few hundred random queries over sqrt(n) k-means cells already do).
+    The result for a SINGLE query is identical to union mode (its union
+    is its own cells); multi-query batches lose the accidental recall
+    widening from batch-mates' cells, so this mode is the bench/production
+    path while the union mode remains the oracle surface."""
     codes_df, cents, cb, meta = read_ann_index(spark, path)
     if meta.id_col != id_col:
         raise ValueError(
             f"ANN index at {path} was built over id column {meta.id_col!r}, "
             f"queried with {id_col!r}"
         )
+    if per_query_cells and n_probe is None:
+        raise ValueError("per_query_cells requires n_probe")
+    probed_cells = None
     if n_probe is not None:
         n_probe = min(n_probe, len(cents))
         ranked = _ranked_cells_udf(cents)
         # queries are small by definition: the probed-cell union is bounded
         # by nq * n_probe
-        probe_rows = (
-            queries.select(quantized_vec(vec_col).alias("qq"))
+        qcell_rows = (
+            queries.select(
+                F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("qq")
+            )
             .withColumn("cells", F.slice(ranked(F.col("qq")), 1, n_probe))
-            .select(F.explode("cells").alias("cell"))
-            .distinct()
+            .select("query_id", "cells")
             .collect()
         )
-        probed = [int(r.cell) for r in probe_rows]
+        if per_query_cells:
+            probed_cells = {
+                int(r.query_id): [int(c) for c in r.cells] for r in qcell_rows
+            }
+        probed = sorted({int(c) for r in qcell_rows for c in r.cells})
         codes_df = codes_df.where(F.col("cell").isin(probed))
-    codes = codes_df.select("neighbor_id", "codes", "cnorm_sq")
+    code_cols = ["neighbor_id", "codes", "cnorm_sq"] + (
+        ["cell"] if probed_cells is not None else []
+    )
+    codes = codes_df.select(*code_cols)
     vectors = codes_df.select("neighbor_id", F.col("qv").alias("qc"))
     return _pq_topk_core(
-        codes, vectors, queries, cb, k=k, refine=refine, vec_col=vec_col, id_col=id_col
+        codes,
+        vectors,
+        queries,
+        cb,
+        k=k,
+        refine=refine,
+        vec_col=vec_col,
+        id_col=id_col,
+        probed_cells=probed_cells,
     )
 
 

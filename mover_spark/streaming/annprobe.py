@@ -87,6 +87,7 @@ def ann_probe_stream(
     k: int = 10,
     refine: int = 4,
     n_probe: int | None = None,
+    per_query_cells: bool = False,
 ):
     """Drain the embedding stream with availableNow, answering each
     micro-batch's vectors via pq_topk_from_index and writing
@@ -105,6 +106,7 @@ def ann_probe_stream(
             k=k,
             refine=refine,
             n_probe=n_probe,
+            per_query_cells=per_query_cells,
         )
         out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 

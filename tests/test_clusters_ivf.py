@@ -550,3 +550,57 @@ def test_ann_drift_probe_flags_shifted_increment(spark, catalog, tmp_path):
         f"shifted increment must flag a rebuild: recall={hist2[1].recall} "
         f"vs baseline {hist2[0].recall}"
     )
+
+
+def test_ann_index_per_query_cells_exactness_contracts(spark, catalog, tmp_path):
+    """per_query_cells mode (round-10): scoring restricted to each
+    query's OWN probed cells. Two exactness contracts pin it to union
+    mode: (1) with n_probe = n_cells it is bit-identical to the
+    all-cells scan; (2) for every query, its rows equal a single-query
+    union-mode run (a singleton's union IS its own cells). Plus the
+    domain guard: per_query_cells without n_probe raises."""
+    import pytest as _pytest
+
+    from mover_spark.operators.similarity import (
+        pq_topk_from_index,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = catalog.df("embeddings")
+    q = emb.where(F.col("vec_id") < 6)
+    path = str(tmp_path / "annidx")
+    write_ann_index(emb, path)
+    _, cents, _, _ = read_ann_index(spark, path)
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine) for r in df.collect()
+        )
+
+    all_cells = rows(pq_topk_from_index(spark, path, q, k=10, refine=4))
+    full_probe = rows(
+        pq_topk_from_index(
+            spark, path, q, k=10, refine=4,
+            n_probe=len(cents), per_query_cells=True,
+        )
+    )
+    assert full_probe == all_cells and all_cells
+
+    multi = rows(
+        pq_topk_from_index(
+            spark, path, q, k=10, refine=4, n_probe=4, per_query_cells=True
+        )
+    )
+    singles = []
+    for r in q.select("vec_id").collect():
+        singles += rows(
+            pq_topk_from_index(
+                spark, path, q.where(F.col("vec_id") == r.vec_id),
+                k=10, refine=4, n_probe=4,
+            )
+        )
+    assert multi == sorted(singles)
+
+    with _pytest.raises(ValueError, match="per_query_cells"):
+        pq_topk_from_index(spark, path, q, k=10, per_query_cells=True)

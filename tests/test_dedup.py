@@ -571,9 +571,19 @@ def test_containment_scheme_builder_contract(spark):
 
     s95 = _containment_band_schemes(0.95, 2**0.5, 5e-3, 48)
     assert 1 not in s95, "r=1 must never be chosen"
-    assert s95 == {2: (22, [0, 1])}, s95
+    # 48 perms can't meet any FP cap: the coverage fallback bands both
+    # classes at r=2, and the prior-weighted budget trades class 1 miss
+    # (0.02 at prior 0.2) for fewer bands than the flat-5e-3 22
+    assert s95 == {2: (17, [0, 1])}, s95
+    # 256-perm pool under the round-10 cost model: per class the
+    # SMALLEST r clearing its background-admission cap (class 0 needs
+    # r=4 — r=3's 1.1e-3/pair would flood the verify join from the
+    # same-size near-dup stratum; class 1 measured fine at r=3), band
+    # counts from the prior-allocated global budget (class 0 tightens
+    # to ~2.5e-3, class 1 relaxes to ~1.5e-2 — the slot ceiling drops
+    # 220 -> 124, join units 234 -> 144 vs the round-9 flat table)
     s256 = _containment_band_schemes(0.95, 2**0.5, 5e-3, N_CONTAIN_MINHASH)
-    assert s256 == {5: (44, [0]), 3: (51, [1]), 2: (94, [2, 3])}, s256
+    assert s256 == {4: (31, [0]), 3: (41, [1]), 2: (70, [2, 3])}, s256
     for r, (n_bands, _) in s256.items():
         assert r * n_bands <= N_CONTAIN_MINHASH
     # the operator caps banding at the FP-economic class boundary; the
@@ -581,7 +591,7 @@ def test_containment_scheme_builder_contract(spark):
     capped = _containment_band_schemes(
         0.95, 2**0.5, 5e-3, N_CONTAIN_MINHASH, max_class=1
     )
-    assert capped == {5: (44, [0]), 3: (51, [1])}, capped
+    assert capped == {4: (31, [0]), 3: (41, [1])}, capped
     with _pytest.raises(ValueError, match="containment_pairs"):
         _containment_band_schemes(0.3, 2**0.5, 5e-3, 48)
 

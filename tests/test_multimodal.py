@@ -374,3 +374,85 @@ def test_gif_arm_in_image_features(spark):
     assert (got[1].width, got[1].height) == (2, 2)
     assert abs(got[1].mean_luma - 0.5) < 1e-9
     assert got[2].decoder == "fake"
+
+
+def _encode_bmp(pixels_rgb, bpp=24, top_down=False):
+    """Hand-encode an uncompressed BITMAPINFOHEADER BMP from a row-major
+    RGB pixel grid (list of rows of (r, g, b)). Rows are stored
+    bottom-up unless top_down (negative height), padded to 4 bytes —
+    the two layouts real writers emit."""
+    import struct
+
+    h, w = len(pixels_rgb), len(pixels_rgb[0])
+    n_b = bpp // 8
+    stride = (w * n_b + 3) & ~3
+    rows = pixels_rgb if top_down else list(reversed(pixels_rgb))
+    body = b""
+    for row in rows:
+        line = b"".join(
+            bytes((b, g, r)) + (b"\x00" if n_b == 4 else b"")
+            for (r, g, b) in row
+        )
+        body += line + b"\x00" * (stride - len(line))
+    pix_off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", pix_off + len(body), 0, 0, pix_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, (-h if top_down else h), 1, bpp, 0, len(body), 2835, 2835, 0, 0,
+    )
+    return hdr + dib + body
+
+
+def test_bmp_decode_real_bytes():
+    """The third real stdlib image arm (round-10): hand-encoded 24-bit
+    BMPs decode to exact dimensions and mean luma in BOTH row orders
+    (bottom-up and top-down), 32-bit BGRX too; truncated pixel arrays
+    and RLE/palette shapes raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from mover_spark.operators.multimodal import _bmp_decode
+
+    pixels = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(255, 255, 255), (0, 0, 0), (128, 128, 128)],
+    ]
+    want = sum(
+        0.299 * r + 0.587 * g + 0.114 * b for row in pixels for (r, g, b) in row
+    ) / 6 / 255.0
+    for top_down in (False, True):
+        w, h, luma = _bmp_decode(_encode_bmp(pixels, top_down=top_down))
+        assert (w, h) == (3, 2)
+        assert abs(luma - want) < 1e-9
+    w, h, luma = _bmp_decode(_encode_bmp(pixels, bpp=32))
+    assert (w, h) == (3, 2) and abs(luma - want) < 1e-9
+    bmp = _encode_bmp(pixels)
+    with _pytest.raises(ValueError):
+        _bmp_decode(bmp[:-8])  # truncated pixel array
+    rle = bytearray(bmp)
+    struct.pack_into("<I", rle, 30, 1)  # compression=BI_RLE8
+    with _pytest.raises(ValueError):
+        _bmp_decode(bytes(rle))
+    with _pytest.raises(ValueError):
+        _bmp_decode(b"XX" + bmp[2:])
+
+
+def test_bmp_arm_in_image_features(spark):
+    """image_features routes real BMP bytes through 'bmp-stdlib' (exact
+    features) and degrades corrupt BMPs to the deterministic fake
+    instead of failing the job."""
+    from mover_spark.operators.multimodal import MEDIA_SCHEMA, image_features
+
+    bmp = _encode_bmp([[(255, 255, 255), (0, 0, 0)], [(0, 0, 0), (255, 255, 255)]])
+    bad = bmp[:-6]  # truncated pixel array
+    rows = [
+        (1, "image", bytearray(bmp), "bmp", None, None, None),
+        (2, "image", bytearray(bad), "bmp", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in image_features(df).collect()}
+    assert got[1].decoder == "bmp-stdlib"
+    assert (got[1].width, got[1].height) == (2, 2)
+    assert abs(got[1].mean_luma - 0.5) < 1e-9
+    assert got[2].decoder == "fake"

@@ -2,7 +2,7 @@
 # Third-decade (sf10 -> sf100) per-query capture, round-9 protocol:
 # one bench.py invocation per (query, fixture) in a FRESH process
 # (SPARK_GRAFT_BENCH_REPS=1, cold), detail JSON per cell into
-# .bench/r9_decade/. Queries whose first call plays an index-writer job
+# $OUT (default .bench/r10_decade). Queries whose first call plays an index-writer job
 # (the persisted ANN family) run TWICE per fixture — run1 = build+query,
 # run2 = indexed (cold process, warm index) — mirroring the round-8
 # incremental-dedup A/B protocol in BASELINE.md.
@@ -10,7 +10,7 @@
 # Usage: tools/decade_bench.sh [sf10|sf100|both]
 set -u
 cd "$(dirname "$0")/.."
-OUT=.bench/r9_decade
+OUT=.bench/${DECADE_TAG:-r10_decade}
 mkdir -p "$OUT"
 
 ONCE="q21_waiting_suppliers containment_lsh \
