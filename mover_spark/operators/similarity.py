@@ -507,41 +507,57 @@ def _pq_topk_core(
             out_q, out_n, out_d, out_c = [], [], [], []
 
             def score_tile(q_sel, r_sel):
-                """ADC + per-query top-r_cut for a (queries x rows) tile.
+                """ADC + per-query top-r_cut for a (queries x rows) tile,
+                fully vectorized across the tile's queries (a per-query
+                Python loop here measured 435-tiny-tiles x 32 batches of
+                pure interpreter overhead in per-query-cell mode).
                 q_sel/r_sel None = the full dense block."""
                 Ct = C if r_sel is None else C[r_sel]
                 nid_t = nid if r_sel is None else nid[r_sel]
                 cn_t = cn if r_sel is None else cn[r_sel]
                 ok_t = ok if r_sel is None else ok[r_sel]
                 cnsq_t = cn_sq if r_sel is None else cn_sq[r_sel]
-                lut_t = lut if q_sel is None else lut[q_sel]
-                q_iter = range(nq) if q_sel is None else q_sel
+                qid_t = qids if q_sel is None else qids[q_sel]
+                qn_t = qnorm if q_sel is None else qnorm[q_sel]
                 # ADC: gather per subspace, sum — (tile queries, tile rows)
-                dots = np.zeros((lut_t.shape[0], Ct.shape[0]), dtype=np.float64)
-                for j in range(m):
-                    dots += lut_t[:, j, :][:, Ct[:, j]]
-                for ti, qi in enumerate(q_iter):
-                    s = np.where(
-                        ok_t & (nid_t != qids[qi]),
-                        dots[ti] / np.where(ok_t, cn_t, 1.0),
-                        -np.inf,
-                    )
-                    live = np.isfinite(s)
-                    n_live = int(live.sum())
-                    if n_live == 0:
-                        continue
-                    if n_live > r_cut:
-                        kth = np.partition(s, -r_cut)[-r_cut]
-                    else:
-                        kth = s[live].min()
-                    # margin: a row can only displace a kept one after 6-dp
-                    # rounding if its cos is within 1e-6 — i.e. its
-                    # unnormalized score within 2e-6 * qnorm of the cut
-                    sel = np.flatnonzero(s >= kth - 2e-6 * qnorm[qi])
-                    out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
-                    out_n.append(nid_t[sel])
-                    out_d.append(np.rint(dots[ti][sel]).astype(np.int64))
-                    out_c.append(cnsq_t[sel])
+                dots = np.zeros((len(qid_t), Ct.shape[0]), dtype=np.float64)
+                if q_sel is None:
+                    for j in range(m):
+                        dots += lut[:, j, :][:, Ct[:, j]]
+                else:
+                    # direct broadcast gather: materializing lut[q_sel]
+                    # per tile copied the query subset's whole LUT
+                    # (~queries x m x n_codes floats) once per CELL —
+                    # measured as tens of GB of pure memcpy per batch at
+                    # 1,378 cells; this touches only the tile's output
+                    qix = q_sel[:, None]
+                    for j in range(m):
+                        dots += lut[qix, j, Ct[None, :, j]]
+                s = np.where(
+                    ok_t[None, :] & (nid_t[None, :] != qid_t[:, None]),
+                    dots / np.where(ok_t, cn_t, 1.0)[None, :],
+                    -np.inf,
+                )
+                live = np.isfinite(s)
+                if s.shape[1] > r_cut:
+                    # r_cut-th largest per query; -inf when a query has
+                    # fewer live rows than the cut (then the mask below
+                    # degenerates to keep-all-live, matching the scalar
+                    # n_live <= r_cut branch exactly)
+                    kth = np.partition(s, -r_cut, axis=1)[:, -r_cut]
+                else:
+                    kth = np.full(s.shape[0], -np.inf)
+                # margin: a row can only displace a kept one after 6-dp
+                # rounding if its cos is within 1e-6 — i.e. its
+                # unnormalized score within 2e-6 * qnorm of the cut
+                mask = live & (s >= (kth - 2e-6 * qn_t)[:, None])
+                ti_idx, r_idx = np.nonzero(mask)
+                if len(ti_idx) == 0:
+                    return
+                out_q.append(qid_t[ti_idx])
+                out_n.append(nid_t[r_idx])
+                out_d.append(np.rint(dots[ti_idx, r_idx]).astype(np.int64))
+                out_c.append(cnsq_t[r_idx])
 
             if cell_to_q is None:
                 score_tile(None, None)
@@ -1032,10 +1048,42 @@ def pq_topk_from_index(
     is its own cells); multi-query batches lose the accidental recall
     widening from batch-mates' cells, so this mode is the bench/production
     path while the union mode remains the oracle surface."""
-    codes_df, cents, cb, meta = read_ann_index(spark, path)
+    return pq_topk_from_loaded(
+        read_ann_index(spark, path),
+        queries,
+        k=k,
+        refine=refine,
+        n_probe=n_probe,
+        vec_col=vec_col,
+        id_col=id_col,
+        per_query_cells=per_query_cells,
+    )
+
+
+def pq_topk_from_loaded(
+    loaded,
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 4,
+    n_probe: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    per_query_cells: bool = False,
+) -> DataFrame:
+    """pq_topk_from_index against an ALREADY-LOADED index tuple (a
+    read_ann_index result, optionally with its codes relation persisted).
+    This is the repeated-caller shape: a streaming probe answers every
+    micro-batch from ONE index, and re-reading the cell-partitioned
+    parquet per batch (directory listing + footer reads across hundreds
+    of cell directories) costs more than the scoring once cells are
+    production-counted — measured on a 435-cell k-means index over a
+    32-batch drain, where the per-batch re-read dominated BOTH probe
+    arms (~14 s/batch fixed). Callers own the persist/unpersist
+    lifecycle of loaded[0] (the codes relation)."""
+    codes_df, cents, cb, meta = loaded
     if meta.id_col != id_col:
         raise ValueError(
-            f"ANN index at {path} was built over id column {meta.id_col!r}, "
+            f"ANN index was built over id column {meta.id_col!r}, "
             f"queried with {id_col!r}"
         )
     if per_query_cells and n_probe is None:

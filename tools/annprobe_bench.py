@@ -18,7 +18,16 @@ Reports wall clocks plus recall@k of pruned vs parity (the measured cost
 of approximation, not assumed). Bench-only: rows-only evidence for
 BASELINE.md; the oracle surface stays on the 16-cell index.
 
-Usage: python tools/annprobe_bench.py [.bench/sf10] [n_probe] [out.json]
+Usage: python tools/annprobe_bench.py [.bench/sf10] [n_probe] [out.json] \
+           [stream|batch] [query_mod]
+
+`batch` mode measures ONE micro-batch's probe cost directly through
+pq_topk_from_loaded (parity vs per-query-cells) on a query set of
+vec_id % query_mod == 0 — the unit a streaming drain repeats. This is
+the only honest sf100 A/B: the full 100k-query parity drain is
+O(|stream| x |codes|) BY CONSTRUCTION (~hours on this box, the same
+reason round 9 declined full-stream sf100 probe rows), while the
+per-batch cost is what capacity planning actually multiplies.
 """
 
 from __future__ import annotations
@@ -40,6 +49,8 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".bench/sf10"
     n_probe_arg = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     out_json = sys.argv[3] if len(sys.argv) > 3 else None
+    mode = sys.argv[4] if len(sys.argv) > 4 else "stream"
+    query_mod = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     tag = os.path.basename(os.path.normpath(sf_dir))
 
     from mover_spark.catalog import Catalog
@@ -64,17 +75,68 @@ def main() -> int:
     n_probe = n_probe_arg or auto_probe
 
     idx = os.path.join("/tmp/mover_spark_annindex_bench", tag)
-    shutil.rmtree(idx, ignore_errors=True)
-    t0 = time.time()
-    # k-means on a bounded sample: centroid QUALITY is not under test
-    # here, cell-count economics are — the sample keeps the build
-    # index-sized while producing production-shaped cells
-    train_frac = min(1.0, 200_000 / max(n_corpus, 1))
-    cents = train_ivf_centroids(
-        corpus.sample(train_frac, seed=7), n_cells, max_iter=5
+    keep = os.environ.get("ANNPROBE_BENCH_KEEP_INDEX") and os.path.exists(
+        os.path.join(idx, "meta")
     )
-    write_ann_index(corpus, idx, centroids=cents, probe_baseline=False)
+    if not keep:
+        shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    if not keep:
+        # k-means on a bounded sample: centroid QUALITY is not under test
+        # here, cell-count economics are — the sample keeps the build
+        # index-sized while producing production-shaped cells
+        train_frac = min(1.0, 200_000 / max(n_corpus, 1))
+        cents = train_ivf_centroids(
+            corpus.sample(train_frac, seed=7), n_cells, max_iter=5
+        )
+        write_ann_index(corpus, idx, centroids=cents, probe_baseline=False)
     t_build = round(time.time() - t0, 3)
+
+    if mode == "batch":
+        from mover_spark.operators.similarity import (
+            pq_topk_from_loaded,
+            read_ann_index,
+        )
+
+        loaded = read_ann_index(spark, idx)
+        codes = loaded[0].persist()
+        codes.count()  # pin before timing, as a streaming drain would
+        loaded = (codes, *loaded[1:])
+        qmod = query_mod or 700
+        queries = emb.where(F.col("vec_id") % qmod == 0)
+        nq = queries.count()
+
+        def one(n_probe_run, per_query):
+            t0 = time.time()
+            res = pq_topk_from_loaded(
+                loaded, queries, n_probe=n_probe_run,
+                per_query_cells=per_query,
+            ).collect()
+            return round(time.time() - t0, 3), {
+                (r.query_id, r.neighbor_id) for r in res
+            }
+
+        t_pruned, pruned_set = one(n_probe, True)
+        t_parity, parity_set = one(None, False)
+        row = {
+            "fixture": tag,
+            "mode": "batch",
+            "n_corpus": n_corpus,
+            "n_queries_batch": nq,
+            "n_cells": n_cells,
+            "n_probe": n_probe,
+            "index_build_sec": t_build,
+            "parity_batch_sec": t_parity,
+            "pruned_batch_sec": t_pruned,
+            "recall_vs_parity": round(
+                len(pruned_set & parity_set) / len(parity_set), 4
+            ) if parity_set else None,
+        }
+        print(json.dumps(row))
+        if out_json:
+            with open(out_json, "w") as f:
+                json.dump(row, f)
+        return 0
 
     def drain(n_probe_run, per_query):
         work = f"/tmp/annprobe_bench_{tag}_{n_probe_run}_{per_query}"
