@@ -1048,6 +1048,24 @@ def _q_curation_pipeline_bucketed(spark, sf_dir):
     )
 
 
+def _q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (round-10): the split bucket is
+    keyed by the near-dup CLUSTER canonical id, so duplicate content can
+    never straddle splits (Lee et al. 2022's contamination finding made
+    structural). Per-split stats mirror train_val_split's shape; the
+    oracle recomputes the clusters exactly (recursive CTE) and applies
+    the same portable arithmetic hash."""
+    from mover_spark.operators.sampling import leakage_safe_split
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    return (
+        leakage_safe_split(docs)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
 def _q_train_val_split(spark, sf_dir):
     """Deterministic train/val/test split + per-split stats; stable across
     runs/engines (arithmetic hash, no rand())."""
@@ -2107,6 +2125,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_exact": _q_stratified_sample,
         "quota_sample_per_source": _q_quota_sample,
         "train_val_split": _q_train_val_split,
+        "leakage_safe_split": _q_leakage_safe_split,
         "cdc_latest_snapshot": _q_cdc_latest_snapshot,
         "scd2_intervals": _q_scd2_intervals,
         "events_sessionize": _q_sessionize,
@@ -2340,6 +2359,29 @@ _DEDUP_CLUSTERS_SQL = (
     "reach(n, m) AS (SELECT a, b FROM e "
     "UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a) "
     "SELECT n AS doc_id, LEAST(n, MIN(m)) AS cluster_id FROM reach GROUP BY n"
+)
+
+#: leakage-safe split: same recursive-CTE clusters, split bucket on the
+#: cluster canonical id (singletons: their own id) via the portable
+#: arithmetic hash — the oracle twin of sampling.leakage_safe_split
+_LEAKAGE_SPLIT_SQL = (
+    "WITH RECURSIVE " + _SHINGLE_CTE + ", " + _PAIRS_CTE + ", "
+    "pj AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.8), "
+    "e AS (SELECT doc_a AS a, doc_b AS b FROM pj "
+    "UNION SELECT doc_b, doc_a FROM pj), "
+    "reach(n, m) AS (SELECT a, b FROM e "
+    "UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a), "
+    "cl AS (SELECT n AS doc_id, LEAST(n, MIN(m)) AS cluster_id "
+    "FROM reach GROUP BY n), "
+    "keyed AS (SELECT d2.doc_id, d2.n_chars, "
+    "COALESCE(cl.cluster_id, d2.doc_id) AS skey "
+    "FROM documents d2 LEFT JOIN cl USING (doc_id)), "
+    "b AS (SELECT n_chars, (((CAST(skey AS BIGINT) % 2147483647) * "
+    "506952114) % 2147483647) % 10000 AS bkt FROM keyed) "
+    "SELECT CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' "
+    "ELSE 'test' END AS split, COUNT(*) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM b "
+    "GROUP BY 1 ORDER BY split"
 )
 
 #: the dedup OUTPUT: corpus minus non-canonical cluster members (the
@@ -4174,6 +4216,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(h) AS first_key "
             "FROM s GROUP BY 1 ORDER BY shard"
         ),
+        "leakage_safe_split": _LEAKAGE_SPLIT_SQL,
         "train_val_split": (
             "WITH b AS (SELECT doc_id, n_chars, "
             "(((CAST(doc_id AS BIGINT) % 2147483647) * 506952114) % 2147483647) % 10000 AS bkt FROM documents) "

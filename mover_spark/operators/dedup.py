@@ -489,7 +489,13 @@ def _containment_band_schemes(
         for g in (0.25, 0.5, 1.0, 2.0, 3.0, 4.0):
             m = min(g * max_miss, CONTAIN_MISS_CAP)
             for r in range(2, min(16, n_hash // 2) + 1):
-                n_req = math.ceil(math.log(m) / math.log(1.0 - j_min**r))
+                hit = 1.0 - j_min**r
+                if hit >= 1.0:
+                    # per-band hit probability underflowed to 0 (deep
+                    # class, tiny j_min): no finite band count can serve
+                    # this r — and larger r only underflow harder
+                    break
+                n_req = math.ceil(math.log(m) / math.log(hit))
                 if r * n_req > n_hash:
                     continue
                 if n_req * CONTAIN_J_BG**r > cap:
@@ -507,7 +513,10 @@ def _containment_band_schemes(
             for g in (0.25, 0.5, 1.0, 2.0, 3.0, 4.0):
                 m = min(g * max_miss, CONTAIN_MISS_CAP)
                 for r in range(min(16, n_hash // 2), 1, -1):
-                    n_req = math.ceil(math.log(m) / math.log(1.0 - j_min**r))
+                    hit = 1.0 - j_min**r
+                    if hit >= 1.0:
+                        continue  # underflowed: smaller r may still work
+                    n_req = math.ceil(math.log(m) / math.log(hit))
                     if r * n_req <= n_hash:
                         out.append((m, r, n_req))
                         break
@@ -544,17 +553,24 @@ def _containment_band_schemes(
         return sch
 
     best, best_cost = None, None
-    for combo in itertools.product(*per_class):
-        if sum(p * m for p, (m, _, _) in zip(priors, combo)) > max_miss * (
-            1 + 1e-9
-        ):
-            continue
-        sch = grouped(combo)
-        slots = max(r * nb for r, (nb, _) in sch.items())
-        units = sum(nb * (1 + len(ks)) for nb, ks in sch.values())
-        cost = W_SLOT * slots + units
-        if best_cost is None or cost < best_cost:
-            best, best_cost = sch, cost
+    if len(per_class) <= 6:
+        # exhaustive over the per-class miss grid — at the operator's
+        # real class counts (max_class caps banding at 2-4 classes) this
+        # is a few thousand combos. The grid is EXPONENTIAL in class
+        # count, so a near-1 slice_base (which mints a class per tiny
+        # size ratio — hypothesis found w=1.05 producing dozens) must
+        # not reach it; deeper tables take the flat fallback below.
+        for combo in itertools.product(*per_class):
+            if sum(p * m for p, (m, _, _) in zip(priors, combo)) > max_miss * (
+                1 + 1e-9
+            ):
+                continue
+            sch = grouped(combo)
+            slots = max(r * nb for r, (nb, _) in sch.items())
+            units = sum(nb * (1 + len(ks)) for nb, ks in sch.values())
+            cost = W_SLOT * slots + units
+            if best_cost is None or cost < best_cost:
+                best, best_cost = sch, cost
     if best is None:
         # the grid cannot meet the global budget (pathologically small
         # max_miss, or a class whose only cap-feasible options sit above

@@ -60,6 +60,42 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: dict[str, float] | None = None,
+    threshold: float = 0.8,
+    method: str = "propagation",
+) -> DataFrame:
+    """hash_split with a CONTAMINATION GUARANTEE: the split bucket is
+    computed on the near-dup cluster's canonical id (dedup_clusters),
+    not the row id, so every member of a near-duplicate cluster lands
+    in the SAME split. Train/eval leakage through near-duplicates —
+    Lee et al. 2022's finding that duplicated text straddling splits
+    inflates benchmark scores — is structurally impossible at the
+    clustering threshold, instead of merely unlikely. Docs in no
+    cluster fall back to their own id, i.e. exactly hash_split's
+    assignment for them.
+
+    Cost = one dedup_clusters pass (banded MinHash-LSH + connected
+    components — the sub-quadratic scale path) + a broadcast-or-shuffle
+    left join of the cluster map; the split tagging itself stays the
+    same arithmetic-hash expression as hash_split (stable across runs,
+    engines, partitionings). Same output contract as hash_split: the
+    input columns plus `split`."""
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(
+        df, threshold=threshold, text_col=text_col, id_col=id_col,
+        method=method,
+    )
+    keyed = df.join(clusters, id_col, "left").withColumn(
+        "__skey", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    return hash_split(keyed, "__skey", splits).drop("__skey", "cluster_id")
+
+
 def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     """Stable `fraction` sample by id hash — same rows every run."""
     return df.where(hash_bucket(id_col) < round(fraction * 10_000))
