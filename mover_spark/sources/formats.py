@@ -91,3 +91,72 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
         .option("timestampNTZFormat", CSV_TS_FMT)
         .json(path)
     )
+
+
+def _with_corrupt_col(schema: StructType) -> StructType:
+    from pyspark.sql.types import StringType, StructField
+
+    # a fresh StructType: StructType.add mutates in place, and the
+    # caller's schema must not grow a _corrupt_record field as a side
+    # effect
+    return StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSONL ingest for landing zones where ONE malformed line
+    must not kill the job (read_jsonl's FAILFAST is the strict-contract
+    twin): returns (good, quarantine) — `good` carries the caller's
+    schema for every parseable line, `quarantine` is (raw_line) for
+    every line that failed the schema, preserved byte-for-byte so the
+    bad records can be inspected/replayed instead of silently dropped
+    (the DROPMALFORMED failure mode).
+
+    One parse pass, persisted: Spark disallows queries that reference
+    ONLY the internal corrupt-record column of a raw JSON/CSV scan, and
+    without the persist each returned frame would re-scan the source
+    anyway. Callers that split a truly landing-zone-sized source should
+    consume both frames in one job (write good to parquet, quarantine
+    to its own prefix) and then release with good.unpersist() — the
+    persist is MEMORY_AND_DISK, so oversized batches degrade to local
+    disk rather than OOM."""
+    raw = (
+        spark.read.schema(_with_corrupt_col(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("timestampFormat", CSV_TS_FMT)
+        .option("timestampNTZFormat", CSV_TS_FMT)
+        .json(path)
+        .persist()
+    )
+    good = raw.where(raw["_corrupt_record"].isNull()).drop("_corrupt_record")
+    bad = raw.where(raw["_corrupt_record"].isNotNull()).select(
+        raw["_corrupt_record"].alias("raw_line")
+    )
+    return good, bad
+
+
+def read_csv_quarantine(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """read_jsonl_quarantine's CSV twin: (good, quarantine) under the
+    caller's schema, malformed rows preserved as raw lines. Same
+    one-pass persist contract."""
+    raw = (
+        spark.read.schema(_with_corrupt_col(schema))
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("timestampFormat", CSV_TS_FMT)
+        .option("timestampNTZFormat", CSV_TS_FMT)
+        .csv(path)
+        .persist()
+    )
+    good = raw.where(raw["_corrupt_record"].isNull()).drop("_corrupt_record")
+    bad = raw.where(raw["_corrupt_record"].isNotNull()).select(
+        raw["_corrupt_record"].alias("raw_line")
+    )
+    return good, bad

@@ -583,3 +583,71 @@ def test_media_download_local(spark, catalog, tmp_path):
     # the manifest still lists EVERY url (the retry/recon list)
     manifest = open(os.path.join(out, "_media_manifest.txt")).read()
     assert all(base + n in manifest for n in names)
+
+
+def test_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
+    """PERMISSIVE landing-zone ingest: parseable lines come back under
+    the caller's schema, malformed lines land in the quarantine frame
+    byte-for-byte (inspect/replay, never silently dropped), the two
+    frames partition the file, and the caller's schema object is NOT
+    mutated by the internal corrupt-record column."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from mover_spark.sources.formats import read_jsonl_quarantine
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    n_fields_before = len(schema.fields)
+    src = tmp_path / "landing.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "ok one"}\n'
+        '{"doc_id": oops not json\n'
+        '{"doc_id": 2, "text": "ok two"}\n'
+        "<<<binary garbage>>>\n"
+        '{"doc_id": "not a long", "text": "type drift"}\n'
+    )
+    good, bad = read_jsonl_quarantine(spark, str(src), schema)
+    assert len(schema.fields) == n_fields_before, "caller schema mutated"
+    assert [f.name for f in good.schema.fields] == ["doc_id", "text"]
+    assert sorted((r.doc_id, r.text) for r in good.collect()) == [
+        (1, "ok one"),
+        (2, "ok two"),
+    ]
+    lines = sorted(r.raw_line for r in bad.collect())
+    assert '{"doc_id": oops not json' in lines
+    assert "<<<binary garbage>>>" in lines
+    assert any("not a long" in ln for ln in lines), "type drift not quarantined"
+    assert len(lines) == 3
+    good.unpersist()
+
+
+def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
+    """CSV twin: schema-violating rows quarantine as raw lines, clean
+    rows parse under the caller's schema."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from mover_spark.sources.formats import read_csv_quarantine
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "landing.csv"
+    src.write_text(
+        "doc_id,text\n"
+        "1,alpha\n"
+        "not_a_number,beta\n"
+        "2,gamma\n"
+    )
+    good, bad = read_csv_quarantine(spark, str(src), schema)
+    assert sorted((r.doc_id, r.text) for r in good.collect()) == [
+        (1, "alpha"),
+        (2, "gamma"),
+    ]
+    assert [r.raw_line for r in bad.collect()] == ["not_a_number,beta"]
+    good.unpersist()
