@@ -2010,7 +2010,8 @@ def _q_streaming_neardup_probe(spark, sf_dir):
 #: never signed), then the zero-signature families: profiling, sketches,
 #: range/interval/skew joins, the q20/q22 TPC-H shapes, persisted
 #: ANN/BM25 indexes, UDTF/UDAF, the remaining multimodal/CDC/events
-#: entries. The 16 never-signed entries that didn't fit this window
+#: entries, plus the round-10-new leakage_safe_split (new operators need
+#: the driver's signature most). The 16 never-signed entries that didn't fit this window
 #: (labeled demo baselines and part of the text-quality family) are the
 #: round-11 rotation.
 _R10_WINDOW = [
@@ -2058,7 +2059,7 @@ _R10_WINDOW = [
     "ann_topk_ivfpq_persisted",
     "bm25_topk_persisted",
     "bm25_topk_appended",
-    "substring_dedup_stats",
+    "leakage_safe_split",
     "multimodal_audio_features",
     "multimodal_frame_plan",
     "multimodal_manifest",
