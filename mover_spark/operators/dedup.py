@@ -360,16 +360,50 @@ def containment_pairs(
     )
 
 
-#: deepest ratio class served by BANDING in containment_lsh; deeper size
-#: ratios go to the exact prefix-filter arm. Chosen from measured false-
-#: positive economics, not signature capacity: class 2-3 banding (r=2, 94
-#: bands) admits background pairs at rate ~1 - (1-j_bg^2)^94 ~ 14% of the
-#: class stratum (j_bg~0.04) — a quadratic term that dominated sf10 wall
-#: clock — while classes 0-1 band at r=5/r=3 where the background rate is
-#: negligible. The exact arm is linear in corpus postings with q=2-gated
-#: output, the better deal for every class the signature can only serve
-#: at r=2.
-CONTAIN_BAND_MAX_CLASS = 1
+def contain_band_boundary(
+    threshold: float,
+    slice_base: float = 2.0 ** 0.5,
+    max_miss: float = 5e-3,
+    n_hash: int | None = None,
+) -> int:
+    """Deepest ratio class served by BANDING in containment_lsh, DERIVED
+    from the same cost model as the scheme table (round-10; this was a
+    measured constant, =1, through round 9): banding stops at the first
+    class with no background-admission-cap-feasible (r, miss) option —
+    past that point every bandable scheme admits background pairs at a
+    rate the round-8/9 measurements showed dominating wall clock (class
+    2 at t=0.95 would need r=2 x ~35+ bands, ~5%+ per-pair admission —
+    the quadratic term), while the exact prefix-filter arm is linear in
+    corpus postings with a q-gated output. Class 0 is always banded
+    (via the coverage fallback if need be): with NO banded class the
+    deep arm would have to serve same-size strata, exactly the shape
+    its size-tail restriction exists to avoid. At the shipped defaults
+    (t=0.95/0.9, w=sqrt(2)) this derives the same boundary the measured
+    constant pinned: class 1."""
+    import math
+
+    if n_hash is None:
+        n_hash = N_CONTAIN_MINHASH
+    k = 0
+    while True:
+        j_min = threshold / (1 + slice_base ** (k + 1) - threshold)
+        cap = CONTAIN_FP_CAP_CLASS0 if k == 0 else CONTAIN_FP_CAP_DEEPER
+        feasible = False
+        for g in (0.25, 0.5, 1.0, 2.0, 3.0, 4.0):
+            m = min(g * max_miss, CONTAIN_MISS_CAP)
+            for r in range(2, min(16, n_hash // 2) + 1):
+                hit = 1.0 - j_min**r
+                if hit >= 1.0:
+                    break
+                n_req = math.ceil(math.log(m) / math.log(hit))
+                if r * n_req <= n_hash and n_req * CONTAIN_J_BG**r <= cap:
+                    feasible = True
+                    break
+            if feasible:
+                break
+        if not feasible:
+            return max(0, k - 1)
+        k += 1
 
 #: multi-match requirement of the exact deep arm (see the q-gram lower
 #: bound note in _deep_containment_candidates). q=3: a candidate must
@@ -870,7 +904,9 @@ def containment_lsh(
         slice_base,
         max_miss,
         N_CONTAIN_MINHASH,
-        max_class=CONTAIN_BAND_MAX_CLASS,
+        max_class=contain_band_boundary(
+            threshold, slice_base, max_miss, N_CONTAIN_MINHASH
+        ),
     )
     # compute only the signature slots the schemes index (each scheme r
     # reads slots [0, r*n_bands); they overlap deliberately — buckets are

@@ -755,3 +755,20 @@ def test_signature_index_swap_crash_recovery(spark, catalog, tmp_path):
     read_signature_index(spark, path)
     assert os.path.isdir(f"{path}/digests")
     assert {r.doc_id for r in dedup_against_index(new, path, 0.8).collect()} == want
+
+
+def test_contain_band_boundary_derived_from_cost_model(spark):
+    """The banded-vs-deep handoff is DERIVED (round-10), not a constant:
+    at the shipped thresholds the derivation reproduces the boundary the
+    round-8/9 measurements pinned (class 1), and at low thresholds —
+    where every class-1 scheme would admit background pairs at percent
+    rates — it retreats to class 0 rather than banding an uneconomic
+    stratum. Class 0 is always banded (floor)."""
+    from mover_spark.operators.dedup import contain_band_boundary
+
+    for t in (0.99, 0.95, 0.9, 0.85):
+        assert contain_band_boundary(t) == 1, t
+    for t in (0.8, 0.7, 0.6):
+        assert contain_band_boundary(t) == 0, t
+    # tiny pools can't cap-band anything: the floor keeps class 0
+    assert contain_band_boundary(0.95, n_hash=16) == 0

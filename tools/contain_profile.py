@@ -34,7 +34,7 @@ def main():
 
     schemes = D._containment_band_schemes(
         threshold, 2.0 ** 0.5, 5e-3, D.N_CONTAIN_MINHASH,
-        max_class=D.CONTAIN_BAND_MAX_CLASS,
+        max_class=D.contain_band_boundary(threshold),
     )
     n_slots = max(r * nb for r, (nb, _) in schemes.items())
     print(f"schemes: { {r: (nb, ks) for r, (nb, ks) in schemes.items()} } "
