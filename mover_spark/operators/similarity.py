@@ -1214,3 +1214,100 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int | None = N_CENTROIDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication" —
+    public paper): cluster the embedding space coarsely, compare pairs only
+    WITHIN a cluster, and keep one representative per within-cell
+    near-duplicate group.
+
+    Exactly the paper's recipe re-expressed as DataFrames: a k-means (or
+    deterministic) coarse quantizer plays the clusterer, within-cell exact
+    quantized-cosine >= ``threshold`` defines duplication, and the kept
+    representative is the component minimum id (the paper keeps one random
+    member; min-id is the deterministic choice). The blocking approximation
+    is the documented contract: cross-cell near-dups are NOT compared — the
+    price that turns the O(n^2) all-pairs scan (embedding_cosine_pairs, the
+    exact baseline) into sum-over-cells (n/c)^2*c ~= n^2/c work; with
+    sqrt(n) trained cells that is n^1.5, the SemDeDup scale shape.
+
+    Quantizer modes mirror ivf_topk: deterministic smallest-id centroids by
+    default (reproducible, oracle-checkable), ``centroids=
+    train_ivf_centroids(...)`` for real cell geometry, ``n_cells=None`` for
+    sqrt(n) auto-sizing.
+
+    Returns one row per nonzero-norm vector:
+    (vec_id, cell, cluster_id, is_kept) — cluster_id is the min id of the
+    vector's within-cell near-dup component (own id when unique), is_kept
+    marks the representative. Downstream: ``.where("is_kept")`` is the
+    deduplicated corpus. Zero-norm vectors are excluded (cosine undefined —
+    same ANSI-division guard as every cosine path here).
+
+    Scale shape: cell assignment is a narrow Arrow-vectorized map (one
+    int64 matmul per batch, no shuffle); the pair stage shuffles on cell
+    only, and per-cell work is an equi-self-join — no all-pairs explode
+    ever materializes. Component labels come from dedup.connected_components
+    (near-dup components are tiny cliques; rounds = diameter)."""
+    from .dedup import connected_components, qdot
+
+    c = corpus.select(F.col(id_col).alias("vid"), quantized_vec(vec_col).alias("qv"))
+    if n_cells is None:
+        n_cells, _ = auto_ivf_params(corpus.count())
+    if centroids is not None:
+        cents = [(cid, [x * 1000.0 for x in v]) for cid, v in centroids]
+    else:
+        cents = [(r.vid, r.qv) for r in c.orderBy("vid").limit(n_cells).collect()]
+    base = c.withColumn(
+        "norm", F.sqrt(qdot(F.col("qv"), F.col("qv")).cast("double"))
+    ).where(F.col("norm") > 0)
+    if not cents:
+        return base.select(
+            F.col("vid").alias(id_col),
+            F.lit(None).cast("long").alias("cell"),
+            F.col("vid").alias("cluster_id"),
+            F.lit(True).alias("is_kept"),
+        )
+    assigned = base.withColumn("cell", _ranked_cells_udf(cents)(F.col("qv"))[0])
+
+    left = assigned.select(
+        "cell", F.col("vid").alias("va"), F.col("qv").alias("qa"), F.col("norm").alias("na")
+    )
+    right = assigned.select(
+        "cell", F.col("vid").alias("vb"), F.col("qv").alias("qb"), F.col("norm").alias("nb")
+    )
+    pairs = (
+        left.join(right, on=["cell"])
+        .where(F.col("va") < F.col("vb"))
+        .where(
+            F.round(
+                qdot(F.col("qa"), F.col("qb")).cast("double") / (F.col("na") * F.col("nb")),
+                6,
+            )
+            >= threshold
+        )
+        .select("va", "vb")
+    )
+    clusters = connected_components(pairs)
+    return (
+        assigned.join(
+            clusters.withColumnRenamed("node", "vid"), on="vid", how="left"
+        )
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(F.col("cluster_id"), F.col("vid")).alias("cluster_id"),
+            (F.coalesce(F.col("cluster_id"), F.col("vid")) == F.col("vid")).alias(
+                "is_kept"
+            ),
+        )
+        .orderBy(id_col)
+    )

@@ -301,6 +301,189 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def winnowing_fingerprint_set(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing local fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+    public paper; the MOSS algorithm): hash every character ``k``-gram,
+    slide a ``w``-hash window, select each window's minimum. The selected
+    set is the classic plagiarism/copy-detection fingerprint: any shared
+    substring of length >= k + w - 1 is GUARANTEED to contribute at least
+    one common fingerprint, while only ~2/(w+1) of positions are kept.
+
+    Returns the DISTINCT (doc_id, fp) set. Selecting *hash values* (not
+    positions) lets the rightmost-min tie rule drop out entirely: a hash is
+    in the fingerprint set iff it is the minimum of some window, which is
+    exactly ``DISTINCT min-over-trailing-w-window`` — one window function,
+    no argmin tie-breaking, identical in any engine.
+
+    Scale shape: the whole selection is IN-ROW — gram hashes, sliding
+    window minima, and the distinct all happen inside array higher-order
+    functions on the document's own row, so the fingerprint set costs ZERO
+    shuffle (the alternative — explode grams to O(total chars) rows and run
+    a w-row window — pays a corpus-sized exchange plus a per-doc sort for
+    the same answer; measured 2.5x slower at sf0.1 and strictly worse at
+    scale). A window never crosses documents by definition, which is what
+    makes the per-row formulation exact. Hash is the engine-portable
+    md5-derived 60-bit int (util.md5_i64's expression, applied per gram),
+    keeping the whole pipeline oracle-checkable.
+
+    Documents shorter than k + w - 1 chars yield no full window and hence
+    no fingerprints (the paper's contract: nothing shorter than the
+    guarantee threshold t is detectable)."""
+    # explode_outer, NOT explode: InferFiltersFromGenerate rewrites a plain
+    # explode into a pushed-down ``size(__fps) > 0`` conjunct whose inlined
+    # form re-evaluates the whole gram-hash transform INSIDE the window
+    # lambda — O(n_grams^2) md5 calls per document (measured: turned a 2 s
+    # query into minutes). Outer generate is exempt from that inference;
+    # the empty-array docs it keeps are dropped by one cheap null filter on
+    # the OUTPUT attribute instead.
+    return (
+        _winnow_fps_arrays(df, k, w, text_col, id_col)
+        .select(F.col(id_col), F.explode_outer("__fps").alias("fp"))
+        .where(F.col("fp").isNotNull())
+    )
+
+
+def _winnow_fps_arrays(
+    df: DataFrame, k: int, w: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id_col, __fps array<long>) — each document's distinct winnowing
+    fingerprints, computed entirely in-row: per-gram 60-bit md5 hashes (the
+    lambda body is util.md5_i64 rendered as SQL —
+    conv(substr(md5(gram),1,15),16,10)), then each w-window's min via
+    slice+array_min, then array_distinct. The hash array is a SEPARATE
+    projection so the O(n) md5 pass is written once (CollapseProject may
+    still inline it into its two downstream references — size bound and
+    slice source — which costs nothing: transform results are lazily
+    shared per-row in practice and the expression stays O(n) either way).
+
+    Both array expressions are TOTAL (IF-guarded) even though the length
+    pre-filter already excludes short documents: when a consumer explodes
+    __fps, InferFiltersFromGenerate derives ``size(__fps) > 0`` and pushes
+    it down NEXT TO the length conjunct, and Spark does not guarantee
+    short-circuit order across split filter conjuncts — an unguarded
+    ``sequence(w, n_grams)`` then runs on a too-short row, descends
+    (sequence auto-steps -1 when start > stop), and slice(start=0) throws.
+    The guards keep every sub-expression defined on every input row; the
+    WHERE still does the semantic gating.
+
+    The md5 pass is CPU-bound per document with no shuffle to rebalance it,
+    so a small-file corpus (one parquet file = one task) would serialize
+    the whole pass on one core; when the scan yields fewer splits than the
+    cluster has slots, repartition first (a corpus-sized input already
+    arrives in >= slots splits, making this a no-op exactly where the
+    shuffle would be expensive)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    grams = (
+        f"transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> CAST(conv(substring(md5(substring({text_col}, i, {k})), 1, 15), 16, 10) AS BIGINT))"
+    )
+    guarded_grams = (
+        f"IF(length({text_col}) >= {k + w - 1}, {grams}, "
+        f"CAST(array() AS ARRAY<BIGINT>))"
+    )
+    return (
+        df.where(F.length(text_col) >= k + w - 1)
+        .select(F.col(id_col), F.expr(guarded_grams).alias("__h"))
+        .select(
+            id_col,
+            F.array_distinct(
+                F.expr(
+                    f"IF(size(__h) >= {w}, "
+                    f"transform(sequence({w}, size(__h)), "
+                    f"j -> array_min(slice(__h, j - {w - 1}, {w}))), "
+                    f"CAST(array() AS ARRAY<BIGINT>))"
+                )
+            ).alias("__fps"),
+        )
+    )
+
+
+def winnowing_profile(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document winnowing summary: fingerprint count plus order-free
+    set digests (min and bit-XOR of the 60-bit fingerprints — XOR is the
+    associative/commutative set fold, so the digest is partition-order
+    independent). The compact row a curation catalog stores per document
+    for later copy-detection without re-reading text.
+
+    Scale shape: with the fingerprint set held as a per-row array, the
+    whole profile is a NARROW projection — per-doc count/min/xor are array
+    functions on the document's own row, no groupBy, no shuffle at all
+    (the output orderBy is presentation-only)."""
+    return (
+        _winnow_fps_arrays(df, k, w, text_col, id_col)
+        .select(
+            id_col,
+            F.size("__fps").cast("long").alias("n_fingerprints"),
+            F.array_min("__fps").alias("fp_min"),
+            F.expr("aggregate(__fps, CAST(0 AS BIGINT), (acc, x) -> acc ^ x)").alias(
+                "fp_xor"
+            ),
+        )
+        .orderBy(id_col)
+    )
+
+
+def winnowing_overlap(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Copy-suspect pairs by shared winnowing fingerprints: the MOSS-style
+    report (doc_a, doc_b, n_shared) for pairs sharing >= ``min_shared``
+    selected fingerprints.
+
+    ``max_df`` drops fingerprints appearing in more than that many
+    documents BEFORE the pair join — boilerplate grams shared corpus-wide
+    are non-discriminative for copy detection (the standard stop-fingerprint
+    rule), and they are exactly the ones whose posting lists would explode
+    the self-join quadratically. With the cap, pair volume is bounded by
+    n_fingerprints * max_df^2 regardless of corpus skew — the same
+    df-bounding discipline as retrieval.py's postings join.
+
+    Document frequency comes from a COUNT window over the fp-partitioned
+    set, not a separate agg+join-back: the posting list is then one
+    fp-keyed shuffle total, and because both self-join sides are the same
+    subplan, ReuseExchange serves them from ONE md5 pass and ONE shuffle
+    (the agg+join form re-derived the fingerprint set three times)."""
+    fps = winnowing_fingerprint_set(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    posting = (
+        fps.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .where(F.col("__df") <= max_df)
+        .drop("__df")
+    )
+    a = posting.select(F.col("fp"), F.col(id_col).alias("doc_a"))
+    b = posting.select(F.col("fp"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Within-document repetition signals (the Gopher/MassiveText-style
     quality rules from Rae et al. 2021, "Scaling Language Models" §A1.1 —

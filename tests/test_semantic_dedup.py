@@ -1,0 +1,91 @@
+"""semantic_dedup (SemDeDup): within-cell dedup semantics, the documented
+cross-cell blocking approximation, quantizer modes, and edge cases."""
+
+from mover_spark.operators.similarity import semantic_dedup
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_identical_vectors_dedup_to_min_id(spark):
+    v = [1.0, 2.0, 3.0, 4.0]
+    other = [4.0, -3.0, 2.0, -1.0]  # orthogonal to v
+    df = _emb(spark, [(0, v), (1, other), (5, list(v)), (9, list(v))])
+    out = {r.vec_id: r for r in semantic_dedup(df, threshold=0.9, n_cells=2).collect()}
+    assert out[0].is_kept and out[0].cluster_id == 0
+    assert not out[5].is_kept and out[5].cluster_id == 0
+    assert not out[9].is_kept and out[9].cluster_id == 0
+    assert out[1].is_kept and out[1].cluster_id == 1
+    kept = [r for r in out.values() if r.is_kept]
+    assert len(kept) == 2
+
+
+def test_transitive_chain_single_cluster(spark):
+    # a~b and b~c at the threshold, all in one cell: one component, min id kept
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [1.0, 0.3, 0.0, 0.0]
+    c = [1.0, 0.6, 0.0, 0.0]
+    df = _emb(spark, [(3, a), (4, b), (5, c)])
+    out = {r.vec_id: r for r in semantic_dedup(df, threshold=0.9, n_cells=1).collect()}
+    assert [out[i].cluster_id for i in (3, 4, 5)] == [3, 3, 3]
+    assert [out[i].is_kept for i in (3, 4, 5)] == [True, False, False]
+
+
+def test_cross_cell_near_dups_are_not_compared(spark):
+    """The SemDeDup blocking contract: a near-dup pair split across two
+    cells is NOT removed — the documented price of n^2 -> n^2/c work."""
+    e0 = [1.0, 0.0, 0.0, 0.0]
+    e1 = [0.0, 1.0, 0.0, 0.0]
+    va = [1.0, 0.8, 0.0, 0.0]  # nearest centroid e0
+    vb = [0.8, 1.0, 0.0, 0.0]  # nearest centroid e1; cos(va, vb) ~ 0.976
+    df = _emb(spark, [(0, e0), (1, e1), (10, va), (11, vb)])
+    out = {r.vec_id: r for r in semantic_dedup(df, threshold=0.9, n_cells=2).collect()}
+    assert out[10].cell != out[11].cell
+    assert out[10].is_kept and out[11].is_kept  # both survive: never compared
+    # sanity: the same pair in ONE cell would have been collapsed
+    one_cell = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            _emb(spark, [(10, va), (11, vb)]), threshold=0.9, n_cells=1
+        ).collect()
+    }
+    assert one_cell[10].is_kept and not one_cell[11].is_kept
+
+
+def test_zero_norm_vectors_excluded(spark):
+    df = _emb(spark, [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0])])
+    rows = semantic_dedup(df, threshold=0.9, n_cells=1).collect()
+    assert {r.vec_id for r in rows} == {0, 2}
+    out = {r.vec_id: r for r in rows}
+    assert out[0].is_kept and not out[2].is_kept
+
+
+def test_empty_corpus(spark):
+    df = _emb(spark, [])
+    assert semantic_dedup(df, n_cells=4).count() == 0
+    assert semantic_dedup(df, n_cells=4).columns == [
+        "vec_id",
+        "cell",
+        "cluster_id",
+        "is_kept",
+    ]
+
+
+def test_trained_centroids_mode(spark):
+    """centroids= overrides the deterministic quantizer (raw embedding
+    space, scaled internally) — assignment must follow the provided cells."""
+    e0 = [1.0, 0.0, 0.0, 0.0]
+    e1 = [0.0, 1.0, 0.0, 0.0]
+    df = _emb(
+        spark,
+        [(7, [2.0, 0.1, 0.0, 0.0]), (8, [0.1, 2.0, 0.0, 0.0]), (9, [2.0, 0.1, 0.0, 0.0])],
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            df, threshold=0.95, centroids=[(0, e0), (1, e1)]
+        ).collect()
+    }
+    assert out[7].cell == 0 and out[8].cell == 1 and out[9].cell == 0
+    assert out[7].is_kept and not out[9].is_kept and out[8].is_kept

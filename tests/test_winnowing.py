@@ -1,0 +1,110 @@
+"""Winnowing fingerprints: the SIGMOD'03 guarantee on planted copies,
+density/selection invariants, and the stop-fingerprint (max_df) rule."""
+
+import random
+
+from mover_spark.operators.text import (
+    winnowing_fingerprint_set,
+    winnowing_overlap,
+    winnowing_profile,
+)
+
+K, W = 8, 4
+GUARANTEE = K + W - 1  # any shared substring this long must be detected
+
+
+def _df(spark, *texts):
+    return spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+
+def _rand_text(rng, n):
+    return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(n))
+
+
+def test_shared_substring_guarantee(spark):
+    """The winnowing theorem: docs sharing a substring of length
+    >= k + w - 1 share at least one selected fingerprint — regardless of
+    where the copy sits in either document."""
+    rng = random.Random(11)
+    shared = _rand_text(rng, GUARANTEE)
+    docs, expect_pairs = [], []
+    for i in range(5):
+        a = _rand_text(rng, rng.randrange(30, 120)) + shared + _rand_text(
+            rng, rng.randrange(30, 120)
+        )
+        b = shared + _rand_text(rng, rng.randrange(40, 90))
+        docs += [a, b]
+        expect_pairs.append((2 * i, 2 * i + 1))
+    fps = winnowing_fingerprint_set(_df(spark, *docs))
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    for a, b in expect_pairs:
+        assert by_doc[a] & by_doc[b], f"docs {a},{b} share a {GUARANTEE}-char substring"
+
+
+def test_selection_invariants(spark):
+    """Every fingerprint is a real gram hash of its own document, the set is
+    distinct, and density is far below one-per-gram (the 2/(w+1) economy
+    that makes the sketch worth storing)."""
+    rng = random.Random(3)
+    text = _rand_text(rng, 2000)
+    fps = [r.fp for r in winnowing_fingerprint_set(_df(spark, text)).collect()]
+    assert len(fps) == len(set(fps))
+    from mover_spark.util import md5_i64
+    from pyspark.sql import functions as F
+
+    grams = {
+        r.h
+        for r in _df(spark, text)
+        .select(
+            F.posexplode(F.sequence(F.lit(1), F.length("text") - (K - 1))).alias("_i", "pos"),
+            "text",
+        )
+        .select(md5_i64(F.expr(f"substring(text, pos, {K})")).alias("h"))
+        .collect()
+    }
+    assert set(fps) <= grams
+    n_grams = len(text) - K + 1
+    assert len(fps) < 0.6 * n_grams  # w=4 expects ~2/(w+1) = 0.4 density
+
+
+def test_short_docs_yield_nothing(spark):
+    df = _df(spark, "x" * (GUARANTEE - 1), "y" * GUARANTEE)
+    out = winnowing_fingerprint_set(df).groupBy("doc_id").count().collect()
+    ids = {r.doc_id for r in out}
+    assert 0 not in ids and 1 in ids
+
+
+def test_profile_aggregates_match_set(spark):
+    rng = random.Random(5)
+    df = _df(spark, _rand_text(rng, 300), _rand_text(rng, 500))
+    fps = winnowing_fingerprint_set(df).collect()
+    prof = {r.doc_id: r for r in winnowing_profile(df).collect()}
+    for doc in (0, 1):
+        s = [r.fp for r in fps if r.doc_id == doc]
+        assert prof[doc].n_fingerprints == len(s)
+        assert prof[doc].fp_min == min(s)
+        x = 0
+        for v in s:
+            x ^= v
+        assert prof[doc].fp_xor == x
+
+
+def test_overlap_finds_copy_and_caps_boilerplate(spark):
+    """A copied paragraph is reported; a boilerplate string present in EVERY
+    document is excluded by the max_df stop-fingerprint rule."""
+    rng = random.Random(9)
+    boiler = _rand_text(rng, 60)
+    para = _rand_text(rng, 80)
+    texts = [boiler + _rand_text(rng, 150) for _ in range(12)]
+    texts[2] = boiler + para + _rand_text(rng, 80)
+    texts[7] = para + boiler + _rand_text(rng, 90)
+    out = winnowing_overlap(
+        _df(spark, *texts), min_shared=2, max_df=6
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b): r.n_shared for r in out}
+    assert (2, 7) in pairs  # the copied paragraph survives the df cap
+    # boilerplate fps have df=12 > 6, so docs sharing ONLY boilerplate
+    # never pair up
+    assert (0, 1) not in pairs
