@@ -1253,15 +1253,27 @@ def semantic_dedup(
     same ANSI-division guard as every cosine path here).
 
     Scale shape: cell assignment is a narrow Arrow-vectorized map (one
-    int64 matmul per batch, no shuffle); the pair stage shuffles on cell
-    only, and per-cell work is an equi-self-join — no all-pairs explode
-    ever materializes. Component labels come from dedup.connected_components
+    int64 matmul per batch, no shuffle); the pair stage shuffles on
+    (cell, block) only and scores each within-cell tile as ONE int64 BLAS
+    matmul inside mapInPandas — the same tile discipline (and the same
+    bit-exactness argument: exact integer dots, one IEEE division, half-up
+    round applied JVM-side) as dedup.embedding_cosine_pairs, except tiles
+    never cross cells, which is where the n^2 -> n^2/c saving lives. A
+    per-pair expression join was measured >17x slower at 200k vectors /
+    16 cells: the kernel verified 11.5M pairs in 34 s where the
+    interpreted per-pair fold had not finished at 590 s (sf10 A/B,
+    BASELINE.md round-10 second session). Component labels come from
+    dedup.connected_components
     (near-dup components are tiny cliques; rounds = diameter)."""
+    import numpy as np
+    import pandas as pd
+
     from .dedup import connected_components, qdot
 
     c = corpus.select(F.col(id_col).alias("vid"), quantized_vec(vec_col).alias("qv"))
+    n_corpus = corpus.count()
     if n_cells is None:
-        n_cells, _ = auto_ivf_params(corpus.count())
+        n_cells, _ = auto_ivf_params(n_corpus)
     if centroids is not None:
         cents = [(cid, [x * 1000.0 for x in v]) for cid, v in centroids]
     else:
@@ -1278,22 +1290,65 @@ def semantic_dedup(
         )
     assigned = base.withColumn("cell", _ranked_cells_udf(cents)(F.col("qv"))[0])
 
-    left = assigned.select(
-        "cell", F.col("vid").alias("va"), F.col("qv").alias("qa"), F.col("norm").alias("na")
-    )
-    right = assigned.select(
-        "cell", F.col("vid").alias("vb"), F.col("qv").alias("qb"), F.col("norm").alias("nb")
-    )
-    pairs = (
-        left.join(right, on=["cell"])
-        .where(F.col("va") < F.col("vb"))
-        .where(
-            F.round(
-                qdot(F.col("qa"), F.col("qb")).cast("double") / (F.col("na") * F.col("nb")),
-                6,
-            )
-            >= threshold
+    # blocks keep a tile's flattened int64 payload ~4k vectors even when a
+    # cell is much larger (deterministic small-cell quantizers); trained
+    # sqrt(n) cells make this 1 block per cell — tiles == cells
+    n_blocks = max(1, -(-(n_corpus // max(len(cents), 1)) // 4096))
+    g = (
+        assigned.withColumn("blk", F.pmod(F.col("vid"), F.lit(n_blocks)).cast("int"))
+        .groupBy("cell", "blk")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col("vid"), F.col("qv")))).alias("vs"))
+        .select(
+            "cell",
+            "blk",
+            F.transform("vs", lambda x: x["vid"]).alias("ids"),
+            F.flatten(F.transform("vs", lambda x: x["qv"])).alias("flat"),
         )
+    )
+    a = g.select(
+        F.col("cell"), F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+        F.col("flat").alias("flat_a"),
+    )
+    b = g.select(
+        F.col("cell"), F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
+        F.col("flat").alias("flat_b"),
+    )
+    tiles = a.join(b, on="cell").where(F.col("blk_a") <= F.col("blk_b"))
+    lo = threshold - 1e-6  # keep anything that could half-up-round to >= t
+
+    def score_tiles(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                ia = np.asarray(r["ids_a"], dtype=np.int64)
+                ib = np.asarray(r["ids_b"], dtype=np.int64)
+                if not len(ia) or not len(ib):
+                    continue
+                A = np.asarray(r["flat_a"], dtype=np.int64).reshape(len(ia), -1)
+                B = np.asarray(r["flat_b"], dtype=np.int64).reshape(len(ib), -1)
+                na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+                nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+                cos = (A @ B.T).astype(np.float64) / (na[:, None] * nb[None, :])
+                # diagonal tile sees each unordered pair twice: keep the
+                # strict upper triangle; off-diagonal tiles see it once in
+                # either orientation (cosine is symmetric)
+                if r["blk_a"] == r["blk_b"]:
+                    keep = (cos >= lo) & (ia[:, None] < ib[None, :])
+                else:
+                    keep = (cos >= lo) & (ia[:, None] != ib[None, :])
+                i, j = np.nonzero(keep)
+                if len(i):
+                    va, vb = ia[i], ib[j]
+                    yield pd.DataFrame(
+                        {
+                            "va": np.minimum(va, vb),
+                            "vb": np.maximum(va, vb),
+                            "cosine": cos[i, j],
+                        }
+                    )
+
+    pairs = (
+        tiles.mapInPandas(score_tiles, "va long, vb long, cosine double")
+        .where(F.round("cosine", 6) >= threshold)
         .select("va", "vb")
     )
     clusters = connected_components(pairs)
