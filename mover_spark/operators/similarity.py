@@ -1271,13 +1271,16 @@ def semantic_dedup(
     from .dedup import connected_components, qdot
 
     c = corpus.select(F.col(id_col).alias("vid"), quantized_vec(vec_col).alias("qv"))
-    n_corpus = corpus.count()
     if n_cells is None:
-        n_cells, _ = auto_ivf_params(n_corpus)
+        n_cells, _ = auto_ivf_params(corpus.count())
     if centroids is not None:
         cents = [(cid, [x * 1000.0 for x in v]) for cid, v in centroids]
     else:
         cents = [(r.vid, r.qv) for r in c.orderBy("vid").limit(n_cells).collect()]
+    if threshold > 1.0:
+        # no cosine rounds above 1.0, so nothing would ever pair — and the
+        # exact-dup collapse below would wrongly merge identical vectors
+        raise ValueError(f"semantic_dedup threshold must be <= 1.0, got {threshold}")
     base = c.withColumn(
         "norm", F.sqrt(qdot(F.col("qv"), F.col("qv")).cast("double"))
     ).where(F.col("norm") > 0)
@@ -1288,14 +1291,36 @@ def semantic_dedup(
             F.col("vid").alias("cluster_id"),
             F.lit(True).alias("is_kept"),
         )
-    assigned = base.withColumn("cell", _ranked_cells_udf(cents)(F.col("qv"))[0])
+    # EXACT-DUPLICATE COLLAPSE (the dup-mass lever containment_lsh uses):
+    # identical quantized vectors have cosine exactly 1.0 after the 6-dp
+    # round, so for any threshold <= 1 every member of a distinct-qv group
+    # lands in its representative's component unconditionally. Pair + CC
+    # work therefore runs over ONE min-id representative per distinct qv
+    # and membership re-expands afterwards — output-identical by
+    # construction, and on dup-heavy corpora it removes the quadratic
+    # in-clump pair mass (sf100 fixture: 2M vectors -> ~14k reps; the
+    # uncollapsed pair stage was ~1e9 rows and took >30 min).
+    reps = base.groupBy("qv").agg(
+        F.min("vid").alias("vid"), F.first("norm").alias("norm")
+    )
+    members = base.select("vid", "qv").join(
+        reps.select(F.col("vid").alias("rep"), "qv"), on="qv"
+    ).select("vid", "rep")
+    assigned = reps.withColumn("cell", _ranked_cells_udf(cents)(F.col("qv"))[0])
 
-    # blocks keep a tile's flattened int64 payload ~4k vectors even when a
-    # cell is much larger (deterministic small-cell quantizers); trained
-    # sqrt(n) cells make this 1 block per cell — tiles == cells
-    n_blocks = max(1, -(-(n_corpus // max(len(cents), 1)) // 4096))
+    # blocks keep a tile's flattened int64 payload ~4k vectors PER CELL,
+    # from each cell's ACTUAL size: sizing off the average cell OOM'd the
+    # sf100 decade run (trained cells on clumped data are skewed — a hot
+    # cell's collect_list row blew the aggregation buffer), so the block
+    # count is joined in per cell (broadcast: one tiny row per cell).
+    # Balanced sqrt(n) cells still get 1 block — tiles == cells.
+    sizes = assigned.groupBy("cell").agg(
+        F.ceil(F.count(F.lit(1)) / 4096).cast("int").alias("__nb")
+    )
     g = (
-        assigned.withColumn("blk", F.pmod(F.col("vid"), F.lit(n_blocks)).cast("int"))
+        assigned.join(F.broadcast(sizes), on="cell")
+        .withColumn("blk", F.pmod(F.col("vid"), F.greatest(F.col("__nb"), F.lit(1))).cast("int"))
+        .drop("__nb")
         .groupBy("cell", "blk")
         .agg(F.sort_array(F.collect_list(F.struct(F.col("vid"), F.col("qv")))).alias("vs"))
         .select(
@@ -1352,17 +1377,23 @@ def semantic_dedup(
         .select("va", "vb")
     )
     clusters = connected_components(pairs)
+    # re-expand: a member inherits its representative's cell and component
+    # (the rep IS the group minimum, so the component minimum over reps is
+    # the component minimum over all members)
+    rep_out = assigned.join(
+        clusters.withColumnRenamed("node", "vid"), on="vid", how="left"
+    ).select(
+        F.col("vid").alias("rep"),
+        F.col("cell").cast("long").alias("cell"),
+        F.coalesce(F.col("cluster_id"), F.col("vid")).alias("cluster_id"),
+    )
     return (
-        assigned.join(
-            clusters.withColumnRenamed("node", "vid"), on="vid", how="left"
-        )
+        members.join(rep_out, on="rep")
         .select(
             F.col("vid").alias(id_col),
-            F.col("cell").cast("long").alias("cell"),
-            F.coalesce(F.col("cluster_id"), F.col("vid")).alias("cluster_id"),
-            (F.coalesce(F.col("cluster_id"), F.col("vid")) == F.col("vid")).alias(
-                "is_kept"
-            ),
+            "cell",
+            "cluster_id",
+            (F.col("cluster_id") == F.col("vid")).alias("is_kept"),
         )
         .orderBy(id_col)
     )
