@@ -119,3 +119,36 @@ def test_report_shape_and_order(spark):
     )
     assert out.columns == ["check_name", "table_name", "violations", "n_rows", "passed"]
     assert [r.check_name for r in out.collect()] == ["a_check", "z_check"]
+
+
+def test_row_checks_share_one_scan(spark):
+    """The scale contract: N row checks on a table fold into ONE pass —
+    the physical plan must contain exactly one scan of the input."""
+    df = spark.range(100).selectExpr("id", "id % 7 AS v").cache()
+    try:
+        rep = data_quality_report(
+            {"t": df},
+            [
+                not_null("c1", "t", "v"),
+                in_range("c2", "t", "v", 0, 5),
+                satisfies("c3", "t", F.col("id") >= 0),
+            ],
+        )
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") == 1, plan
+    finally:
+        df.unpersist()
+
+
+def test_fk_parent_is_broadcast(spark):
+    """A small FK parent must reach the child join as a broadcast, not a
+    shuffle — the referential check's cost has to stay one pass over the
+    child at corpus scale."""
+    child = spark.range(1000).selectExpr("id", "id % 50 AS pid")
+    parent = spark.range(50).selectExpr("id AS k")
+    rep = data_quality_report(
+        {"c": child, "p": parent}, [foreign_key("fk", "c", "pid", "p", "k")]
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert rep.collect()[0].violations == 0
