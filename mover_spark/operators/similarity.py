@@ -1270,17 +1270,19 @@ def semantic_dedup(
 
     from .dedup import connected_components, qdot
 
-    c = corpus.select(F.col(id_col).alias("vid"), quantized_vec(vec_col).alias("qv"))
-    if n_cells is None:
-        n_cells, _ = auto_ivf_params(corpus.count())
-    if centroids is not None:
-        cents = [(cid, [x * 1000.0 for x in v]) for cid, v in centroids]
-    else:
-        cents = [(r.vid, r.qv) for r in c.orderBy("vid").limit(n_cells).collect()]
     if threshold > 1.0:
         # no cosine rounds above 1.0, so nothing would ever pair — and the
-        # exact-dup collapse below would wrongly merge identical vectors
+        # exact-dup collapse below would wrongly merge identical vectors.
+        # Validated before any Spark job so a misconfigured call fails fast.
         raise ValueError(f"semantic_dedup threshold must be <= 1.0, got {threshold}")
+    c = corpus.select(F.col(id_col).alias("vid"), quantized_vec(vec_col).alias("qv"))
+    if centroids is not None:
+        # explicit centroids carry their own cell count — no auto-sizing job
+        cents = [(cid, [x * 1000.0 for x in v]) for cid, v in centroids]
+    else:
+        if n_cells is None:
+            n_cells, _ = auto_ivf_params(corpus.count())
+        cents = [(r.vid, r.qv) for r in c.orderBy("vid").limit(n_cells).collect()]
     base = c.withColumn(
         "norm", F.sqrt(qdot(F.col("qv"), F.col("qv")).cast("double"))
     ).where(F.col("norm") > 0)

@@ -119,6 +119,8 @@ def data_quality_report(tables: dict[str, DataFrame], checks: list[Check]) -> Da
     """Evaluate ``checks`` against ``tables`` and return one row per check:
     (check_name, table_name, violations, n_rows, passed), ordered by
     check_name. All row checks on a table share a single scan."""
+    if not checks:
+        raise ValueError("data_quality_report: no checks given")
     by_table: dict[str, list[Check]] = {}
     parts: list[DataFrame] = []
     for c in checks:
@@ -171,7 +173,12 @@ def data_quality_report(tables: dict[str, DataFrame], checks: list[Check]) -> Da
         )
         # unpivot the one agg row into one report row per check (stack is
         # codegen'd; the scan above is the only pass over the table)
-        stack_args = ", ".join(f"'{c.name}', __v{i}" for i, c in enumerate(tchecks))
+        # check names are interpolated into SQL — escape quotes so a name
+        # containing ' can't break the generated stack() (or inject)
+        stack_args = ", ".join(
+            "'{}', __v{}".format(c.name.replace("'", "''"), i)
+            for i, c in enumerate(tchecks)
+        )
         rows = agg.select(
             F.expr(f"stack({len(tchecks)}, {stack_args}) AS (check_name, violations)"),
             "n_rows",

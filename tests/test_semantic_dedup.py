@@ -118,3 +118,32 @@ def test_planted_cluster_recall_with_trained_cells(spark):
     assert len(kept) <= 24, kept
     # and distinct base groups must never merge (they are far apart)
     assert len({k // 100 for k in kept}) == 12
+
+
+def test_threshold_validation_precedes_any_job(spark):
+    """A >1.0 threshold must fail fast — before the centroid collect/count
+    jobs (ADVICE round 10). An unresolvable column proves no job ran: if
+    semantic_dedup triggered Spark work first, the error would be Spark's
+    analysis/IndexError, not our ValueError."""
+    import pytest
+
+    bogus = spark.range(1).selectExpr("id AS vec_id", "array(id) AS embedding")
+    with pytest.raises(ValueError, match="threshold must be <= 1.0"):
+        semantic_dedup(bogus, threshold=1.5, n_cells=None)
+
+
+def test_explicit_centroids_skip_auto_sizing_count(spark, monkeypatch):
+    """centroids= with n_cells=None must NOT run the corpus.count() auto-
+    sizing path (ADVICE round 10): auto_ivf_params raising proves it is
+    never reached when explicit centroids are supplied."""
+    from mover_spark.operators import similarity as sim
+
+    def _boom(n):  # pragma: no cover - called only on regression
+        raise AssertionError("auto_ivf_params must not run with explicit centroids")
+
+    monkeypatch.setattr(sim, "auto_ivf_params", _boom)
+    df = _emb(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0])])
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    plan = sim.semantic_dedup(df, threshold=0.9, n_cells=None, centroids=cents)
+    out = {r.vec_id: r for r in plan.collect()}
+    assert out[0].is_kept and not out[2].is_kept and out[2].cluster_id == 0

@@ -152,3 +152,18 @@ def test_fk_parent_is_broadcast(spark):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert rep.collect()[0].violations == 0
+
+
+def test_empty_checks_list_is_a_clear_error(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="no checks given"):
+        data_quality_report({"t": df}, [])
+
+
+def test_quoted_check_name_survives_stack_sql(spark):
+    """Row-check names are interpolated into stack() SQL — a single quote in
+    the name must round-trip, not break the generated query."""
+    df = spark.createDataFrame([(1,), (None,)], "id long")
+    rep = _report({"t": df}, [not_null("bob's check", "t", "id")])
+    assert rep["bob's check"].violations == 1
+    assert rep["bob's check"].n_rows == 2
