@@ -699,7 +699,11 @@ def _containment_signatures(
 
 
 def _deep_containment_candidates(
-    reps_sl: DataFrame, threshold: float, k_floor: int
+    reps_sl: DataFrame,
+    threshold: float,
+    k_floor: int,
+    inner_ok: DataFrame | None = None,
+    outer_ok: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT candidate generation for the deep-asymmetry stratum
     (slice_b - slice_a > k_floor) — the asymmetric prefix filter of
@@ -725,20 +729,36 @@ def _deep_containment_candidates(
     - the q-gram multi-match gate below then collapses background
       shared-token rows, and candidates verify exactly downstream.
 
-    reps_sl: (doc, hs, n, slice) representatives. Lossless for its
-    stratum — the overall operator's recall loss is confined to the
-    banded shallow classes' per-class <= max_miss."""
-    bounds = reps_sl.agg(
-        F.min("slice").alias("lo"), F.max("slice").alias("hi")
-    ).collect()[0]
-    if bounds.lo is None or bounds.hi - bounds.lo <= k_floor:
+    reps_sl: (doc, hs, n, slice) representatives. ``inner_ok`` /
+    ``outer_ok`` (optional single-column (doc) frames) restrict each join
+    side to pair-eligible docs — see containment_lsh's prune_unique for
+    the exactness argument; the stratum bounds then come from the
+    ELIGIBLE sides (an ineligible extreme doc cannot form a deep pair, so
+    shrinking the window is lossless). Lossless for its stratum — the
+    overall operator's recall loss is confined to the banded shallow
+    classes' per-class <= max_miss."""
+    a_reps = (
+        reps_sl.join(inner_ok, "doc", "left_semi") if inner_ok is not None else reps_sl
+    )
+    b_reps = (
+        reps_sl.join(outer_ok, "doc", "left_semi") if outer_ok is not None else reps_sl
+    )
+    if inner_ok is None and outer_ok is None:
+        row = reps_sl.agg(
+            F.min("slice").alias("lo"), F.max("slice").alias("hi")
+        ).collect()[0]
+        lo_v, hi_v = row.lo, row.hi
+    else:
+        lo_v = a_reps.agg(F.min("slice")).collect()[0][0]
+        hi_v = b_reps.agg(F.max("slice")).collect()[0][0]
+    if lo_v is None or hi_v is None or hi_v - lo_v <= k_floor:
         # no pair of slices spans the deep stratum — empty, typed off the
         # input so any id type unions cleanly with the banded candidates
         return reps_sl.select(
             F.col("doc").alias("doc_inner"), F.col("doc").alias("doc_outer")
         ).limit(0)
-    hi = int(bounds.hi)
-    lo = int(bounds.lo)
+    hi = int(hi_v)
+    lo = int(lo_v)
     # global token order = ascending shingle hash (array_sort, zero
     # shuffles). Prefix/positional filtering only needs SOME consistent
     # total order on both sides; the classic rare-first order buys a
@@ -747,7 +767,10 @@ def _deep_containment_candidates(
     # multi-match gate below carrying the background-selectivity load,
     # hash order keeps the join volume acceptable and the plan 3 stages
     # shorter.
-    sorted_docs = reps_sl.select(
+    sorted_a = a_reps.select(
+        "doc", "n", "slice", F.array_sort("hs").alias("sorted_sh")
+    )
+    sorted_b = b_reps.select(
         "doc", "n", "slice", F.array_sort("hs").alias("sorted_sh")
     )
 
@@ -779,7 +802,7 @@ def _deep_containment_candidates(
     # unchanged and the candidate set is row-identical (equality over the
     # emitted predicate set).
     a = (
-        sorted_docs.where(F.col("slice") <= F.lit(hi - k_floor - 1))
+        sorted_a.where(F.col("slice") <= F.lit(hi - k_floor - 1))
         .withColumn(
             "prefix",
             F.slice(
@@ -803,7 +826,7 @@ def _deep_containment_candidates(
         )
     )
     b = (
-        sorted_docs.where(F.col("slice") >= F.lit(lo + k_floor + 1))
+        sorted_b.where(F.col("slice") >= F.lit(lo + k_floor + 1))
         .select("doc", "n", "slice", F.posexplode("sorted_sh").alias("pos", "tok"))
         .select(
             F.col("doc").alias("doc_outer"),
@@ -844,6 +867,7 @@ def containment_lsh(
     id_col: str = "doc_id",
     slice_base: float = 2.0 ** 0.5,
     max_miss: float = 5e-3,
+    prune_unique: bool = False,
 ) -> DataFrame:
     """Sub-quadratic twin of containment_pairs: LSH-Ensemble banded
     candidates over a DEDICATED 256-perm signature for bounded size
@@ -922,6 +946,50 @@ def containment_lsh(
     )
     k_band = max(k for _, ks in schemes.values() for k in ks)
 
+    # PAIR-FREE df>=2 PRUNING (round-11, the lever round 10 proved exact
+    # but could only reject as vacuous on the 30-word-vocabulary fixture):
+    # a shingle appearing in exactly ONE distinct shingle set (rep-level
+    # document frequency 1) contributes nothing to ANY cross-rep
+    # intersection, so
+    #   max_B containment(A, B) = max_B |A n B| / |A| <= shared_n(A)/|A|
+    # where shared_n counts A's shingles with df >= 2. A rep with
+    # shared_n < ceil(t*n_a) can never be the INNER doc of a verified
+    # pair, and a rep with shared_n = 0 can never be the OUTER doc of one
+    # (t > 0 forces |A n B| >= 1) — both prunes are therefore EXACT: the
+    # output is row-identical with pruning on or off, only the band
+    # explode / deep-arm volume changes. Cost is one shingle-keyed
+    # df aggregate + one doc-keyed count (two corpus-sized shuffles of
+    # 16-byte rows); the savings are the pruned docs' (n_bands x fan)
+    # band rows and deep prefixes. On a realistic unique-heavy vocabulary
+    # most documents prune; on the 30-word fixture nothing does and the
+    # df pass is pure overhead — hence a flag, benched both ways on both
+    # corpora (BASELINE.md round 11). Intra-dup pairs are unaffected
+    # (they are emitted from the member map, not the candidate stages).
+    inner_ok = outer_ok = None
+    if prune_unique and threshold > 0:
+        toks = reps.select("doc", F.explode("hs").alias("tok"))
+        df2 = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") >= 2)
+            .select("tok")
+        )
+        shared_n = (
+            toks.join(df2, "tok")
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("__shared"))
+            .persist()
+        )
+        outer_ok = shared_n.select("doc")
+        inner_ok = (
+            shared_n.join(reps.select("doc", F.size("hs").alias("__n")), "doc")
+            .where(
+                F.col("__shared")
+                >= F.ceil(F.col("__n") * F.lit(threshold) - F.lit(1e-9))
+            )
+            .select("doc")
+        )
+
     # ONE band-row relation for all schemes, one join: scheme r's band b
     # gets the global band index offset_r + b (buckets from different
     # schemes can never collide on key). The ratio class is part of the
@@ -990,10 +1058,12 @@ def containment_lsh(
             ]
         )
         offset += n_bands
-        a_rows = sig.select(
+        a_sig = sig if inner_ok is None else sig.join(inner_ok, "doc", "left_semi")
+        b_sig = sig if outer_ok is None else sig.join(outer_ok, "doc", "left_semi")
+        a_rows = a_sig.select(
             F.col("doc").alias("doc_inner"), F.explode(a_keys).alias("key")
         )
-        b_rows = sig.select(
+        b_rows = b_sig.select(
             F.col("doc").alias("doc_outer"), F.explode(b_keys).alias("key")
         )
         part = (
@@ -1023,7 +1093,9 @@ def containment_lsh(
     )
 
     reps_sl = reps.join(sig.select("doc", "n", "slice"), "doc")
-    deep = _deep_containment_candidates(reps_sl, threshold, k_band)
+    deep = _deep_containment_candidates(
+        reps_sl, threshold, k_band, inner_ok=inner_ok, outer_ok=outer_ok
+    )
     candidates = cands.unionByName(deep).distinct()
 
     sha = reps.select(F.col("doc").alias("doc_inner"), F.col("hs").alias("hs_a"))

@@ -772,3 +772,68 @@ def test_contain_band_boundary_derived_from_cost_model(spark):
         assert contain_band_boundary(t) == 0, t
     # tiny pools can't cap-band anything: the floor keeps class 0
     assert contain_band_boundary(0.95, n_hash=16) == 0
+
+
+def test_containment_lsh_prune_unique_is_exact(spark, catalog):
+    """Round-11 pair-free df>=2 pruning: output must be row-identical with
+    pruning on and off, on a corpus where the prune actually fires (the
+    unique-shingle noise docs have no df>=2 shingles at all) AND across a
+    boundary pair whose inner doc has shared_n == ceil(t*n) exactly —
+    one fewer shared shingle and the pair itself would be sub-threshold."""
+    from mover_spark.operators.dedup import (
+        clear_dedup_caches,
+        containment_lsh,
+        containment_pairs,
+    )
+
+    # A: 21 words -> 20 shingles; B shares exactly 19 of them (drops the
+    # final "w19 w20" bigram) -> containment(A,B) = 19/20 = 0.95, right ON
+    # the threshold; A's last shingle is df=1, so shared_n(A) = 19 =
+    # ceil(0.95 * 20) — the prune keeps A by exactly one shingle.
+    a_text = " ".join(f"w{i}" for i in range(21))
+    b_text = " ".join(f"w{i}" for i in range(20)) + " " + " ".join(
+        f"b{i}" for i in range(10)
+    )
+    quote = " ".join(f"q{i}" for i in range(25))
+    four_x = quote + " " + " ".join(f"f{i}" for i in range(72))
+    noise = [(200 + i, " ".join(f"u{i}_{j}" for j in range(30))) for i in range(40)]
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, quote), (4, four_x)] + noise,
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.doc_inner, r.doc_outer, r.containment)
+        for r in containment_pairs(df, 0.95).collect()
+    }
+    assert (1, 2, 0.95) in exact and (3, 4, 1.0) in exact, exact
+    plain = {
+        (r.doc_inner, r.doc_outer, r.containment)
+        for r in containment_lsh(df, 0.95).collect()
+    }
+    clear_dedup_caches()
+    pruned = {
+        (r.doc_inner, r.doc_outer, r.containment)
+        for r in containment_lsh(df, 0.95, prune_unique=True).collect()
+    }
+    assert plain == exact
+    assert pruned == exact
+    clear_dedup_caches()
+
+
+def test_containment_lsh_prune_unique_keeps_dup_mass(spark):
+    """Exact-duplicate clusters bypass the candidate stages entirely, so
+    pruning must leave intra-cluster pairs intact even when the cluster's
+    shingles are unique corpus-wide (rep-level df is 1: the identical
+    copies collapse to ONE rep before df counting)."""
+    from mover_spark.operators.dedup import clear_dedup_caches, containment_lsh
+
+    dups = [(10 + i, "solo unique content never shared elsewhere") for i in range(4)]
+    other = [(50, " ".join(f"z{j}" for j in range(12)))]
+    df = spark.createDataFrame(dups + other, "doc_id long, text string")
+    got = {
+        (r.doc_inner, r.doc_outer): r.containment
+        for r in containment_lsh(df, 0.9, prune_unique=True).collect()
+    }
+    assert len(got) == 12  # 4*3 ordered intra pairs
+    assert all(v == 1.0 for v in got.values())
+    clear_dedup_caches()

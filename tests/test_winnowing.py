@@ -108,3 +108,55 @@ def test_overlap_finds_copy_and_caps_boilerplate(spark):
     # boilerplate fps have df=12 > 6, so docs sharing ONLY boilerplate
     # never pair up
     assert (0, 1) not in pairs
+
+
+def test_xxhash64_arm_keeps_the_guarantee(spark):
+    """The production hash arm (hash_fn='xxhash64', VERDICT r10 perf-weak
+    #1) must preserve the winnowing theorem: planted >= k+w-1 copies still
+    share a selected fingerprint, selection stays distinct and sparse, and
+    the overlap report still finds the planted pair."""
+    rng = random.Random(17)
+    shared = _rand_text(rng, GUARANTEE * 3)
+    a = _rand_text(rng, 80) + shared + _rand_text(rng, 60)
+    b = shared + _rand_text(rng, 100)
+    c = _rand_text(rng, 300)
+    df = _df(spark, a, b, c)
+
+    fps = winnowing_fingerprint_set(df, hash_fn="xxhash64")
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1], "planted copy must share a fingerprint"
+    # density economy holds on the alternate hash too
+    assert len(by_doc[2]) < 0.6 * (300 - K + 1)
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in winnowing_overlap(df, min_shared=2, hash_fn="xxhash64").collect()
+    }
+    assert (0, 1) in pairs
+
+    prof = {r.doc_id: r for r in winnowing_profile(df, hash_fn="xxhash64").collect()}
+    assert prof[0].n_fingerprints == len(by_doc[0])
+    assert prof[0].fp_min == min(by_doc[0])
+
+
+def test_bad_hash_fn_rejected(spark):
+    import pytest
+
+    df = _df(spark, "some document long enough to fingerprint here")
+    with pytest.raises(ValueError, match="hash_fn"):
+        winnowing_profile(df, hash_fn="sha1").collect()
+
+
+def test_md5_arm_output_unchanged_by_hash_param(spark):
+    """Adding hash_fn must not move the default (oracle) surface: the
+    md5-arm fingerprint set is identical with and without the parameter."""
+    rng = random.Random(23)
+    df = _df(spark, _rand_text(rng, 400), _rand_text(rng, 250))
+    base = {(r.doc_id, r.fp) for r in winnowing_fingerprint_set(df).collect()}
+    expl = {
+        (r.doc_id, r.fp)
+        for r in winnowing_fingerprint_set(df, hash_fn="md5").collect()
+    }
+    assert base == expl and base
