@@ -974,21 +974,37 @@ def containment_lsh(
             .where(F.col("__df") >= 2)
             .select("tok")
         )
-        shared_n = (
-            toks.join(df2, "tok")
-            .groupBy("doc")
-            .agg(F.count(F.lit(1)).alias("__shared"))
-            .persist()
+        shared_n = toks.join(df2, "tok").groupBy("doc").agg(
+            F.count(F.lit(1)).alias("__shared")
         )
-        outer_ok = shared_n.select("doc")
-        inner_ok = (
+        # one df pass, materialized once: the filters are consumed by both
+        # band schemes and the deep arm (5+ scans), and a lazy form would
+        # re-run the corpus-sized explode per consumer. localCheckpoint
+        # (eager) also truncates lineage so the semi-joins below plan
+        # against a leaf, not the whole df pipeline.
+        both = (
             shared_n.join(reps.select("doc", F.size("hs").alias("__n")), "doc")
-            .where(
-                F.col("__shared")
-                >= F.ceil(F.col("__n") * F.lit(threshold) - F.lit(1e-9))
+            .select(
+                "doc",
+                (
+                    F.col("__shared")
+                    >= F.ceil(F.col("__n") * F.lit(threshold) - F.lit(1e-9))
+                ).alias("__inner"),
             )
-            .select("doc")
+            .localCheckpoint(eager=True)
         )
+        n_reps = reps.count()
+        n_outer = both.count()
+        n_inner = both.where("__inner").count()
+        # ADAPTIVE VACUITY DROP: a filter that keeps (almost) everything
+        # buys nothing and still costs one semi-join shuffle per consumer
+        # — on the 30-word standard fixture BOTH filters keep ~100% and
+        # the whole lever reduces to the df pass. Only wire in a side
+        # whose prune rate is real.
+        if n_inner < 0.95 * n_reps:
+            inner_ok = both.where("__inner").select("doc")
+        if n_outer < 0.95 * n_reps:
+            outer_ok = both.select("doc")
 
     # ONE band-row relation for all schemes, one join: scheme r's band b
     # gets the global band index offset_r + b (buckets from different

@@ -353,15 +353,28 @@ def image_features(media: DataFrame) -> DataFrame:
                 # content is nullable: every arm guards the same way; one
                 # NULL row must not kill the whole job
                 content = r["content"] or b""
+                decoder = None
                 if have_pil:
-                    import io
+                    # the PIL arm obeys the same degrade contract as the
+                    # stdlib arms: undecodable bytes (opaque blobs in a
+                    # mixed corpus) fall THROUGH to the stdlib/fake chain
+                    # instead of killing the job
+                    try:
+                        import io
 
-                    from PIL import Image
+                        from PIL import Image
 
-                    img = Image.open(io.BytesIO(content))
-                    w, h = img.size
-                    luma = float(pd.Series(img.convert("L").getdata()).mean()) / 255.0
-                    decoder = "pil"
+                        img = Image.open(io.BytesIO(content))
+                        w, h = img.size
+                        luma = (
+                            float(pd.Series(img.convert("L").getdata()).mean())
+                            / 255.0
+                        )
+                        decoder = "pil"
+                    except Exception:
+                        decoder = None
+                if decoder is not None:
+                    pass
                 elif content.startswith(PNG_MAGIC):
                     # a real-but-unsupported PNG (palette/16-bit/interlaced,
                     # truncated IDAT) must degrade to the fake arm like any

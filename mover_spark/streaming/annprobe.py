@@ -88,6 +88,8 @@ def ann_probe_stream(
     refine: int = 4,
     n_probe: int | None = None,
     per_query_cells: bool = False,
+    recall_sample: int = 0,
+    recall_floor: float = 0.8,
 ):
     """Drain the embedding stream with availableNow, answering each
     micro-batch's vectors from the persisted ANN index and writing
@@ -103,8 +105,25 @@ def ann_probe_stream(
     (435 cells, 32 batches: ~14 s/batch of pure re-read). At 100-TB
     scale the pinned relation is the codes columns only (~tens of bytes
     per vector), spilling to local disk under MEMORY_AND_DISK if the
-    executors can't hold it."""
+    executors can't hold it.
+
+    RECALL MONITOR (``recall_sample`` > 0, pruned arms only): the pruned
+    probe's win region costs recall on adversarial geometries (round-10
+    bench: 0.50-0.75 at small probe fractions), and production needs
+    that measured per drain, not assumed. For each micro-batch, the
+    ``recall_sample`` lowest-id queries (deterministic, no RNG) are ALSO
+    answered exactly against the pinned index's own stored quantized
+    vectors (the same reference ranking ann_drift_probe uses), and one
+    observation row (batch_id, n_queries, k, recall, flagged) lands under
+    ``out_dir/_recall/batch=<batch_id>`` — underscore-prefixed, so result
+    readers never see it; read it back with read_probe_recall. Cost is
+    one codes scan for recall_sample queries per batch — the price of a
+    small exact batch, bounded by the sample, not the stream. ``flagged``
+    mirrors the drift history's contract: recall below ``recall_floor``
+    marks the batch for operator attention (widen n_probe / rebuild
+    cells), it does not fail the stream."""
     from mover_spark.operators.similarity import (
+        _brute_force_topk_qc,
         pq_topk_from_loaded,
         read_ann_index,
     )
@@ -112,6 +131,7 @@ def ann_probe_stream(
     loaded = read_ann_index(stream_emb.sparkSession, index_path)
     codes = loaded[0].persist()
     loaded = (codes, *loaded[1:])
+    spark = stream_emb.sparkSession
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -124,7 +144,48 @@ def ann_probe_stream(
             n_probe=n_probe,
             per_query_cells=per_query_cells,
         )
+        if n_probe is not None and recall_sample > 0:
+            out = out.persist()  # consumed by the sink AND the monitor
         out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        if n_probe is None or recall_sample <= 0:
+            return
+        try:
+            sample = batch_df.orderBy("vec_id").limit(recall_sample)
+            exact = _brute_force_topk_qc(
+                codes.select("neighbor_id", F.col("qv").alias("qc")),
+                sample,
+                k=k,
+            )
+            hits = (
+                out.join(
+                    sample.select(F.col("vec_id").alias("query_id")),
+                    "query_id",
+                    "left_semi",
+                )
+                .join(
+                    exact.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"],
+                    "left_semi",
+                )
+                .count()
+            )
+            total = exact.count()
+            recall = (hits / total) if total else 1.0
+            spark.createDataFrame(
+                [
+                    (
+                        int(total / k) if k else 0,
+                        int(k),
+                        float(recall),
+                        bool(recall < recall_floor),
+                    )
+                ],
+                "n_queries int, k int, recall double, flagged boolean",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{out_dir}/_recall/batch={batch_id}"
+            )
+        finally:
+            out.unpersist()
 
     q = (
         stream_emb.writeStream.foreachBatch(probe_batch)
@@ -218,4 +279,16 @@ def ann_probe_parity(
     # result contract — drop it after partition discovery
     return (
         spark.read.parquet(out_dir).drop("batch").orderBy("query_id", "rank")
+    )
+
+
+def read_probe_recall(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The per-batch recall history written by ann_probe_stream's monitor
+    (batch, n_queries, k, recall, flagged), oldest batch first. Lives
+    under ``out_dir/_recall`` — an underscore path, invisible to readers
+    of the result parquet."""
+    return (
+        spark.read.option("basePath", f"{out_dir}/_recall")
+        .parquet(f"{out_dir}/_recall")
+        .orderBy("batch")
     )

@@ -435,3 +435,59 @@ def test_rocksdb_threshold_adapts_to_heap(spark, monkeypatch):
     assert int(1.7 * (1 << 30)) > thresh, "the measured-fatal sf100 session input must go to RocksDB"
     monkeypatch.setenv("MOVER_SPARK_ROCKSDB_BYTES", "123")
     assert _rocksdb_threshold_bytes(spark) == 123
+
+
+def test_streaming_ann_probe_recall_monitor(spark, tmp_path):
+    """Round-11 recall monitor: a pruned drain (n_probe=1) over a PLANTED
+    adversarial geometry — every query's true neighbors live in the cell
+    the probe does NOT visit — must write a flagged low-recall observation
+    under out_dir/_recall, while a full-probe drain over the same data
+    records recall 1.0 unflagged. The monitor rows are underscore-pathed,
+    so the result parquet stays clean."""
+    from mover_spark.operators.similarity import write_ann_index
+    from mover_spark.streaming.annprobe import ann_probe_stream, read_probe_recall
+
+    dim = 4
+    # cell 0 holds the true neighbors (close to every query); cell 1 holds
+    # junk. Queries sit just on cell 1's side of the centroid boundary.
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    good = [
+        (100 + i, [0.71 + i * 1e-4, 0.70, 0.0, 0.0], 0) for i in range(20)
+    ]  # dot c0 > dot c1 -> cell 0
+    junk = [
+        (200 + i, [0.05, 1.0, 0.3 + i * 1e-3, 0.0], 1) for i in range(20)
+    ]  # cell 1
+    corpus = spark.createDataFrame(
+        good + junk, "vec_id long, embedding array<double>, label int"
+    )
+    queries = spark.createDataFrame(
+        [(i, [0.69, 0.72, 0.0, 0.0], 0) for i in range(8)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    path = str(tmp_path / "annidx_recall")
+    write_ann_index(corpus, path, m=2, n_codes=8, centroids=cents)
+
+    src = str(tmp_path / "qsrc")
+    queries.coalesce(1).write.parquet(src)
+
+    def drain(out, ckpt, n_probe):
+        stream = spark.readStream.schema(corpus.schema).parquet(src)
+        ann_probe_stream(
+            stream, path, out, ckpt, k=5, refine=4, n_probe=n_probe,
+            recall_sample=8, recall_floor=0.8,
+        )
+
+    out_low = str(tmp_path / "out_low")
+    drain(out_low, str(tmp_path / "ckpt_low"), n_probe=1)
+    obs = read_probe_recall(spark, out_low).collect()
+    assert len(obs) == 1
+    assert obs[0].n_queries == 8 and obs[0].k == 5
+    assert obs[0].recall < 0.2 and obs[0].flagged, obs
+    # the monitor row must not leak into the result relation
+    assert "recall" not in spark.read.parquet(out_low).columns
+
+    out_full = str(tmp_path / "out_full")
+    drain(out_full, str(tmp_path / "ckpt_full"), n_probe=2)
+    obs_full = read_probe_recall(spark, out_full).collect()
+    assert len(obs_full) == 1
+    assert obs_full[0].recall == 1.0 and not obs_full[0].flagged, obs_full
