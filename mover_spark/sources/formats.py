@@ -118,11 +118,12 @@ def read_jsonl_quarantine(
     One parse pass, persisted: Spark disallows queries that reference
     ONLY the internal corrupt-record column of a raw JSON/CSV scan, and
     without the persist each returned frame would re-scan the source
-    anyway. Callers that split a truly landing-zone-sized source should
-    consume both frames in one job (write good to parquet, quarantine
-    to its own prefix) and then release with good.unpersist() — the
-    persist is MEMORY_AND_DISK, so oversized batches degrade to local
-    disk rather than OOM."""
+    anyway. The persist is MEMORY_AND_DISK, so oversized batches degrade
+    to local disk rather than OOM — but it is the CALLER's memory
+    ceiling, and unpersisting a DERIVED frame does not release it
+    (measured: good.unpersist() leaves the parent cached). Landing-zone
+    jobs should use ingest_jsonl_quarantine, which writes both splits
+    through in one pass and releases the cache itself."""
     raw = (
         spark.read.schema(_with_corrupt_col(schema))
         .option("mode", "PERMISSIVE")
@@ -137,6 +138,46 @@ def read_jsonl_quarantine(
         raw["_corrupt_record"].alias("raw_line")
     )
     return good, bad
+
+
+def ingest_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    good_path: str,
+    quarantine_path: str,
+) -> tuple[int, int]:
+    """The landing-zone write-through pattern for quarantine ingest:
+    parse once, write `good` to parquet at ``good_path`` and the
+    malformed raw lines to text at ``quarantine_path`` (byte-preserved,
+    one line per record, replayable), then RELEASE the shared parse
+    cache before returning — the persist backing the one-pass split is
+    the job's memory/disk ceiling at landing-zone scale, and only this
+    helper holds the handle that can release it (unpersisting the
+    derived good/bad frames does not, see read_jsonl_quarantine).
+    Returns (n_good, n_quarantined) so callers can alert on quarantine
+    rates without re-reading either output."""
+    raw = (
+        spark.read.schema(_with_corrupt_col(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("timestampFormat", CSV_TS_FMT)
+        .option("timestampNTZFormat", CSV_TS_FMT)
+        .json(path)
+        .persist()
+    )
+    try:
+        good = raw.where(raw["_corrupt_record"].isNull()).drop("_corrupt_record")
+        bad = raw.where(raw["_corrupt_record"].isNotNull()).select(
+            raw["_corrupt_record"].alias("raw_line")
+        )
+        good.write.mode("overwrite").parquet(good_path)
+        bad.write.mode("overwrite").text(quarantine_path)
+        n_good = spark.read.parquet(good_path).count()
+        n_bad = spark.read.text(quarantine_path).count()
+    finally:
+        raw.unpersist(blocking=True)
+    return n_good, n_bad
 
 
 def read_csv_quarantine(

@@ -651,3 +651,42 @@ def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
     ]
     assert [r.raw_line for r in bad.collect()] == ["not_a_number,beta"]
     good.unpersist()
+
+
+def test_ingest_jsonl_quarantine_writes_through_and_releases(spark, tmp_path):
+    """The landing-zone write-through helper: good rows land in parquet,
+    malformed lines in the text quarantine prefix byte-for-byte, counts
+    come back without re-reading, and — the round-11 point — the shared
+    parse cache is RELEASED before return (a derived-frame unpersist does
+    not release it; only the helper holds the raw handle)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from mover_spark.sources.formats import ingest_jsonl_quarantine
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "landing.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "ok one"}\n'
+        "garbage line\n"
+        '{"doc_id": 2, "text": "ok two"}\n'
+    )
+    good_path = str(tmp_path / "good")
+    quar_path = str(tmp_path / "quarantine")
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    before = n_cached()
+    n_good, n_bad = ingest_jsonl_quarantine(
+        spark, str(src), schema, good_path, quar_path
+    )
+    assert (n_good, n_bad) == (2, 1)
+    assert n_cached() == before, "quarantine parse cache leaked"
+    assert sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(good_path).collect()
+    ) == [(1, "ok one"), (2, "ok two")]
+    assert [r.value for r in spark.read.text(quar_path).collect()] == [
+        "garbage line"
+    ]
