@@ -147,3 +147,45 @@ def test_explicit_centroids_skip_auto_sizing_count(spark, monkeypatch):
     plan = sim.semantic_dedup(df, threshold=0.9, n_cells=None, centroids=cents)
     out = {r.vec_id: r for r in plan.collect()}
     assert out[0].is_kept and not out[2].is_kept and out[2].cluster_id == 0
+
+
+def test_perturbed_cluster_geometry_recall(spark):
+    """Round-11 realistic geometry: perturbed clusters (every vector
+    distinct — the exact-dup collapse shrinks nothing) must still merge
+    within-cluster and never across. Members sit at cosine ~0.99+ to
+    their center; cross-cluster cosine is far below threshold. Explicit
+    centroids at the true centers keep blocking recall out of the
+    equation — this pins the PAIR/CC semantics on distinct-vector input."""
+    import random
+
+    rng = random.Random(42)
+    dim, members = 8, 6
+    centers = []
+    # near-orthogonal centers: one dominant axis each plus small noise
+    for c in range(4):
+        v = [0.05 * rng.uniform(-1, 1) for _ in range(dim)]
+        v[2 * c] = 1.0
+        centers.append(v)
+    rows = []
+    for c, center in enumerate(centers):
+        for m in range(members):
+            rows.append(
+                (
+                    c * members + m,
+                    [x + 0.02 * rng.uniform(-1, 1) for x in center],
+                )
+            )
+    df = _emb(spark, rows)
+    cents = [(i, c) for i, c in enumerate(centers)]
+    out = semantic_dedup(df, threshold=0.95, centroids=cents).collect()
+    assert len(out) == len(rows)
+    by_planted = {}
+    for r in out:
+        by_planted.setdefault(r.vec_id // members, set()).add(r.cluster_id)
+    # every planted cluster collapses to exactly one component...
+    assert all(len(s) == 1 for s in by_planted.values()), by_planted
+    # ...and no two planted clusters share a component
+    all_comps = [next(iter(s)) for s in by_planted.values()]
+    assert len(set(all_comps)) == len(all_comps)
+    # one representative kept per planted cluster
+    assert sum(1 for r in out if r.is_kept) == len(centers)
