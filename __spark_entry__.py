@@ -1236,6 +1236,20 @@ def _q_containment_lsh(spark, sf_dir):
     ).orderBy("doc_inner", "doc_outer")
 
 
+def _q_containment_lsh_pruned(spark, sf_dir):
+    """containment_lsh with the round-11 pair-free df>=2 pruning lever ON.
+    The lever is provably exact (a shingle with rep-level df 1 contributes
+    to no cross-rep intersection), so this entry shares containment_pairs'
+    oracle verbatim — the driver hash-verifies the pruned plan
+    independently of the unpruned one."""
+    from mover_spark.operators.dedup import containment_lsh
+
+    return containment_lsh(
+        _catalog(spark, sf_dir).df("documents"), threshold=0.95,
+        prune_unique=True,
+    ).orderBy("doc_inner", "doc_outer")
+
+
 def _q_dedup_incremental(spark, sf_dir):
     """Incremental dedup: today's crawl increment (sources src0/src1)
     deduped AGAINST the fixed base corpus (every other source) — exact
@@ -2043,6 +2057,20 @@ def _q_winnowing_profile(spark, sf_dir):
     return winnowing_profile(_catalog(spark, sf_dir).df("documents"))
 
 
+def _q_winnowing_profile_fast(spark, sf_dir):
+    """The production-hash winnowing arm (hash_fn=xxhash64 — JVM intrinsic
+    per gram instead of a full MD5+hex parse). Rows-only driver check (no
+    oracle entry): xxhash64 is not portable to DuckDB; the md5 twin above
+    carries the hash-exact oracle, and test_winnowing.py pins the
+    guarantee/selection invariants on this arm. Same split as
+    sketch_kmv_distinct."""
+    from mover_spark.operators.text import winnowing_profile
+
+    return winnowing_profile(
+        _catalog(spark, sf_dir).df("documents"), hash_fn="xxhash64"
+    )
+
+
 def _q_winnowing_overlap(spark, sf_dir):
     from mover_spark.operators.text import winnowing_overlap
 
@@ -2103,8 +2131,10 @@ _R11_WINDOW = [
     "data_quality_report",
     "semantic_dedup",
     "winnowing_profile",
+    "winnowing_profile_fast",
     "winnowing_overlap",
     "containment_lsh",
+    "containment_lsh_pruned",
     "leakage_safe_split",
     # -- round-10 newcomers re-signed for continuity, then heavy/flagship
     # paths so every expensive plan carries a current-round signature --
@@ -2126,8 +2156,6 @@ _R11_WINDOW = [
     "decontaminate_ngram",
     "snapshot_time_travel",
     "snapshot_diff",
-    "q1_pricing_summary",
-    "closure_default",
 ]
 
 
@@ -2169,6 +2197,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_persisted": _q_dedup_incremental_persisted,
         "containment_pairs": _q_containment_pairs,
         "containment_lsh": _q_containment_lsh,
+        "containment_lsh_pruned": _q_containment_lsh_pruned,
         "dedup_clusters": _q_dedup_clusters,
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_pq": _q_ann_pq,
@@ -2192,6 +2221,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "data_quality_report": _q_data_quality_report,
         "winnowing_profile": _q_winnowing_profile,
+        "winnowing_profile_fast": _q_winnowing_profile_fast,
         "winnowing_overlap": _q_winnowing_overlap,
         "semantic_dedup": _q_semantic_dedup,
         "cdc_latest_snapshot": _q_cdc_latest_snapshot,
@@ -4509,4 +4539,6 @@ def oracle_sql() -> dict[str, str]:
     # the banded containment twin answers the exact operator's question;
     # one oracle, two plans (recall argument in _q_containment_lsh)
     out["containment_lsh"] = out["containment_pairs"]
+    # the pruning lever is exact: same oracle, third plan
+    out["containment_lsh_pruned"] = out["containment_pairs"]
     return out
