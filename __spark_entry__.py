@@ -1232,7 +1232,8 @@ def _q_containment_lsh(spark, sf_dir):
     from mover_spark.operators.dedup import containment_lsh
 
     return containment_lsh(
-        _catalog(spark, sf_dir).df("documents"), threshold=0.95
+        _catalog(spark, sf_dir).df("documents"), threshold=0.95,
+        prune_unique=False,
     ).orderBy("doc_inner", "doc_outer")
 
 

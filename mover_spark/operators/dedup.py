@@ -867,7 +867,7 @@ def containment_lsh(
     id_col: str = "doc_id",
     slice_base: float = 2.0 ** 0.5,
     max_miss: float = 5e-3,
-    prune_unique: bool = False,
+    prune_unique: bool = True,
 ) -> DataFrame:
     """Sub-quadratic twin of containment_pairs: LSH-Ensemble banded
     candidates over a DEDICATED 256-perm signature for bounded size
@@ -960,11 +960,15 @@ def containment_lsh(
     # explode / deep-arm volume changes. Cost is one shingle-keyed
     # df aggregate + one doc-keyed count (two corpus-sized shuffles of
     # 16-byte rows); the savings are the pruned docs' (n_bands x fan)
-    # band rows and deep prefixes. On a realistic unique-heavy vocabulary
-    # most documents prune; on the 30-word fixture nothing does and the
-    # df pass is pure overhead — hence a flag, benched both ways on both
-    # corpora (BASELINE.md round 11). Intra-dup pairs are unaffected
-    # (they are emitted from the member map, not the candidate stages).
+    # band rows and deep prefixes. MEASURED (BASELINE.md round 11, Zipf
+    # ~50k-term corpus, 500k docs + planted 4x/8x containers): unpruned
+    # DNF at 1800 s (the head-shingle background floods the banded
+    # candidate stage), pruned 41.8 s with 1000/1000 planted containers
+    # recalled — hence default ON. On dup-heavy/small-vocabulary corpora
+    # the adaptive vacuity drop below reduces the lever to one df pass
+    # (both filters keep ~everything and are dropped). Intra-dup pairs
+    # are unaffected (they are emitted from the member map, not the
+    # candidate stages).
     inner_ok = outer_ok = None
     if prune_unique and threshold > 0:
         toks = reps.select("doc", F.explode("hs").alias("tok"))
