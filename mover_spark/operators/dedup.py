@@ -704,6 +704,7 @@ def _deep_containment_candidates(
     k_floor: int,
     inner_ok: DataFrame | None = None,
     outer_ok: DataFrame | None = None,
+    inner_small: bool = False,
 ) -> DataFrame:
     """EXACT candidate generation for the deep-asymmetry stratum
     (slice_b - slice_a > k_floor) — the asymmetric prefix filter of
@@ -836,6 +837,18 @@ def _deep_containment_candidates(
             "tok",
         )
     )
+    if inner_small:
+        # SMALL-INNER BROADCAST FILTER (round-11, exact): when the
+        # pair-free prune leaves a small inner side, the a-side prefix
+        # token set is broadcast-sized (n_inner x prefix length), and a
+        # b-side posting row whose token appears in NO a-side prefix can
+        # never produce a join row — so the corpus-wide b posting explode
+        # is semi-joined against the broadcast token set BEFORE any
+        # shuffle. This is what keeps the deep arm's shuffle volume
+        # candidate-sized instead of corpus-sized on a naturally
+        # size-spread corpus (the zipf f1000 run shuffled tens of GB of
+        # b postings for ~20M surviving rows without it).
+        b = b.join(F.broadcast(a.select("tok").distinct()), "tok", "left_semi")
     return (
         a.join(
             b,
@@ -1009,6 +1022,14 @@ def containment_lsh(
             inner_ok = both.where("__inner").select("doc")
         if n_outer < 0.95 * n_reps:
             outer_ok = both.select("doc")
+    # SMALL-INNER REGIME: few docs can possibly be contained (the
+    # realistic-corpus shape — most documents are mostly-unique). The
+    # a-side band-key set and prefix-token set are then broadcast-sized,
+    # so every corpus-wide b-side explode is semi-filtered map-side
+    # against them BEFORE its shuffle: candidate generation costs one
+    # corpus scan, not a corpus shuffle. 200k inners x ~150 keys stays
+    # comfortably under the broadcast ceiling.
+    inner_small = inner_ok is not None and n_inner <= 200_000
 
     # ONE band-row relation for all schemes, one join: scheme r's band b
     # gets the global band index offset_r + b (buckets from different
@@ -1086,6 +1107,12 @@ def containment_lsh(
         b_rows = b_sig.select(
             F.col("doc").alias("doc_outer"), F.explode(b_keys).alias("key")
         )
+        if inner_small:
+            # exact: a b band row whose key matches no a-side key can
+            # never join — drop it map-side before the shuffle
+            b_rows = b_rows.join(
+                F.broadcast(a_rows.select("key").distinct()), "key", "left_semi"
+            )
         part = (
             a_rows.join(b_rows, "key")
             .where(F.col("doc_inner") != F.col("doc_outer"))
@@ -1114,7 +1141,8 @@ def containment_lsh(
 
     reps_sl = reps.join(sig.select("doc", "n", "slice"), "doc")
     deep = _deep_containment_candidates(
-        reps_sl, threshold, k_band, inner_ok=inner_ok, outer_ok=outer_ok
+        reps_sl, threshold, k_band, inner_ok=inner_ok, outer_ok=outer_ok,
+        inner_small=inner_small,
     )
     candidates = cands.unionByName(deep).distinct()
 
