@@ -705,6 +705,7 @@ def _deep_containment_candidates(
     inner_ok: DataFrame | None = None,
     outer_ok: DataFrame | None = None,
     inner_small: bool = False,
+    tok_df: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT candidate generation for the deep-asymmetry stratum
     (slice_b - slice_a > k_floor) — the asymmetric prefix filter of
@@ -777,6 +778,79 @@ def _deep_containment_candidates(
 
     def req_overlap(n):
         return F.ceil(n * F.lit(threshold) - F.lit(1e-9))
+
+    if inner_small and tok_df is not None:
+        # RARE-FIRST PREFIX, SMALL-INNER BRANCH (round-11; measured on the
+        # 5M-doc zipf probe): with hash-ordered prefixes, an inner doc's
+        # prefix holds arbitrary tokens — including corpus HEAD tokens
+        # whose posting lists are huge, so the tok-equi-join streams
+        # sum(df_a(t) * df_b(t)) pair rows, quadratic in head-token df
+        # (the q-match groupBy's hash-agg spill over that stream is what
+        # filled the disk at 5M docs). Two exact moves collapse it:
+        # 1. each inner's prefix = its GLOBALLY RAREST (n - req + q)
+        #    tokens (df ascending, tok tiebreak) — the classic
+        #    prefix-filter order, affordable here because rarity is
+        #    joined only against the SMALL inner side (tok_df is the
+        #    prune pass's by-product);
+        # 2. the positional bound is dropped. The pigeonhole only needs
+        #    a FIXED order of A's own tokens: if |A ∩ B| >= req, at most
+        #    req - q qualifying tokens sit outside A's (n - req + q)-
+        #    prefix, so >= min(q, req) matches land inside it whatever
+        #    order B is scanned in. Dropping the bound is lossless (it
+        #    only ever removed candidates exact verify would also
+        #    remove); rare prefixes make the admitted background tiny.
+        a_pref = (
+            a_reps.select("doc", "n", "slice", F.explode("hs").alias("tok"))
+            .join(tok_df, "tok", "left")
+            .withColumn("__df", F.coalesce(F.col("__df"), F.lit(1)))
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("doc").orderBy("__df", "tok")
+                ),
+            )
+            .where(
+                F.col("__rk")
+                <= F.greatest(
+                    (F.col("n") - req_overlap(F.col("n")) + CONTAIN_DEEP_Q).cast(
+                        "int"
+                    ),
+                    F.lit(1),
+                )
+            )
+            .where(F.col("slice") <= F.lit(hi - k_floor - 1))
+            .select(
+                F.col("doc").alias("doc_inner"),
+                F.col("n").alias("n_a"),
+                F.col("slice").alias("slice_a"),
+                "tok",
+            )
+        )
+        b_post = (
+            b_reps.where(F.col("slice") >= F.lit(lo + k_floor + 1))
+            .select(
+                F.col("doc").alias("doc_outer"),
+                F.col("n").alias("n_b"),
+                F.col("slice").alias("slice_b"),
+                F.explode("hs").alias("tok"),
+            )
+            .join(F.broadcast(a_pref.select("tok").distinct()), "tok", "left_semi")
+        )
+        return (
+            a_pref.join(
+                b_post,
+                (a_pref["tok"] == b_post["tok"])
+                & (F.col("slice_b") >= F.col("slice_a") + F.lit(k_floor + 1))
+                & (F.col("n_b") >= req_overlap(F.col("n_a"))),
+            )
+            .groupBy("doc_inner", "n_a", "doc_outer")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .where(
+                F.col("__m")
+                >= F.least(F.lit(CONTAIN_DEEP_Q), req_overlap(F.col("n_a")))
+            )
+            .select("doc_inner", "doc_outer")
+        )
 
     # q-MATCH REQUIREMENT (PPJoin-family q-gram lower bound): if
     # |A∩B| >= req then among A's first n - req + q tokens at least
@@ -983,14 +1057,15 @@ def containment_lsh(
     # are unaffected (they are emitted from the member map, not the
     # candidate stages).
     inner_ok = outer_ok = None
+    tok_df = None
     if prune_unique and threshold > 0:
         toks = reps.select("doc", F.explode("hs").alias("tok"))
-        df2 = (
-            toks.groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") >= 2)
-            .select("tok")
-        )
+        # full per-token document frequency: feeds BOTH the df>=2 shared
+        # set below and the deep arm's rare-first prefix order (persisted
+        # — ~16 bytes/distinct shingle; the ContextCleaner unpersists it
+        # when the plan is garbage-collected)
+        tok_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df")).persist()
+        df2 = tok_df.where(F.col("__df") >= 2).select("tok")
         shared_n = toks.join(df2, "tok").groupBy("doc").agg(
             F.count(F.lit(1)).alias("__shared")
         )
@@ -1142,7 +1217,7 @@ def containment_lsh(
     reps_sl = reps.join(sig.select("doc", "n", "slice"), "doc")
     deep = _deep_containment_candidates(
         reps_sl, threshold, k_band, inner_ok=inner_ok, outer_ok=outer_ok,
-        inner_small=inner_small,
+        inner_small=inner_small, tok_df=tok_df,
     )
     candidates = cands.unionByName(deep).distinct()
 
