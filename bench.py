@@ -76,9 +76,32 @@ def main() -> None:
         except Exception:
             pass
 
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(REPO_DIR, "BENCH_DETAIL.json")
+    )
+    # previous committed medians, read BEFORE this run overwrites the file:
+    # the mover flags below make per-query regressions vs the last capture
+    # tooling-visible instead of a narrative claim (VERDICT r11 next #6 —
+    # the round-11 close note said "the three biggest movers are all
+    # untouched" while the capture's #1 mover was touched code)
+    prev_median: dict[str, float] = {}
+    try:
+        with open(detail_path) as f:
+            prev_median = json.load(f).get("median", {})
+    except Exception:
+        pass
+
+    def loadavg():
+        try:
+            return [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            return None
+
     runs: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
+    load: dict[str, list[float] | None] = {}
     for name, fn in qs.items():
+        load[name] = loadavg()  # host noise sampled at each query's start
         samples: list[float] = []
         for _ in range(reps):
             t0 = time.time()
@@ -92,9 +115,17 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3) if len(samples) == reps else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    detail_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(REPO_DIR, "BENCH_DETAIL.json")
-    )
+    # movers: median moved >1.5x in either direction vs the previous
+    # committed detail (only pairs where both sides are >= 0.2 s — below
+    # that, scheduler jitter dominates and every flag would be noise)
+    movers = {
+        name: {"prev": prev_median[name], "now": t,
+               "ratio": round(t / prev_median[name], 2)}
+        for name, t in timings.items()
+        if name in prev_median
+        and t >= 0.2 and prev_median[name] >= 0.2
+        and (t > 1.5 * prev_median[name] or prev_median[name] > 1.5 * t)
+    }
     with open(detail_path, "w") as f:
         json.dump(
             {
@@ -103,6 +134,8 @@ def main() -> None:
                 "total_median_sec": total,
                 "median": timings,
                 "runs": runs,
+                "loadavg_at_start": load,
+                "movers_vs_prev": movers,
             },
             f,
             indent=1,
@@ -118,6 +151,8 @@ def main() -> None:
             "n_errors": sum(1 for t in timings.values() if t < 0),
             "sf": float(sf),
             "detail": "BENCH_DETAIL.json",
+            "loadavg": loadavg(),
+            "movers_gt_1.5x": sorted(movers),
         }
     )
     # the machine-parsable result is the LAST stdout line, flushed, with

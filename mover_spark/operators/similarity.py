@@ -1216,6 +1216,123 @@ def lsh_topk(
     )
 
 
+def _subdivide_cells(
+    assigned: DataFrame, s_max: int, max_depth: int = 3
+) -> DataFrame:
+    """Recursive sub-quantization of over-budget cells (VERDICT r11 next
+    #4): any cell holding more than ``s_max`` representatives is split by
+    a second-level deterministic quantizer — its ceil(n_c / s_max)
+    smallest-id members become sub-centroids, every member reassigns to
+    its nearest sub-centroid (max quantized cosine, smallest sub-id tie —
+    the same rule as _ranked_cells_udf), and the loop recurses into any
+    sub-cell still over budget, up to ``max_depth`` levels. This is the
+    per-cell block-count trick one level deeper: blocks bound a TILE's
+    payload but every block pair is still compared, so within-cell pair
+    work stays n_c^2 — sub-quantization is what actually removes it,
+    at the price of never comparing across sub-cells (more blocking =
+    the same approximation contract the paper's clustering already
+    makes; the bench's full-merge-rate column prices it honestly).
+
+    Scale shape: each level collects one (cell, vid, qv) row per
+    sub-centroid — at most corpus/s_max rows, the same order as the
+    final cell count (and the same driver-side bound as the existing
+    centroid collects); reassignment is one broadcast matmul pass over
+    only the over-budget cells' members. A pathological point-mass cell
+    that refuses to split (every member nearest the same sub-centroid)
+    is left over budget when progress stops or depth runs out — the
+    honest envelope, not an infinite loop.
+
+    New sub-cell ids are allocated sequentially above the current max
+    cell id (driver-deterministic: sorted iteration), so labels stay
+    unique longs across levels."""
+    import numpy as np
+
+    spark = assigned.sparkSession
+    out_schema = assigned.schema
+    for _ in range(max_depth):
+        sizes = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_c"))
+            .where(F.col("n_c") > s_max)
+            .collect()
+        )
+        if not sizes:
+            break
+        over = {int(r.cell): int(r.n_c) for r in sizes}
+        max_cell = assigned.agg(F.max("cell")).collect()[0][0]
+        next_id = int(max_cell) + 1
+        # per over-budget cell: its m smallest-vid members are the
+        # sub-centroids (deterministic, mirrors the smallest-id global
+        # quantizer contract)
+        over_df = spark.createDataFrame(
+            [(c,) for c in sorted(over)], "cell long"
+        )
+        rk = Window.partitionBy("cell").orderBy("vid")
+        m_expr = F.ceil(F.lit(1.0) * F.col("__n") / F.lit(s_max)).cast("int")
+        subs = (
+            assigned.join(F.broadcast(over_df), "cell", "left_semi")
+            .withColumn("__rk", F.row_number().over(rk))
+            .join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [(c, n) for c, n in sorted(over.items())],
+                        "cell long, __n long",
+                    )
+                ),
+                "cell",
+            )
+            .where(F.col("__rk") <= m_expr)
+            .select("cell", "vid", "qv")
+            .collect()
+        )
+        sub_map: dict[int, tuple] = {}
+        grouped: dict[int, list] = {}
+        for r in subs:
+            grouped.setdefault(int(r.cell), []).append((int(r.vid), r.qv))
+        progressed = False
+        for cell_val in sorted(grouped):
+            rows = sorted(grouped[cell_val])  # vid ascending = stable ids
+            if len(rows) < 2:
+                continue  # nothing to split against — no progress possible
+            M = np.asarray([qv for _, qv in rows], dtype=np.int64)
+            ids = np.arange(next_id, next_id + len(rows), dtype=np.int64)
+            next_id += len(rows)
+            inv_norm = 1.0 / np.sqrt((M * M).sum(axis=1).astype(np.float64))
+            sub_map[cell_val] = (M, inv_norm, ids)
+            progressed = True
+        if not progressed:
+            break
+        bc = spark.sparkContext.broadcast(sub_map)
+
+        def reassign(batches):
+            for pdf in batches:
+                cells = pdf["cell"].to_numpy()
+                for cell_val in np.unique(cells):
+                    sub = bc.value.get(int(cell_val))
+                    if sub is None:
+                        continue
+                    M, inv_norm, ids = sub
+                    idx = np.nonzero(cells == cell_val)[0]
+                    Q = np.asarray(
+                        [np.asarray(v, dtype=np.int64) for v in pdf["qv"].iloc[idx]]
+                    )
+                    # argmax of cos = argmax of dot * inv|c| (|q| is a
+                    # positive per-row constant); first-max tie = smallest
+                    # sub id (ids ascend with vid order)
+                    best = ((Q @ M.T) * inv_norm[None, :]).argmax(axis=1)
+                    cells[idx] = ids[best]
+                pdf["cell"] = cells
+                yield pdf
+
+        # eager per level: the next level's size scan must see the new
+        # labels, and checkpointing keeps level k+1 from replanning the
+        # whole level-k pandas stage
+        assigned = assigned.mapInPandas(reassign, out_schema).localCheckpoint(
+            eager=True
+        )
+    return assigned
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -1223,6 +1340,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[tuple[int, list]] | None = None,
+    max_cell_pairs: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication" —
@@ -1244,6 +1362,15 @@ def semantic_dedup(
     default (reproducible, oracle-checkable), ``centroids=
     train_ivf_centroids(...)`` for real cell geometry, ``n_cells=None`` for
     sqrt(n) auto-sizing.
+
+    ``max_cell_pairs`` (opt-in) bounds the within-cell quadratic term: any
+    cell whose pair count would exceed the budget is recursively
+    sub-quantized (_subdivide_cells) until cells hold <= sqrt(2*budget)
+    representatives — total pair work then grows ~linearly in n instead of
+    the measured alpha-1.49 (BASELINE.md round-11 perturbed-geometry
+    decade). More cells = more blocking: the recall price is measured by
+    tools/semdedup_bench.py's full-merge-rate column, and the default
+    (None) keeps the paper-exact contract and the oracle surface intact.
 
     Returns one row per nonzero-norm vector:
     (vec_id, cell, cluster_id, is_kept) — cluster_id is the min id of the
@@ -1309,6 +1436,16 @@ def semantic_dedup(
         reps.select(F.col("vid").alias("rep"), "qv"), on="qv"
     ).select("vid", "rep")
     assigned = reps.withColumn("cell", _ranked_cells_udf(cents)(F.col("qv"))[0])
+    if max_cell_pairs is not None:
+        # bound the alpha-1.49 within-cell pair term (VERDICT r11 next
+        # #4): cap any cell's pair work at ~max_cell_pairs by recursive
+        # sub-quantization — n_c(n_c-1)/2 <= budget  <=>  n_c <= s_max =
+        # sqrt(2*budget). Opt-in: the default (None) keeps the paper's
+        # exact-within-cell contract and the oracle-checked surface
+        # byte-identical; production/bench arms enable it and the bench
+        # prices the extra blocking via the full-merge-rate column.
+        s_max = max(int((2 * max_cell_pairs) ** 0.5), 64)
+        assigned = _subdivide_cells(assigned, s_max)
 
     # blocks keep a tile's flattened int64 payload ~4k vectors PER CELL,
     # from each cell's ACTUAL size: sizing off the average cell OOM'd the

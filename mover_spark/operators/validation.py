@@ -173,10 +173,16 @@ def data_quality_report(tables: dict[str, DataFrame], checks: list[Check]) -> Da
         )
         # unpivot the one agg row into one report row per check (stack is
         # codegen'd; the scan above is the only pass over the table)
-        # check names are interpolated into SQL — escape quotes so a name
-        # containing ' can't break the generated stack() (or inject)
+        # check names are interpolated into SQL — escape backslashes FIRST
+        # then quotes: Spark string literals treat \ as an escape, so an
+        # unescaped trailing backslash would swallow the closing quote and
+        # shift the stack() arguments, and a lone "'" would terminate the
+        # literal (ADVICE r11: the quote-only escaping missed the
+        # backslash cases)
         stack_args = ", ".join(
-            "'{}', __v{}".format(c.name.replace("'", "''"), i)
+            "'{}', __v{}".format(
+                c.name.replace("\\", "\\\\").replace("'", "''"), i
+            )
             for i, c in enumerate(tchecks)
         )
         rows = agg.select(

@@ -16,6 +16,7 @@ storage. ORC keeps columnar pruning/pushdown like parquet.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 #: ISO-8601 with microseconds — value-preserving for the fixture's
@@ -173,8 +174,15 @@ def ingest_jsonl_quarantine(
         )
         good.write.mode("overwrite").parquet(good_path)
         bad.write.mode("overwrite").text(quarantine_path)
-        n_good = spark.read.parquet(good_path).count()
-        n_bad = spark.read.text(quarantine_path).count()
+        # counts from the still-cached parse, one conditional agg — not a
+        # re-read of both written outputs (two extra scan jobs for numbers
+        # the cache already holds; VERDICT r11 minor)
+        row = raw.agg(
+            F.sum(F.col("_corrupt_record").isNull().cast("long")).alias("g"),
+            F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("b"),
+        ).collect()[0]
+        n_good = int(row["g"] or 0)
+        n_bad = int(row["b"] or 0)
     finally:
         raw.unpersist(blocking=True)
     return n_good, n_bad

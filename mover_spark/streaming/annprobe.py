@@ -171,10 +171,15 @@ def ann_probe_stream(
             )
             total = exact.count()
             recall = (hits / total) if total else 1.0
+            # count queries directly, not total/k: a sampled query with
+            # fewer than k exact neighbors (index < k+1 rows, zero-norm
+            # or self-excluded vectors) would make the ratio undercount
+            # (ADVICE r11); one cheap action on the already-computed frame
+            n_queries = exact.select("query_id").distinct().count()
             spark.createDataFrame(
                 [
                     (
-                        int(total / k) if k else 0,
+                        int(n_queries),
                         int(k),
                         float(recall),
                         bool(recall < recall_floor),

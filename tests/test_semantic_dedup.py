@@ -189,3 +189,70 @@ def test_perturbed_cluster_geometry_recall(spark):
     assert len(set(all_comps)) == len(all_comps)
     # one representative kept per planted cluster
     assert sum(1 for r in out if r.is_kept) == len(centers)
+
+
+def test_max_cell_pairs_subdivides_and_keeps_tight_clusters(spark):
+    """Round-12 sub-blocking (max_cell_pairs): with everything assigned to
+    ONE top-level cell and a pair budget forcing s_max = 64, the
+    over-budget cell must be recursively sub-quantized — and the planted
+    tight clusters (members at cosine ~0.999 to each other) must still
+    merge, because nearest-sub-centroid assignment keeps a tight clump
+    together (its sub-centroid is one of its own members or a far one
+    wins them all). Also pins: output is deterministic across runs, and
+    every vector still appears exactly once."""
+    import random
+
+    from mover_spark.operators.similarity import _subdivide_cells  # noqa: F401
+
+    rng = random.Random(7)
+    dim, members, n_clusters = 8, 5, 40  # 200 distinct vectors
+    rows = []
+    for c in range(n_clusters):
+        center = [rng.uniform(-1, 1) for _ in range(dim)]
+        for m in range(members):
+            rows.append(
+                (
+                    c * members + m,
+                    [x + 0.001 * rng.uniform(-1, 1) for x in center],
+                )
+            )
+    df = _emb(spark, rows)
+    # one giant top-level cell (single centroid), budget -> s_max=64 < 200
+    cents = [(0, rows[0][1])]
+    out = semantic_dedup(
+        df, threshold=0.99, centroids=cents, max_cell_pairs=2048
+    ).collect()
+    assert len(out) == len(rows)
+    # sub-quantization actually fired: more than one final cell label
+    cells = {r.cell for r in out}
+    assert len(cells) > 1
+    by_planted = {}
+    for r in out:
+        by_planted.setdefault(r.vec_id // members, set()).add(r.cluster_id)
+    merged = sum(1 for s in by_planted.values() if len(s) == 1)
+    # tight clumps overwhelmingly survive sub-blocking (allow a couple of
+    # straddles — that's the documented blocking price)
+    assert merged >= n_clusters - 2, f"only {merged}/{n_clusters} merged"
+    # determinism: a second run returns the identical relation
+    out2 = semantic_dedup(
+        df, threshold=0.99, centroids=cents, max_cell_pairs=2048
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_max_cell_pairs_none_is_byte_identical(spark):
+    """The budget is opt-in: max_cell_pairs=None must leave the
+    oracle-checked default surface untouched."""
+    v = [1.0, 2.0, 3.0, 4.0]
+    other = [4.0, -3.0, 2.0, -1.0]
+    df = _emb(spark, [(0, v), (1, other), (5, list(v)), (9, list(v))])
+    base = sorted(map(tuple, semantic_dedup(df, threshold=0.9, n_cells=2).collect()))
+    same = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                df, threshold=0.9, n_cells=2, max_cell_pairs=None
+            ).collect(),
+        )
+    )
+    assert base == same

@@ -167,3 +167,14 @@ def test_quoted_check_name_survives_stack_sql(spark):
     rep = _report({"t": df}, [not_null("bob's check", "t", "id")])
     assert rep["bob's check"].violations == 1
     assert rep["bob's check"].n_rows == 2
+
+
+def test_backslash_check_name_survives_stack_sql(spark):
+    """ADVICE r11: Spark string literals treat backslash as an escape, so
+    a name containing one (worst case: trailing — it would swallow the
+    closing quote and SHIFT the stack() arguments) must round-trip."""
+    df = spark.createDataFrame([(1,), (None,)], "id long")
+    for name in ("back\\slash", "trailing\\", "mixed\\'quote"):
+        rep = _report({"t": df}, [not_null(name, "t", "id")])
+        assert rep[name].violations == 1
+        assert rep[name].n_rows == 2

@@ -160,3 +160,35 @@ def test_md5_arm_output_unchanged_by_hash_param(spark):
         for r in winnowing_fingerprint_set(df, hash_fn="md5").collect()
     }
     assert base == expl and base
+
+
+def test_w1_window_selects_every_gram(spark):
+    """ADVICE r11: the least(element_at) window-min rewrite broke w=1
+    (least() needs >1 argument). A 1-wide window's min is the gram itself,
+    so the fingerprint set must equal the doc's DISTINCT gram hashes —
+    count-checked against a Python recomputation of distinct k-grams."""
+    rng = random.Random(31)
+    text = _rand_text(rng, 120)
+    expected = len({text[i : i + K] for i in range(len(text) - K + 1)})
+    for hash_fn in ("md5", "xxhash64"):
+        fps = winnowing_fingerprint_set(
+            _df(spark, text), w=1, hash_fn=hash_fn
+        ).collect()
+        assert len(fps) == expected, hash_fn
+
+
+def test_fast_invariants_surface(spark):
+    """The round-12 driver-signable surface for the xxhash64 arm: n_grams
+    matches the length formula exactly, both invariant booleans hold on
+    every eligible doc, and sub-threshold docs are excluded — the same
+    contract the DuckDB oracle asserts."""
+    from mover_spark.operators.text import winnowing_fast_invariants
+
+    rng = random.Random(37)
+    texts = [_rand_text(rng, n) for n in (GUARANTEE, 50, 400)] + ["tiny"]
+    rows = winnowing_fast_invariants(_df(spark, *texts)).collect()
+    got = {r.doc_id: r for r in rows}
+    assert set(got) == {0, 1, 2}  # "tiny" (< k+w-1) is excluded
+    for i, n in ((0, GUARANTEE), (1, 50), (2, 400)):
+        assert got[i].n_grams == n - K + 1
+        assert got[i].arms_match and got[i].fp_in_bounds

@@ -79,14 +79,22 @@ def main() -> int:
         # RENDER even when values are identical (decimal trailing zeros,
         # HUGEINT fetched as float by pandas-style paths). Every output
         # column must be string/bigint/double/date/bool — fail otherwise.
+        # - decimal/hugeint: engines disagree on RENDERING identical values
+        # - array/map/struct: the DRIVER's canonicalizer (unlike _norm
+        #   above) sorts rows with pandas, where ArrayType arrives as
+        #   numpy arrays -> unhashable TypeError; array_funcs was
+        #   driver-red on exactly this for 11 rounds while this mimic's
+        #   list-handling masked it. Nested output must be stringified
+        #   (concat_ws/to_json) at the query's final select.
         fragile = [
             f"{c}:{t}"
             for c, t in zip(ocols_raw, otypes)
             if t.startswith("DECIMAL") or "HUGEINT" in t
+            or "[]" in t or t.startswith(("STRUCT", "MAP", "LIST"))
         ] + [
             f"spark.{c}:{t}"
             for c, t in sdf.dtypes
-            if t.startswith("decimal")
+            if t.startswith(("decimal", "array", "map", "struct"))
         ]
         ok_count = len(srows) == len(orows)
         ok_schema = scols == ocols

@@ -20,6 +20,11 @@ reproduce the corpus bit-for-bit.
 
 Usage: python tools/semdedup_bench.py <n_vectors> [fixture_dir]
 Prints one JSON line: {n, sec, n_cells, kept, reps, recall_planted}.
+
+Round 12: set SEMDEDUP_MAX_CELL_PAIRS=<budget> to run the sub-blocking
+arm (recursive sub-quantization of over-budget cells) — the line then
+carries max_cell_pairs and final-cell stats so the alpha measurement and
+its full-merge-rate price sit in one row.
 """
 
 from __future__ import annotations
@@ -88,10 +93,17 @@ def main() -> int:
     cents = train_ivf_centroids(emb, n_cells)
     train_sec = round(time.monotonic() - t_train0, 1)
 
+    budget = os.environ.get("SEMDEDUP_MAX_CELL_PAIRS")
+    budget = int(budget) if budget else None
     t0 = time.monotonic()
-    out = semantic_dedup(emb, threshold=THRESHOLD, centroids=cents).persist()
+    out = semantic_dedup(
+        emb, threshold=THRESHOLD, centroids=cents, max_cell_pairs=budget
+    ).persist()
     kept = out.where("is_kept").count()
     sec = round(time.monotonic() - t0, 1)
+    cell_stats = out.groupBy("cell").count().agg(
+        F.count(F.lit(1)).alias("n_final_cells"), F.max("count").alias("max_cell")
+    ).collect()[0]
 
     # planted recall: of the C(MEMBERS,2) same-cluster pairs per planted
     # cluster, what fraction landed in one component? (cluster_id equality)
@@ -117,6 +129,9 @@ def main() -> int:
                 "planted_clusters": n // MEMBERS,
                 "full_merge_rate": round(stats.full_merge_rate, 4),
                 "avg_components_per_cluster": round(stats.avg_components, 3),
+                "max_cell_pairs": budget,
+                "n_final_cells": int(cell_stats.n_final_cells),
+                "max_final_cell": int(cell_stats.max_cell),
             }
         )
     )
