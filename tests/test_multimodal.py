@@ -505,3 +505,257 @@ def test_pil_jpeg_real_decode(spark):
     assert (r.width, r.height) == (6, 4)
     assert abs(r.mean_luma - 128 / 255) < 0.02  # JPEG is lossy; gray survives
     assert r.aspect_ratio == 6 / 4
+
+
+# ---------------------------------------------------------------------------
+# round 12: stdlib baseline-JPEG arm — a minimal in-test ENCODER generates
+# real T.81 baseline bytes (custom canonical Huffman tables are legal JPEG,
+# so no standard-table transcription), and _jpeg_decode must recover exact
+# dimensions and near-exact mean luma (quant tables of 1s => only DCT
+# round-off separates encode and decode)
+# ---------------------------------------------------------------------------
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def emit(self, value, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc, self.nbits = 0, 0
+
+    def flush(self):
+        while self.nbits:  # pad with 1-bits to the byte boundary
+            self.emit(1, 1)
+        out, self.out = self.out, bytearray()
+        return bytes(out)
+
+
+def _fdct_quant_zigzag(block8x8):
+    """Forward orthonormal DCT + round (quant=1) in zigzag order."""
+    from mover_spark.operators.multimodal import _JPEG_ZIGZAG, _jpeg_idct_a
+
+    A = _jpeg_idct_a()
+    sh = [[p - 128.0 for p in row] for row in block8x8]
+    tmp = [
+        [sum(A[v][x] * sh[y][x] for x in range(8)) for v in range(8)]
+        for y in range(8)
+    ]
+    S = [
+        sum(A[u][y] * tmp[y][v] for y in range(8))
+        for u in range(8)
+        for v in range(8)
+    ]
+    return [int(round(S[zz])) for zz in _JPEG_ZIGZAG]
+
+
+def _block_at(plane, w, h, x0, y0):
+    """8x8 block with edge replication past the plane boundary."""
+    return [
+        [plane[min(y0 + y, h - 1)][min(x0 + x, w - 1)] for x in range(8)]
+        for y in range(8)
+    ]
+
+
+def _entropy_ops(zz, dc_pred, dc_tbl, ac_tbl):
+    """One block's (symbol/bit) op list + updated DC predictor."""
+    ops = []
+    diff = zz[0] - dc_pred
+    s = abs(diff).bit_length()
+    ops.append(("sym", dc_tbl, s))
+    if s:
+        v = diff if diff >= 0 else diff + (1 << s) - 1
+        ops.append(("bits", v & ((1 << s) - 1), s))
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            ops.append(("sym", ac_tbl, 0xF0))  # ZRL
+            run -= 16
+        s = abs(zz[k]).bit_length()
+        ops.append(("sym", ac_tbl, (run << 4) | s))
+        v = zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1
+        ops.append(("bits", v & ((1 << s) - 1), s))
+        run = 0
+    if run:
+        ops.append(("sym", ac_tbl, 0x00))  # EOB
+    return ops, zz[0]
+
+
+def _encode_baseline_jpeg(y_plane, w, h, color=False, sub=(2, 2), restart=0):
+    """Minimal T.81 baseline encoder: luma from y_plane, flat-128 chroma
+    when color=True (Y sampled at ``sub``, chroma 1x1), quant tables all
+    1s, one canonical fixed-length-8 Huffman table per (class, dest)."""
+    import struct
+
+    hs, vs = sub if color else (1, 1)
+    mcus_x = (w + 8 * hs - 1) // (8 * hs)
+    mcus_y = (h + 8 * vs - 1) // (8 * vs)
+    # per-MCU op streams (table ids: 0=DC-Y 1=AC-Y 2=DC-C 3=AC-C)
+    mcu_ops = []
+    dc = {"y": 0, "cb": 0, "cr": 0}
+    n_since_rst = 0
+    for myi in range(mcus_y):
+        for mxi in range(mcus_x):
+            if restart and (myi * mcus_x + mxi) and n_since_rst == restart:
+                dc = {"y": 0, "cb": 0, "cr": 0}
+                n_since_rst = 0
+                mcu_ops.append("RST")
+            ops = []
+            for by in range(vs):
+                for bx in range(hs):
+                    blk = _block_at(
+                        y_plane, w, h, (mxi * hs + bx) * 8, (myi * vs + by) * 8
+                    )
+                    o, dc["y"] = _entropy_ops(
+                        _fdct_quant_zigzag(blk), dc["y"], 0, 1
+                    )
+                    ops += o
+            if color:
+                flat = [[128] * 8 for _ in range(8)]
+                for c in ("cb", "cr"):
+                    o, dc[c] = _entropy_ops(
+                        _fdct_quant_zigzag(flat), dc[c], 2, 3
+                    )
+                    ops += o
+            mcu_ops.append(ops)
+            n_since_rst += 1
+    # canonical tables: every used symbol gets a length-8 code
+    used = {0: set(), 1: set(), 2: set(), 3: set()}
+    for ops in mcu_ops:
+        if ops == "RST":
+            continue
+        for op in ops:
+            if op[0] == "sym":
+                used[op[1]].add(op[2])
+    codes = {t: {s: i for i, s in enumerate(sorted(vals))} for t, vals in used.items()}
+
+    def dht(tc, th, tbl_id):
+        vals = sorted(used[tbl_id])
+        bits = [0] * 16
+        bits[7] = len(vals)
+        body = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+    if color:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([1]) + bytes([1] * 64)
+    nc = 3 if color else 1
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    sof += bytes([1, hs << 4 | vs, 0])
+    if color:
+        sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += dht(0, 0, 0) + dht(1, 0, 1)
+    if color:
+        out += dht(0, 1, 2) + dht(1, 1, 3)
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", restart)
+    sos = bytes([nc, 1, 0x00])
+    if color:
+        sos += bytes([2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    wtr = _JpegBitWriter()
+    rst_n = 0
+    for ops in mcu_ops:
+        if ops == "RST":
+            out += wtr.flush()
+            out += bytes([0xFF, 0xD0 + (rst_n % 8)])
+            rst_n += 1
+            continue
+        for op in ops:
+            if op[0] == "sym":
+                _, tbl_id, sym = op
+                wtr.emit(codes[tbl_id][sym], 8)
+            else:
+                _, v, length = op
+                wtr.emit(v, length)
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _gradient_plane(w, h):
+    return [[(3 * x + 7 * y) % 256 for x in range(w)] for y in range(h)]
+
+
+def _plane_mean(plane, w, h):
+    return sum(sum(row) for row in plane) / (w * h) / 255.0
+
+
+def test_jpeg_decode_gray_roundtrip():
+    """Grayscale baseline JPEG from the in-test encoder: exact dims, mean
+    luma within DCT round-off of the source plane (quant = 1s)."""
+    from mover_spark.operators.multimodal import _jpeg_decode
+
+    w, h = 16, 12
+    plane = _gradient_plane(w, h)
+    got_w, got_h, luma = _jpeg_decode(_encode_baseline_jpeg(plane, w, h))
+    assert (got_w, got_h) == (w, h)
+    assert abs(luma - _plane_mean(plane, w, h)) < 1.5 / 255
+
+
+def test_jpeg_decode_420_multi_mcu_edge_crop():
+    """4:2:0 color across multiple MCUs with w/h NOT multiples of 16: the
+    padded MCU pixels must be excluded from the mean, and the chroma
+    blocks must advance the bitstream without disturbing luma."""
+    from mover_spark.operators.multimodal import _jpeg_decode
+
+    w, h = 20, 18
+    plane = _gradient_plane(w, h)
+    data = _encode_baseline_jpeg(plane, w, h, color=True, sub=(2, 2))
+    got_w, got_h, luma = _jpeg_decode(data)
+    assert (got_w, got_h) == (w, h)
+    assert abs(luma - _plane_mean(plane, w, h)) < 1.5 / 255
+
+
+def test_jpeg_decode_with_restart_markers():
+    """DRI/RSTn: predictors reset and byte-aligned restart segments decode
+    to the same mean as the unsegmented stream."""
+    from mover_spark.operators.multimodal import _jpeg_decode
+
+    w, h = 32, 16  # 2x1 grid of 16x16 MCUs at 4:2:0 -> restart every MCU
+    plane = _gradient_plane(w, h)
+    plain = _jpeg_decode(_encode_baseline_jpeg(plane, w, h, color=True))
+    rst = _jpeg_decode(
+        _encode_baseline_jpeg(plane, w, h, color=True, restart=1)
+    )
+    assert plain[:2] == rst[:2] == (w, h)
+    assert abs(plain[2] - rst[2]) < 1e-9
+    assert abs(rst[2] - _plane_mean(plane, w, h)) < 1.5 / 255
+
+
+def test_jpeg_arm_in_image_features(spark):
+    """Real baseline-JPEG bytes decode through the 'jpeg-stdlib' arm in
+    the mapInPandas chain; a progressive (SOF2) header degrades to fake
+    — the same explicit-fallback contract as the other stdlib arms."""
+    w, h = 16, 12
+    plane = _gradient_plane(w, h)
+    good = _encode_baseline_jpeg(plane, w, h, color=True)
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    media = spark.createDataFrame(
+        [(1, "image", good), (2, "image", progressive)],
+        "media_id long, media_type string, content binary",
+    )
+    rows = {r.media_id: r for r in image_features(media).collect()}
+    try:
+        import PIL  # noqa: F401
+
+        assert rows[1].decoder in ("pil", "jpeg-stdlib")
+    except ImportError:
+        assert rows[1].decoder == "jpeg-stdlib"
+        assert (rows[1].width, rows[1].height) == (w, h)
+        assert abs(rows[1].mean_luma - _plane_mean(plane, w, h)) < 1.5 / 255
+    assert rows[2].decoder in ("pil", "fake")  # PIL can do progressive
