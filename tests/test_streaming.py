@@ -491,3 +491,35 @@ def test_streaming_ann_probe_recall_monitor(spark, tmp_path):
     obs_full = read_probe_recall(spark, out_full).collect()
     assert len(obs_full) == 1
     assert obs_full[0].recall == 1.0 and not obs_full[0].flagged, obs_full
+
+
+def test_recall_monitor_counts_queries_with_few_neighbors(spark, tmp_path):
+    """ADVICE r11: n_queries must be the distinct sampled-query count, not
+    total_exact_rows / k — with an index SMALLER than k every query has
+    fewer than k exact neighbors and the ratio undercounts (here 4 queries
+    x 3 neighbors / k=5 would report 2)."""
+    from mover_spark.operators.similarity import write_ann_index
+    from mover_spark.streaming.annprobe import ann_probe_stream, read_probe_recall
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0])]
+    corpus = spark.createDataFrame(
+        [(100 + i, [1.0, 0.01 * i, 0.0, 0.0], 0) for i in range(3)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(i, [0.99, 0.1, 0.0, 0.0], 0) for i in range(4)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    path = str(tmp_path / "annidx_small")
+    write_ann_index(corpus, path, m=2, n_codes=2, centroids=cents)
+    src = str(tmp_path / "qsrc_small")
+    queries.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    ann_probe_stream(
+        stream, path, str(tmp_path / "out_small"), str(tmp_path / "ckpt_small"),
+        k=5, refine=3, n_probe=1, recall_sample=4, recall_floor=0.5,
+    )
+    obs = read_probe_recall(spark, str(tmp_path / "out_small")).collect()
+    assert len(obs) == 1
+    assert obs[0].n_queries == 4, obs  # NOT 12 // 5 == 2
+    assert obs[0].recall == 1.0 and not obs[0].flagged
