@@ -1456,6 +1456,14 @@ def semantic_dedup(
         # byte-identical; production/bench arms enable it and the bench
         # prices the extra blocking via the full-merge-rate column.
         s_max = max(int((2 * max_cell_pairs) ** 0.5), 64)
+        # materialize the assignment ONCE before subdividing: the loop's
+        # per-level size scans, the sub-centroid window, the kernel input
+        # and the downstream sizes/g consumers would otherwise each
+        # re-execute the reps groupBy (a wide shuffle keyed on the 64-dim
+        # array) plus the cell-assignment UDF — measured as the whole
+        # 500k overhead gap (419 s vs 128 s baseline with recomputes;
+        # the pair-work cut itself is real)
+        assigned = assigned.localCheckpoint(eager=True)
         assigned = _subdivide_cells(
             assigned, s_max, start_id=max(cid for cid, _ in cents) + 1
         )
