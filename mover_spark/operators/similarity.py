@@ -1235,9 +1235,14 @@ def _subdivide_cells(
 
     Scale shape: each level collects one (cell, vid, qv) row per
     sub-centroid — at most corpus/s_max rows, the same order as the
-    final cell count (and the same driver-side bound as the existing
-    centroid collects); reassignment is one broadcast matmul pass over
-    only the over-budget cells' members. A pathological point-mass cell
+    FINAL cell count. NAMED CEILING: unlike the sqrt(n) centroid
+    collects (1e5 rows at 1e10 vectors), corpus/s_max keeps growing
+    linearly — at 1e10 reps and s_max=512 the collect is ~2e7 rows
+    (~10 GB of qv arrays on the driver), so past ~1e9 representatives
+    the sub-centroid pick and the sub_map broadcast should move
+    executor-side (a per-cell strided sample + a map-side join instead
+    of a driver dict). Reassignment itself is one broadcast matmul pass
+    over only the over-budget cells' members and scales fine. A pathological point-mass cell
     that refuses to split (every member nearest the same sub-centroid)
     is left over budget when progress stops or depth runs out — the
     honest envelope, not an infinite loop.
