@@ -731,6 +731,44 @@ def _containment_signatures(
     return _cache_put(_SIG_CACHE, key, sig, _SIG_CACHE_MAX)
 
 
+def _inner_small_gate(
+    spark,
+    schemes: dict,
+    threshold: float,
+    slice_base: float,
+    n_inner: int,
+    inner_prefix_toks: int,
+) -> bool:
+    """Estimated-broadcast-bytes gate for the small-inner map-side
+    filters (ADVICE r11: F.broadcast bypasses autoBroadcastJoinThreshold,
+    so a doc-count gate risks executor OOM with large documents instead
+    of a plan fallback). Band keys = n_inner x per-doc band fan (incl.
+    the owner scheme's negative classes), prefix tokens from the prune
+    pass's agg, ~32 bytes/key in a broadcast hash relation, capped at
+    4x the session's autoBroadcastJoinThreshold with a 256 MB floor
+    (explicit broadcasts are a deliberate choice, but bounded by the
+    knob operators already tune per-cluster; the floor keeps the
+    measured 5M-doc campaign regime — ~1M keys — ON)."""
+    import math as _math
+
+    k_min_est = min(k for _, ks in schemes.values() for k in ks)
+    k_neg_est = int(_math.floor(_math.log(threshold) / _math.log(slice_base)))
+    keys_per_doc = sum(
+        n_bands
+        * (len(ks) + (max(0, k_min_est - k_neg_est) if min(ks) == k_min_est else 0))
+        for n_bands, ks in schemes.values()
+    )
+    est_bytes = 32 * (n_inner * keys_per_doc + inner_prefix_toks)
+    cap = max(
+        256 * 1024**2,
+        4
+        * _conf_bytes(
+            spark, "spark.sql.autoBroadcastJoinThreshold", 10 * 1024**2
+        ),
+    )
+    return est_bytes <= cap
+
+
 def _deep_containment_candidates(
     reps_sl: DataFrame,
     threshold: float,
@@ -1167,26 +1205,9 @@ def containment_lsh(
     # broadcasts are a deliberate choice, but bounded by the same knob
     # operators tune for the cluster; floor 256 MB keeps the measured
     # 5M-doc regime — ~1M keys — ON).
-    if inner_ok is not None:
-        k_min_est = min(k for _, ks in schemes.values() for k in ks)
-        k_neg_est = int(
-            _math.floor(_math.log(threshold) / _math.log(slice_base))
-        )
-        keys_per_doc = sum(
-            n_bands
-            * (len(ks) + (max(0, k_min_est - k_neg_est) if min(ks) == k_min_est else 0))
-            for n_bands, ks in schemes.values()
-        )
-        est_bytes = 32 * (n_inner * keys_per_doc + inner_prefix_toks)
-        cap = max(
-            256 * 1024**2,
-            4 * _conf_bytes(
-                df.sparkSession, "spark.sql.autoBroadcastJoinThreshold", 10 * 1024**2
-            ),
-        )
-        inner_small = est_bytes <= cap
-    else:
-        inner_small = False
+    inner_small = inner_ok is not None and _inner_small_gate(
+        df.sparkSession, schemes, threshold, slice_base, n_inner, inner_prefix_toks
+    )
 
     # ONE band-row relation for all schemes, one join: scheme r's band b
     # gets the global band index offset_r + b (buckets from different
