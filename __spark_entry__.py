@@ -3397,12 +3397,17 @@ def oracle_sql() -> dict[str, str]:
         "array_funcs": (
             # array columns rendered as comma-joined strings on BOTH sides:
             # top-level ArrayType output is unhashable in the driver's
-            # pandas-based canonicalizer (driver-red rounds 1-11)
+            # pandas-based canonicalizer (driver-red rounds 1-11). Elements
+            # render via an explicit DECIMAL(12,1) cast on both sides
+            # (ADVICE r12): default double->string casts diverge at >= 1e7
+            # (Spark goes scientific), decimal rendering never does.
             "SELECT l_orderkey, "
-            "array_to_string(list_sort(list(l_quantity)), ',') AS qty_str, "
+            "array_to_string(list_transform(list_sort(list(l_quantity)), "
+            "x -> CAST(CAST(x AS DECIMAL(12,1)) AS VARCHAR)), ',') AS qty_str, "
             "CAST(len(list(l_quantity)) AS INTEGER) AS n_items, "
             "list_max(list(l_quantity)) AS max_qty, "
-            "array_to_string(list_sort(list(l_quantity))[1:3], ',') AS first3_str, "
+            "array_to_string(list_transform(list_sort(list(l_quantity))[1:3], "
+            "x -> CAST(CAST(x AS DECIMAL(12,1)) AS VARCHAR)), ',') AS first3_str, "
             "list_contains(list(l_quantity), 20.0) AS has_qty20 "
             "FROM lineitem GROUP BY l_orderkey"
         ),

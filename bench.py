@@ -85,9 +85,12 @@ def main() -> None:
     # the round-11 close note said "the three biggest movers are all
     # untouched" while the capture's #1 mover was touched code)
     prev_median: dict[str, float] = {}
+    prev_cold = False
     try:
         with open(detail_path) as f:
-            prev_median = json.load(f).get("median", {})
+            prev_detail = json.load(f)
+        prev_median = prev_detail.get("median", {})
+        prev_cold = bool(prev_detail.get("cold", False))
     except Exception:
         pass
 
@@ -136,8 +139,13 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # movers: median moved >1.5x in either direction vs the previous
     # committed detail (only pairs where both sides are >= 0.2 s — below
-    # that, scheduler jitter dominates and every flag would be noise)
-    movers = {
+    # that, scheduler jitter dominates and every flag would be noise).
+    # Only like-vs-like (ADVICE r12): a cold capture diffed against a warm
+    # prev flags the memo price of every cache-consumer query as a
+    # spurious mover — when the modes differ, skip the computation and say
+    # so instead of poisoning this file for the next comparison too.
+    mode_mismatch = bool(prev_median) and prev_cold != cold
+    movers = {} if mode_mismatch else {
         name: {"prev": prev_median[name], "now": t,
                "ratio": round(t / prev_median[name], 2)}
         for name, t in timings.items()
@@ -155,6 +163,7 @@ def main() -> None:
                 "runs": runs,
                 "loadavg_at_start": load,
                 "movers_vs_prev": movers,
+                "movers_mode_mismatch": mode_mismatch,
                 "cold": cold,
             },
             f,
@@ -173,6 +182,7 @@ def main() -> None:
             "detail": "BENCH_DETAIL.json",
             "loadavg": loadavg(),
             "movers_gt_1.5x": sorted(movers),
+            **({"movers_mode_mismatch": True} if mode_mismatch else {}),
             **({"cold": True} if cold else {}),
         }
     )

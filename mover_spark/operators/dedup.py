@@ -1329,12 +1329,14 @@ def containment_lsh(
         # handle that can release it — the round-11 ingest measurement
         # proved derived-frame unpersists never release a parent, and
         # leaving it to ContextCleaner GC accumulates corpus-sized caches
-        # across calls in a long session. If the deep arm's lazy plan
-        # references tok_df (rare-first branch), materialize the
-        # candidate-sized pair set first so nothing downstream re-executes
-        # the prefix join against an unpersisted corpus aggregate.
-        if inner_small:
-            candidates = candidates.localCheckpoint(eager=True)
+        # across calls in a long session. Materialize the candidate-sized
+        # pair set on EVERY pruned path before the release (VERDICT r12
+        # wrong #2: gating this on inner_small left the standard path's
+        # lazy candidate plan free to re-execute whatever still referenced
+        # the df-pass aggregate uncached at verify time) — the checkpoint
+        # is candidate-sized, severs every upstream lineage edge, and the
+        # verify join consumes the set twice (sha + shb joins) anyway.
+        candidates = candidates.localCheckpoint(eager=True)
         tok_df.unpersist()
 
     sha = reps.select(F.col("doc").alias("doc_inner"), F.col("hs").alias("hs_a"))

@@ -441,6 +441,13 @@ def _jpeg_decode(content: bytes) -> tuple[int, int, float]:
         raise ValueError("missing SOF/SOS")
     if any(c[0] not in scan_map for c in comps):
         raise ValueError("scan does not cover all components")
+    if len(comps) == 1:
+        # ITU T.81 A.2: a single-component scan is NON-interleaved — the
+        # MCU is one 8x8 data unit and the declared sampling factors do
+        # not shape the MCU grid (ADVICE r12: a grayscale SOF0 declaring
+        # 2x2 sampling would otherwise be decoded as 4 blocks/MCU and
+        # silently mis-measure luma on rare valid files)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if comps[0][1] != hmax or comps[0][2] != vmax:

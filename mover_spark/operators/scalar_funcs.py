@@ -54,20 +54,26 @@ def array_funcs(cat: Catalog) -> DataFrame:
     → unhashable TypeError — this entry was driver-red on result SHAPE
     (never values) from round 1 through round 11. Every array op still
     executes (sort_array/size/element_at/slice/array_contains); only the
-    final rendering is scalar. l_quantity is whole-valued double, so the
-    Spark double→string cast ("20.0") matches DuckDB's VARCHAR cast
-    exactly."""
+    final rendering is scalar. Elements render through an explicit
+    decimal(12,1) cast on BOTH sides (ADVICE r12): Spark's default
+    double→string cast goes scientific at >= 1e7 ("2.0E7") while DuckDB's
+    VARCHAR cast does not, so the bare cast only matched because
+    l_quantity is bounded in [1,50] — decimal rendering is plain-notation
+    and engine-stable at any magnitude."""
     li = cat.df("lineitem")
+    dec_str = "x -> cast(cast(x as decimal(12,1)) as string)"
     return (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_list("l_quantity")).alias("qty_arr"))
         .select(
             "l_orderkey",
-            F.concat_ws(",", F.col("qty_arr").cast("array<string>")).alias("qty_str"),
+            F.concat_ws(
+                ",", F.expr(f"transform(qty_arr, {dec_str})")
+            ).alias("qty_str"),
             F.size("qty_arr").alias("n_items"),
             F.element_at("qty_arr", -1).alias("max_qty"),
             F.concat_ws(
-                ",", F.slice("qty_arr", 1, 3).cast("array<string>")
+                ",", F.expr(f"transform(slice(qty_arr, 1, 3), {dec_str})")
             ).alias("first3_str"),
             F.array_contains("qty_arr", 20.0).alias("has_qty20"),
         )

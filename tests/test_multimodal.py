@@ -721,6 +721,26 @@ def test_jpeg_decode_420_multi_mcu_edge_crop():
     assert abs(luma - _plane_mean(plane, w, h)) < 1.5 / 255
 
 
+def test_jpeg_gray_with_declared_2x2_sampling_is_noninterleaved():
+    """ADVICE r12 / ITU T.81 A.2: a single-component scan is
+    NON-interleaved — MCU = one 8x8 block regardless of the SOF's
+    declared sampling factors. A grayscale file declaring 2x2 sampling
+    must decode identically to the 1x1 encoding (the pre-fix decoder
+    read 4 blocks per MCU and underran the bitstream)."""
+    from mover_spark.operators.multimodal import _jpeg_decode
+
+    w, h = 24, 16
+    plane = _gradient_plane(w, h)
+    data = bytearray(_encode_baseline_jpeg(plane, w, h))
+    sof = data.index(b"\xff\xc0")
+    # SOF0: marker(2) len(2) prec(1) h(2) w(2) nc(1) cid(1) -> hv byte
+    assert data[sof + 11] == 0x11
+    data[sof + 11] = 0x22  # declare 2x2 sampling on the lone component
+    got_w, got_h, luma = _jpeg_decode(bytes(data))
+    assert (got_w, got_h) == (w, h)
+    assert abs(luma - _plane_mean(plane, w, h)) < 1.5 / 255
+
+
 def test_jpeg_decode_with_restart_markers():
     """DRI/RSTn: predictors reset and byte-aligned restart segments decode
     to the same mean as the unsegmented stream."""

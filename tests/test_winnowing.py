@@ -192,3 +192,27 @@ def test_fast_invariants_surface(spark):
     for i, n in ((0, GUARANTEE), (1, 50), (2, 400)):
         assert got[i].n_grams == n - K + 1
         assert got[i].arms_match and got[i].fp_in_bounds
+
+
+def test_fast_invariants_validate_production_builder(spark, monkeypatch):
+    """ADVICE r12: arms_match must validate the SHARED production
+    window-min builder (_win_min_expr), not a local copy — a regression
+    planted in the builder (the exact w=1-style bug class) must flip the
+    driver-signed boolean."""
+    from mover_spark.operators import text as T
+
+    orig = T._win_min_expr
+
+    def broken(w):
+        # off-by-one window start: drops the oldest gram from the window
+        return "least(" + ", ".join(
+            f"element_at(__h, j - {d})" for d in range(w - 1)
+        ) + ")" if w > 2 else orig(w)
+
+    monkeypatch.setattr(T, "_win_min_expr", broken)
+    rng = random.Random(41)
+    rows = T.winnowing_fast_invariants(_df(spark, _rand_text(rng, 300))).collect()
+    assert not rows[0].arms_match, (
+        "a planted _win_min_expr regression did not flip arms_match — "
+        "the invariant is validating a copy, not the production builder"
+    )
