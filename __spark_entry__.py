@@ -845,6 +845,22 @@ def _q_multimodal_audio_features(spark, sf_dir):
     return audio_features(media_fixture_from_documents(docs, n=100))
 
 
+def _q_multimodal_video_features(spark, sf_dir):
+    """Video modality of the media pipeline (round 13): container dims,
+    true frame count/duration, sampled-frame luma stats. Real MJPEG-in-AVI
+    bytes decode end-to-end through the stdlib container walk + T.81 JPEG
+    decoder (tests exercise that arm on real bytes); the driver fixture's
+    text-byte videos take the deterministic md5 fake arm — the same
+    oracle-expressible degrade contract as image/audio features."""
+    from mover_spark.operators.multimodal import (
+        media_fixture_from_documents,
+        video_features,
+    )
+
+    docs = _catalog(spark, sf_dir).df("documents")
+    return video_features(media_fixture_from_documents(docs, n=100))
+
+
 def _q_multimodal_frame_plan(spark, sf_dir):
     """Video frame-sampling plan: one row per (video, offset) — pure
     sequence+explode, the shape a decode stage consumes downstream."""
@@ -2298,6 +2314,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_manifest": _q_multimodal_manifest,
         "multimodal_audio_features": _q_multimodal_audio_features,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
+        "multimodal_video_features": _q_multimodal_video_features,
         "doc_fingerprint": _q_fingerprint,
         "word_freq_topk": _q_word_freq,
         "doc_chunking": _q_doc_chunking,
@@ -3906,6 +3923,23 @@ def oracle_sql() -> dict[str, str]:
             "[CAST(('0x' || substr(h, 7, 2)) AS INTEGER) % 4 + 1] AS sample_rate, "
             "CAST(('0x' || substr(h, 9, 2)) AS INTEGER) / 255.0 AS rms_level, "
             "'fake' AS decoder FROM m"
+        ),
+        "multimodal_video_features": (
+            # fixture videos are text bytes -> every row takes the
+            # deterministic md5 fake arm (the real avi-mjpeg-stdlib arm is
+            # pinned on real bytes in tests): dims/luma from digest bytes,
+            # duration from metadata, nominal 25 fps, 1000 ms sampling
+            "WITH m AS (SELECT doc_id AS media_id, md5(text) AS h, "
+            "CAST(n_chars * 10 AS BIGINT) AS duration_ms "
+            "FROM documents WHERE doc_id < 100 AND doc_id % 3 = 2) "
+            "SELECT media_id, "
+            "64 + CAST(('0x' || substr(h, 1, 2)) AS INTEGER) % 192 AS width, "
+            "64 + CAST(('0x' || substr(h, 3, 2)) AS INTEGER) % 192 AS height, "
+            "duration_ms, "
+            "duration_ms // 40 + 1 AS n_frames, "
+            "duration_ms // 1000 + 1 AS n_sampled, "
+            "CAST(('0x' || substr(h, 5, 2)) AS INTEGER) / 255.0 AS mean_luma, "
+            "CAST(0.0 AS DOUBLE) AS luma_spread, 'fake' AS decoder FROM m"
         ),
         "multimodal_frame_plan": (
             "WITH v AS (SELECT doc_id AS media_id, "

@@ -598,6 +598,154 @@ def _wav_decode(content: bytes) -> tuple[int, int, float]:
     return dur_ms, rate, rms
 
 
+AVI_MAGIC = b"RIFF"
+
+
+def _avi_mjpeg_frames(content: bytes) -> tuple[int, int, int, list[bytes]]:
+    """REAL AVI parse (public RIFF/AVI container spec — 'AVI RIFF File
+    Reference', fourcc.org): walk the RIFF chunk tree, read the 'avih'
+    main header (frame period + declared dims) and collect the MJPEG
+    frame payloads from the 'movi' LIST ('##dc'/'##db' stream-data
+    chunks whose bytes start with the JPEG SOI marker). Returns
+    (width, height, usec_per_frame, frames). Raises ValueError on
+    non-AVI bytes, a missing header/movi list, or zero decodable
+    frames — callers degrade to the fake arm like every other decoder.
+
+    This is deliberately container-level only: frame DECODE is delegated
+    to _jpeg_decode, so the whole video chain (container walk -> frame
+    sample -> per-frame decode -> feature aggregate) runs on real bytes
+    with zero external codecs; non-MJPEG codecs inside a valid AVI
+    surface as 'zero decodable frames' and degrade explicitly."""
+    import struct
+
+    if len(content) < 12 or content[:4] != AVI_MAGIC or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    avih = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int, in_movi: bool) -> None:
+        nonlocal avih
+        while pos + 8 <= end:
+            fourcc = content[pos : pos + 4]
+            (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+            body, nxt = pos + 8, pos + 8 + size + (size & 1)
+            if nxt > end + 1:  # truncated chunk
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST" and size >= 4:
+                ltype = content[body : body + 4]
+                walk(body + 4, min(body + size, end), in_movi or ltype == b"movi")
+            elif fourcc == b"avih" and size >= 40:
+                avih = struct.unpack("<10I", content[body : body + 40])
+            elif in_movi and fourcc[2:4] in (b"dc", b"db"):
+                data = content[body : body + size]
+                if data[:2] == JPEG_MAGIC:
+                    frames.append(data)
+            pos = nxt
+
+    walk(12, len(content), False)
+    if avih is None:
+        raise ValueError("missing avih header")
+    us_per_frame, width, height = avih[0], avih[8], avih[9]
+    if not frames:
+        raise ValueError("no MJPEG frames in movi")
+    return int(width), int(height), int(us_per_frame), frames
+
+
+VIDEO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("n_sampled", LongType(), True),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("luma_spread", DoubleType(), True),
+        StructField("decoder", StringType(), False),  # avi-mjpeg-stdlib|fake
+    ]
+)
+
+
+def video_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Decode + feature-extract video in Arrow batches (mapInPandas):
+    container dims, true frame count/duration, and luma statistics over
+    frames SAMPLED at ``every_ms`` (decoding every frame of every video
+    is the one cost a 100-TB media pass cannot pay — the sampling plan
+    is the same floor(duration/interval)+1 arithmetic as frame_sample).
+
+    Per-row decoder chain like image_features: MJPEG-in-AVI decodes REAL
+    bytes end-to-end via the stdlib container walk + the T.81 JPEG
+    decoder ('avi-mjpeg-stdlib'); anything else — other containers,
+    non-MJPEG codecs, truncated files, the text-bytes fixture — degrades
+    to the DETERMINISTIC fake arm ('fake'): md5-derived dims/luma plus
+    the row's duration_ms metadata at a nominal 25 fps, the same
+    oracle-expressible contract as the image fake arm. mean_luma is the
+    average of sampled frames' mean luma; luma_spread is max - min over
+    the sampled frames (a zero spread on a real video flags a static
+    clip — the cheap motion proxy).
+
+    Reference surface: the reference pipeline stores media opaquely and
+    never decodes (mover carries bytes + URLs only); this operator is
+    part of the beyond-reference LLM-pipeline family."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = r["content"] or b""
+                try:
+                    w, h, uspf, frames = _avi_mjpeg_frames(bytes(content))
+                    uspf = uspf or 40_000  # 0 period -> nominal 25 fps
+                    step = max(1, round(every_ms * 1000 / uspf))
+                    sampled = frames[::step]
+                    lumas = []
+                    for fb in sampled:
+                        _, _, luma = _jpeg_decode(fb)
+                        lumas.append(luma)
+                    if not lumas:
+                        raise ValueError("no sampled frame decoded")
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "width": w,
+                            "height": h,
+                            "duration_ms": len(frames) * uspf // 1000,
+                            "n_frames": len(frames),
+                            "n_sampled": len(sampled),
+                            "mean_luma": sum(lumas) / len(lumas),
+                            "luma_spread": max(lumas) - min(lumas),
+                            "decoder": "avi-mjpeg-stdlib",
+                        }
+                    )
+                    continue
+                except Exception:
+                    pass  # degrade to the deterministic fake arm
+                wf, hf, luma = _fake_decode(bytes(content))
+                dur = r["duration_ms"]
+                dur = int(dur) if pd.notna(dur) else 0
+                n_frames = dur // 40 + 1  # nominal 25 fps
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "width": wf,
+                        "height": hf,
+                        "duration_ms": dur,
+                        "n_frames": n_frames,
+                        "n_sampled": dur // every_ms + 1,
+                        "mean_luma": luma,
+                        "luma_spread": 0.0,
+                        "decoder": "fake",
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FEATURES_SCHEMA.fields]
+            )
+
+    return media.where(F.col("media_type") == "video").mapInPandas(
+        extract, schema=VIDEO_FEATURES_SCHEMA
+    )
+
+
 def image_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract images in Arrow batches (mapInPandas).
 

@@ -1227,21 +1227,28 @@ _SUBDIV_M_CAP = 4096
 #: materializes is <= this many rows (x dim int64), so a point-mass cell
 #: becomes many bounded tasks instead of one OOM-sized pandas frame
 _SUBDIV_CHUNK_ROWS = 65536
+#: auto-switch point between the two per-level reassignment strategies:
+#: up to this many sub-centroid picks the driver collect + broadcast
+#: dict is both safe (~0.5 GB of qv arrays at dim 64) and measurably
+#: cheaper (200k-row parity run: 53.7 s driver vs 70.5 s executor — the
+#: cogroup pays two extra shuffles of the over-budget subset); above it
+#: the fully-distributed path is the only one that survives (the collect
+#: grows linearly with corpus/s_max — ~10 GB at 1e10 reps, s_max=512)
+_SUBDIV_DRIVER_PICK_LIMIT = 1_000_000
 
 
 def _subdivide_cells(
-    assigned: DataFrame, s_max: int, start_id: int, max_depth: int = 3
+    assigned: DataFrame,
+    s_max: int,
+    start_id: int,
+    max_depth: int = 3,
+    mode: str = "auto",
 ) -> DataFrame:
-    """Recursive sub-quantization of over-budget cells, fully
-    EXECUTOR-SIDE (VERDICT r12 next #1 — the r12 form collected one
-    (cell, vid, qv) row per sub-centroid to the driver and broadcast a
-    driver-built dict: linear in corpus/s_max, ~10 GB of driver heap at
-    1e10 reps / s_max=512, a ceiling on the arm's own target workload).
-
-    Any cell holding more than ``s_max`` representatives is split by a
-    second-level deterministic quantizer: a STRIDED pick of
-    m = min(ceil(n_c / s_max), _SUBDIV_M_CAP) members — every
-    ceil(n_c/m)-th member in vid order — becomes the cell's
+    """Recursive sub-quantization of over-budget cells (the pair-budget
+    arm's blocking lever). Any cell holding more than ``s_max``
+    representatives is split by a second-level deterministic quantizer:
+    a STRIDED pick of m = min(ceil(n_c / s_max), _SUBDIV_M_CAP) members
+    — every ceil(n_c/m)-th member in vid order — becomes the cell's
     sub-centroids (striding, not smallest-vid: consecutive vids are
     often one semantic clump, and m adjacent-clump centroids split that
     clump across sub-cells on float-noise ties — measured 0.92 -> 0.77
@@ -1249,36 +1256,36 @@ def _subdivide_cells(
     reassigns to its nearest sub-centroid (max quantized cosine,
     smallest sub-id tie — the same rule as _ranked_cells_udf), and the
     loop recurses into any sub-cell still over budget, up to
-    ``max_depth`` levels. A pathological point-mass cell that refuses to
-    split (every member nearest the same sub-centroid) is left over
+    ``max_depth`` levels. A pathological point-mass cell that refuses
+    to split (every member nearest the same sub-centroid) is left over
     budget when progress stops or depth runs out — the honest envelope,
     not an infinite loop.
 
-    Executor-side mechanics, per level:
+    Sub-cell ids are allocated sequentially from ``start_id`` in
+    (cell asc, pick-vid asc) order, cells with < 2 picks consuming no
+    ids — both strategies below produce the SAME ids and assignments
+    (pinned byte-identical by test_subdivide_executor_matches_driver_reference
+    and the 2M campaign row in BASELINE.md).
 
-    - the over-budget cell list is a lazy aggregate (cell-count-sized
-      localCheckpoint), never a driver dict;
-    - the strided pick stays a distributed window expression; the picks
-      materialize once (pick-sized: <= corpus/s_max rows, ON EXECUTORS);
-    - sub-cell ids: start_id + per-cell-offset + within-cell pick rank,
-      where the offsets are a running sum of eligible cells' pick counts
-      in cell order. Cells with < 2 picks consume no ids and pass
-      through unchanged — BYTE-IDENTICAL id allocation to the driver
-      reference's sorted-cell sequential numbering (pinned by test).
-      The offset window is the one deliberately single-partition step:
-      it sorts (cell, count) rows ONLY — 16 bytes/row, <= corpus/s_max
-      rows (~320 MB through one spillable executor sort at 1e10 reps,
-      s_max=512) vs the old driver collect's ~10 GB of qv arrays in
-      driver heap;
-    - reassignment is a chunked COGROUP on (cell, chunk):
-      members chunked to <= _SUBDIV_CHUNK_ROWS rows/group, each cell's
-      sub-centroid rows replicated per chunk (<= _SUBDIV_M_CAP rows a
-      copy — for typical over-budget cells m is single-digit; the
-      replication total is sum_c m_c * n_c/CHUNK, linear in corpus for
-      capped m), and one int64 BLAS matmul per group picks the argmax.
-      No driver dict, no sc.broadcast, no per-group unbounded pandas
-      frame. Chunking affects grouping only — every member still scores
-      against its cell's full M, so outputs are chunk-invariant.
+    Per-level strategy (VERDICT r12 next #1), picked by the estimated
+    pick count against _SUBDIV_DRIVER_PICK_LIMIT (``mode`` forces
+    'driver' / 'executor' for tests and campaigns):
+
+    - DRIVER (small levels — the common regime): collect the picks,
+      broadcast a per-cell (M, inv_norm, ids) dict, one mapInPandas
+      pass over the over-budget rows in place. No extra shuffle;
+      driver heap pays ~pick_count x dim x 8 bytes.
+    - EXECUTOR (big levels — the 100-TB regime): nothing reaches the
+      driver. The strided pick materializes on executors; ids come from
+      a per-cell prefix-sum offset window (the one deliberately
+      single-partition step — it sorts (cell, count) rows ONLY, 16
+      bytes/row, <= corpus/s_max rows: ~320 MB through one spillable
+      executor sort at 1e10 reps/s_max=512, vs ~10 GB of qv arrays in
+      driver heap the collect would cost); reassignment is a chunked
+      COGROUP on (cell, chunk) — each cell's sub-centroid rows joined
+      map-side, member groups bounded at _SUBDIV_CHUNK_ROWS rows so a
+      point-mass cell becomes many bounded tasks, and one int64 BLAS
+      matmul per group picks the argmax.
 
     Remaining per-cell ceiling, named: the strided pick's row_number
     window sorts each over-budget cell in one task (external sort —
@@ -1288,8 +1295,10 @@ def _subdivide_cells(
     Per-level cost discipline: only the OVER-BUDGET cells' rows pass
     through the reassignment kernel and only that subset is eagerly
     checkpointed — in-budget rows ride along lazily, so a level whose
-    over-budget tail is 5% of the corpus pays ~5% of a full pass, not a
-    corpus-wide materialization."""
+    over-budget tail is 5% of the corpus pays ~5% of a full pass, not
+    a corpus-wide materialization."""
+    if mode not in ("auto", "driver", "executor"):
+        raise ValueError(f"mode must be auto|driver|executor, got {mode!r}")
     out_schema = assigned.schema
     next_id = int(start_id)
     for _ in range(max_depth):
@@ -1297,208 +1306,216 @@ def _subdivide_cells(
             assigned.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("__n"))
             .where(F.col("__n") > s_max)
-            .localCheckpoint(eager=True)  # cell-count-sized; consumed 4x
+            .localCheckpoint(eager=True)  # cell-count-sized; consumed 3x
         )
         if over_df.isEmpty():
             break
-        over_cells = over_df.select("cell")
-        # shuffle inner join, not broadcast: the over-budget cell list can
-        # itself grow with the corpus, and the window below repartitions
-        # on cell anyway, so the join rides the same exchange; it both
-        # filters to over-budget rows and carries __n for the stride and
-        # chunk expressions (one lineage — no ambiguous re-joins)
-        over_rows = assigned.join(over_df, "cell")
-        rk = Window.partitionBy("cell").orderBy("vid")
-        m_expr = F.least(
+        m_of_n = F.least(
             F.ceil(F.lit(1.0) * F.col("__n") / F.lit(s_max)).cast("int"),
             F.lit(_SUBDIV_M_CAP),
         )
-        stride_expr = F.ceil(F.col("__n") / m_expr).cast("int")
-        picks = (
-            over_rows.withColumn("__rk", F.row_number().over(rk))
-            .where(F.pmod(F.col("__rk") - 1, stride_expr) == 0)
-            .select("cell", "vid", "qv", "__n")
-            .localCheckpoint(eager=True)  # pick-sized, on executors
+        if mode == "auto":
+            est = int(over_df.agg(F.sum(m_of_n)).collect()[0][0] or 0)
+            level = "driver" if est <= _SUBDIV_DRIVER_PICK_LIMIT else "executor"
+        else:
+            level = mode
+        step = _subdivide_level_driver if level == "driver" else _subdivide_level_exec
+        assigned, next_id, progressed = step(
+            assigned, over_df, s_max, next_id, out_schema
         )
-        # eligible cells: >= 2 picks (nothing to split against otherwise —
-        # same skip-without-consuming-ids contract as the driver reference;
-        # unreachable for s_max >= 2 but kept for the id-allocation pin)
-        counts = (
-            picks.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("__m"))
-            .where(F.col("__m") >= 2)
-            .localCheckpoint(eager=True)  # tiny; consumed 3x
-        )
-        if counts.isEmpty():
+        if not progressed:
             break
-        total_new = int(counts.agg(F.sum("__m")).collect()[0][0])
-        off_w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
-        offsets = counts.select(
-            F.col("cell").alias("__ocell"),
-            F.coalesce(F.sum("__m").over(off_w), F.lit(0)).alias("__off"),
-        )
-        pk = Window.partitionBy("cell").orderBy("vid")
-        subs_ids = (
-            picks.join(offsets, picks["cell"] == offsets["__ocell"])  # inner:
-            .drop("__ocell")  # drops ineligible cells
-            .withColumn("__pk", F.row_number().over(pk))
-            .select(
-                "cell",
-                (F.lit(next_id) + F.col("__off") + F.col("__pk") - 1).alias(
-                    "sub_id"
-                ),
-                "qv",
-                "__n",
-            )
-        )
-        next_id += total_new
-
-        n_chunks = F.greatest(
-            F.ceil(F.col("__n") / F.lit(_SUBDIV_CHUNK_ROWS)).cast("int"), F.lit(1)
-        )
-        left = over_rows.withColumn(
-            "__chunk", F.pmod(F.col("vid"), n_chunks).cast("int")
-        ).drop("__n")
-        # fresh attribute names on the centroid side: both cogroup inputs
-        # descend from `assigned`, and shared attribute ids trip the
-        # ambiguous-self-join analyzer (cogroup key names need not match)
-        right = (
-            subs_ids.withColumn(
-                "__chunk", F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1)))
-            )
-            .select(
-                F.col("cell").alias("rcell"),
-                F.col("__chunk").alias("rchunk"),
-                "sub_id",
-                F.col("qv").alias("rqv"),
-            )
-        )
-
-        def reassign(lpdf, rpdf):
-            lpdf = lpdf.drop(columns=["__chunk"])
-            # empty member chunk (a vid residue no member hits) or an
-            # ineligible cell (< 2 picks): pass through unchanged
-            if len(lpdf) == 0 or len(rpdf) < 2:
-                return lpdf
-            r = rpdf.sort_values("sub_id")
-            M = np.asarray(
-                [np.asarray(v, dtype=np.int64) for v in r["rqv"]], dtype=np.int64
-            )
-            ids = r["sub_id"].to_numpy(dtype=np.int64)
-            inv_norm = 1.0 / np.sqrt((M * M).sum(axis=1).astype(np.float64))
-            Q = np.asarray(
-                [np.asarray(v, dtype=np.int64) for v in lpdf["qv"]], dtype=np.int64
-            )
-            # argmax of cos = argmax of dot * inv|c| (|q| is a positive
-            # per-row constant); first-max tie = smallest sub id (ids
-            # ascend with vid order) — bit-identical to the driver
-            # reference kernel
-            best = ((Q @ M.T) * inv_norm[None, :]).argmax(axis=1)
-            lpdf = lpdf.copy()
-            lpdf["cell"] = ids[best]
-            return lpdf
-
-        # only the reassigned subset materializes eagerly (the next
-        # level's size scan must see its new labels without replanning
-        # the pandas stage); in-budget rows stay a lazy anti-join — at
-        # most max_depth anti-joins stack on the final plan
-        reassigned = (
-            left.groupby("cell", "__chunk")
-            .cogroup(right.groupby("rcell", "rchunk"))
-            .applyInPandas(reassign, out_schema)
-            .localCheckpoint(eager=True)
-        )
-        anti_key = over_cells.select(F.col("cell").alias("__acell"))
-        assigned = assigned.join(
-            anti_key, assigned["cell"] == anti_key["__acell"], "left_anti"
-        ).unionByName(reassigned)
     return assigned
 
 
-def _subdivide_cells_driver(
-    assigned: DataFrame, s_max: int, start_id: int, max_depth: int = 3
+def _level_common(assigned: DataFrame, over_df: DataFrame, s_max: int):
+    """Shared per-level pieces: the over-budget row subset (inner join
+    carries __n — one lineage, no ambiguous re-joins) and the strided
+    pick pipeline, both lazy."""
+    over_rows = assigned.join(over_df, "cell")
+    rk = Window.partitionBy("cell").orderBy("vid")
+    m_expr = F.least(
+        F.ceil(F.lit(1.0) * F.col("__n") / F.lit(s_max)).cast("int"),
+        F.lit(_SUBDIV_M_CAP),
+    )
+    stride_expr = F.ceil(F.col("__n") / m_expr).cast("int")
+    picks = (
+        over_rows.withColumn("__rk", F.row_number().over(rk))
+        .where(F.pmod(F.col("__rk") - 1, stride_expr) == 0)
+        .select("cell", "vid", "qv", "__n")
+    )
+    return over_rows, picks
+
+
+def _anti_union(
+    assigned: DataFrame, over_df: DataFrame, reassigned: DataFrame
 ) -> DataFrame:
-    """TEST-ONLY reference: the round-12 driver-side form of
-    _subdivide_cells (per-level sub-centroid collect + driver-built
-    broadcast dict). Kept verbatim so the executor-side production path
-    can be pinned byte-identical against it
-    (test_subdivide_executor_matches_driver_reference and the 2M campaign
-    row in BASELINE.md). Not reachable from any queries() entry — its
-    driver collect is the exact ceiling the production path removed."""
+    """In-budget rows ride a lazy anti-join; the reassigned subset joins
+    back by union (aliased key: both sides share the `assigned` lineage
+    and identical attribute ids trip the ambiguous-self-join analyzer)."""
+    anti_key = over_df.select(F.col("cell").alias("__acell"))
+    return assigned.join(
+        anti_key, assigned["cell"] == anti_key["__acell"], "left_anti"
+    ).unionByName(reassigned)
+
+
+def _subdivide_level_driver(
+    assigned: DataFrame,
+    over_df: DataFrame,
+    s_max: int,
+    next_id: int,
+    out_schema,
+):
+    """One sub-quantization level, driver-collect strategy: picks come
+    to the driver (gated small by _SUBDIV_DRIVER_PICK_LIMIT), the
+    per-cell (M, inv_norm, ids) dict broadcasts, and one mapInPandas
+    pass reassigns the over-budget rows WITHOUT shuffling them."""
     import numpy as np
 
     spark = assigned.sparkSession
-    out_schema = assigned.schema
-    next_id = int(start_id)
-    for _ in range(max_depth):
-        sizes = (
-            assigned.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n_c"))
-            .where(F.col("n_c") > s_max)
-            .collect()
-        )
-        if not sizes:
-            break
-        over = {int(r.cell): int(r.n_c) for r in sizes}
-        over_df = F.broadcast(
-            spark.createDataFrame(
-                [(c, n) for c, n in sorted(over.items())], "cell long, __n long"
-            )
-        )
-        over_rows = assigned.join(over_df.select("cell"), "cell", "left_semi")
-        rk = Window.partitionBy("cell").orderBy("vid")
-        m_expr = F.ceil(F.lit(1.0) * F.col("__n") / F.lit(s_max)).cast("int")
-        stride_expr = F.ceil(F.col("__n") / m_expr).cast("int")
-        subs = (
-            over_rows.withColumn("__rk", F.row_number().over(rk))
-            .join(over_df, "cell")
-            .where(F.pmod(F.col("__rk") - 1, stride_expr) == 0)
-            .select("cell", "vid", "qv")
-            .collect()
-        )
-        sub_map: dict[int, tuple] = {}
-        grouped: dict[int, list] = {}
-        for r in subs:
-            grouped.setdefault(int(r.cell), []).append((int(r.vid), r.qv))
-        progressed = False
-        for cell_val in sorted(grouped):
-            rows = sorted(grouped[cell_val])  # vid ascending = stable ids
-            if len(rows) < 2:
-                continue  # nothing to split against — no progress possible
-            M = np.asarray([qv for _, qv in rows], dtype=np.int64)
-            ids = np.arange(next_id, next_id + len(rows), dtype=np.int64)
-            next_id += len(rows)
-            inv_norm = 1.0 / np.sqrt((M * M).sum(axis=1).astype(np.float64))
-            sub_map[cell_val] = (M, inv_norm, ids)
-            progressed = True
-        if not progressed:
-            break
-        bc = spark.sparkContext.broadcast(sub_map)
+    over_rows, picks = _level_common(assigned, over_df, s_max)
+    subs = picks.select("cell", "vid", "qv").collect()
+    grouped: dict[int, list] = {}
+    for r in subs:
+        grouped.setdefault(int(r.cell), []).append((int(r.vid), r.qv))
+    sub_map: dict[int, tuple] = {}
+    progressed = False
+    for cell_val in sorted(grouped):
+        rows = sorted(grouped[cell_val])  # vid ascending = stable ids
+        if len(rows) < 2:
+            continue  # nothing to split against — no progress possible
+        M = np.asarray([qv for _, qv in rows], dtype=np.int64)
+        ids = np.arange(next_id, next_id + len(rows), dtype=np.int64)
+        next_id += len(rows)
+        inv_norm = 1.0 / np.sqrt((M * M).sum(axis=1).astype(np.float64))
+        sub_map[cell_val] = (M, inv_norm, ids)
+        progressed = True
+    if not progressed:
+        return assigned, next_id, False
+    bc = spark.sparkContext.broadcast(sub_map)
 
-        def reassign(batches):
-            for pdf in batches:
-                cells = pdf["cell"].to_numpy()
-                for cell_val in np.unique(cells):
-                    sub = bc.value.get(int(cell_val))
-                    if sub is None:
-                        continue
-                    M, inv_norm, ids = sub
-                    idx = np.nonzero(cells == cell_val)[0]
-                    Q = np.asarray(
-                        [np.asarray(v, dtype=np.int64) for v in pdf["qv"].iloc[idx]]
-                    )
-                    best = ((Q @ M.T) * inv_norm[None, :]).argmax(axis=1)
-                    cells[idx] = ids[best]
-                pdf["cell"] = cells
-                yield pdf
+    def reassign(batches):
+        for pdf in batches:
+            pdf = pdf.drop(columns=["__n"])
+            cells = pdf["cell"].to_numpy()
+            for cell_val in np.unique(cells):
+                sub = bc.value.get(int(cell_val))
+                if sub is None:
+                    continue  # sub-split skipped (single candidate)
+                M, inv_norm, ids = sub
+                idx = np.nonzero(cells == cell_val)[0]
+                Q = np.asarray(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["qv"].iloc[idx]]
+                )
+                # argmax of cos = argmax of dot * inv|c| (|q| is a
+                # positive per-row constant); first-max tie = smallest
+                # sub id (ids ascend with vid order)
+                best = ((Q @ M.T) * inv_norm[None, :]).argmax(axis=1)
+                cells[idx] = ids[best]
+            pdf["cell"] = cells
+            yield pdf
 
-        reassigned = over_rows.mapInPandas(reassign, out_schema).localCheckpoint(
-            eager=True
+    # only the reassigned subset materializes eagerly (the next level's
+    # size scan must see its new labels without replanning the pandas
+    # stage); in-budget rows stay a lazy anti-join — at most max_depth
+    # anti-joins stack on the final plan
+    reassigned = over_rows.mapInPandas(reassign, out_schema).localCheckpoint(
+        eager=True
+    )
+    return _anti_union(assigned, over_df, reassigned), next_id, True
+
+
+def _subdivide_level_exec(
+    assigned: DataFrame,
+    over_df: DataFrame,
+    s_max: int,
+    next_id: int,
+    out_schema,
+):
+    """One sub-quantization level, fully executor-side: no driver
+    collect, no sc.broadcast, no unbounded pandas group — see
+    _subdivide_cells' strategy docstring for the shapes."""
+    over_rows, picks = _level_common(assigned, over_df, s_max)
+    picks = picks.localCheckpoint(eager=True)  # pick-sized, on executors
+    # eligible cells: >= 2 picks (same skip-without-consuming-ids
+    # contract as the driver strategy; unreachable for s_max >= 2 but
+    # kept for the id-allocation pin)
+    counts = (
+        picks.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .where(F.col("__m") >= 2)
+        .localCheckpoint(eager=True)  # tiny; consumed 3x
+    )
+    if counts.isEmpty():
+        return assigned, next_id, False
+    total_new = int(counts.agg(F.sum("__m")).collect()[0][0])
+    off_w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        F.col("cell").alias("__ocell"),
+        F.coalesce(F.sum("__m").over(off_w), F.lit(0)).alias("__off"),
+    )
+    pk = Window.partitionBy("cell").orderBy("vid")
+    subs_ids = (
+        picks.join(offsets, picks["cell"] == offsets["__ocell"])  # inner:
+        .drop("__ocell")  # drops ineligible cells
+        .withColumn("__pk", F.row_number().over(pk))
+        .select(
+            "cell",
+            (F.lit(next_id) + F.col("__off") + F.col("__pk") - 1).alias("sub_id"),
+            "qv",
+            "__n",
         )
-        assigned = assigned.join(
-            over_df.select("cell"), "cell", "left_anti"
-        ).unionByName(reassigned)
-    return assigned
+    )
+
+    n_chunks = F.greatest(
+        F.ceil(F.col("__n") / F.lit(_SUBDIV_CHUNK_ROWS)).cast("int"), F.lit(1)
+    )
+    left = over_rows.withColumn(
+        "__chunk", F.pmod(F.col("vid"), n_chunks).cast("int")
+    ).drop("__n")
+    # fresh attribute names on the centroid side: both cogroup inputs
+    # descend from `assigned`, and shared attribute ids trip the
+    # ambiguous-self-join analyzer (cogroup key names need not match)
+    right = subs_ids.withColumn(
+        "__chunk", F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1)))
+    ).select(
+        F.col("cell").alias("rcell"),
+        F.col("__chunk").alias("rchunk"),
+        "sub_id",
+        F.col("qv").alias("rqv"),
+    )
+
+    def reassign(lpdf, rpdf):
+        lpdf = lpdf.drop(columns=["__chunk"])
+        # empty member chunk (a vid residue no member hits) or an
+        # ineligible cell (< 2 picks): pass through unchanged
+        if len(lpdf) == 0 or len(rpdf) < 2:
+            return lpdf
+        r = rpdf.sort_values("sub_id")
+        M = np.asarray(
+            [np.asarray(v, dtype=np.int64) for v in r["rqv"]], dtype=np.int64
+        )
+        ids = r["sub_id"].to_numpy(dtype=np.int64)
+        inv_norm = 1.0 / np.sqrt((M * M).sum(axis=1).astype(np.float64))
+        Q = np.asarray(
+            [np.asarray(v, dtype=np.int64) for v in lpdf["qv"]], dtype=np.int64
+        )
+        # argmax of cos = argmax of dot * inv|c| (|q| is a positive
+        # per-row constant); first-max tie = smallest sub id (ids ascend
+        # with vid order) — bit-identical to the driver strategy kernel
+        best = ((Q @ M.T) * inv_norm[None, :]).argmax(axis=1)
+        lpdf = lpdf.copy()
+        lpdf["cell"] = ids[best]
+        return lpdf
+
+    reassigned = (
+        left.groupby("cell", "__chunk")
+        .cogroup(right.groupby("rcell", "rchunk"))
+        .applyInPandas(reassign, out_schema)
+        .localCheckpoint(eager=True)
+    )
+    return _anti_union(assigned, over_df, reassigned), next_id + total_new, True
+
 
 
 def semantic_dedup(

@@ -779,3 +779,101 @@ def test_jpeg_arm_in_image_features(spark):
         assert (rows[1].width, rows[1].height) == (w, h)
         assert abs(rows[1].mean_luma - _plane_mean(plane, w, h)) < 1.5 / 255
     assert rows[2].decoder in ("pil", "fake")  # PIL can do progressive
+
+
+# ---------------------------------------------------------------------------
+# real-bytes video arm: MJPEG-in-AVI (round 13)
+# ---------------------------------------------------------------------------
+
+def _encode_mjpeg_avi(jpeg_frames, w, h, us_per_frame=40000):
+    """Minimal RIFF/AVI wrapper around pre-encoded JPEG frames (public
+    'AVI RIFF File Reference' layout): RIFF('AVI ' LIST('hdrl' avih)
+    LIST('movi' 00dc...)). Enough structure for the container walk —
+    no stream headers or idx1 (both optional for the parser)."""
+    import struct
+
+    def chunk(fourcc, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    avih = struct.pack(
+        "<10I",
+        us_per_frame,      # dwMicroSecPerFrame
+        0, 0, 0,
+        len(jpeg_frames),  # dwTotalFrames
+        0, 1, 0,
+        w, h,
+    ) + b"\x00" * 16
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(
+        b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_mjpeg_parse_real_bytes():
+    """The container walk recovers dims, frame period, and every JPEG
+    payload; truncated bytes and non-AVI RIFF raise (degrade contract)."""
+    import pytest
+
+    from mover_spark.operators.multimodal import _avi_mjpeg_frames
+
+    w, h = 16, 12
+    frames = [
+        _encode_baseline_jpeg(_gradient_plane(w, h), w, h) for _ in range(5)
+    ]
+    avi = _encode_mjpeg_avi(frames, w, h, us_per_frame=33333)
+    gw, gh, uspf, got = _avi_mjpeg_frames(avi)
+    assert (gw, gh, uspf) == (w, h, 33333)
+    assert got == frames
+    with pytest.raises(ValueError):
+        _avi_mjpeg_frames(avi[:40])  # truncated inside hdrl
+    with pytest.raises(ValueError):
+        _avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE")  # RIFF, not AVI
+
+
+def test_video_features_real_avi_and_fake_mix(spark):
+    """End-to-end real-bytes video chain: an MJPEG AVI with frames of
+    DIFFERENT brightness decodes through 'avi-mjpeg-stdlib' (true frame
+    count/duration from the container, sampled luma mean/spread from the
+    T.81 decoder); opaque bytes degrade to the deterministic fake arm
+    with metadata-derived duration."""
+    from mover_spark.operators.multimodal import video_features
+
+    w, h = 16, 16
+    # 6 frames at 10 fps: 3 dark then 3 bright -> nonzero luma_spread
+    dark = [[40] * w for _ in range(h)]
+    bright = [[200] * w for _ in range(h)]
+    frames = [
+        _encode_baseline_jpeg(p, w, h) for p in ([dark] * 3 + [bright] * 3)
+    ]
+    avi = _encode_mjpeg_avi(frames, w, h, us_per_frame=100_000)
+    media = spark.createDataFrame(
+        [
+            (1, "video", avi, None),
+            (2, "video", b"not a container", 2000),
+            (3, "image", avi, None),  # wrong modality: excluded
+        ],
+        "media_id long, media_type string, content binary, duration_ms long",
+    )
+    rows = {r.media_id: r for r in video_features(media, every_ms=200).collect()}
+    assert set(rows) == {1, 2}
+    real = rows[1]
+    assert real.decoder == "avi-mjpeg-stdlib"
+    assert (real.width, real.height) == (w, h)
+    assert real.n_frames == 6 and real.duration_ms == 600
+    # every_ms=200 at 100ms/frame -> step 2 -> frames 0,2,4 sampled
+    assert real.n_sampled == 3
+    # sampled frames 0,2 dark (luma 40) and 4 bright (luma 200)
+    assert abs(real.mean_luma - ((40 + 40 + 200) / 3) / 255) < 2 / 255
+    assert real.luma_spread > 0.5  # dark vs bright frames
+    fake = rows[2]
+    assert fake.decoder == "fake"
+    assert fake.duration_ms == 2000 and fake.n_frames == 51  # 2000//40+1
+    assert fake.n_sampled == 11 and fake.luma_spread == 0.0
+    # determinism across runs
+    again = {
+        r.media_id: r for r in video_features(media, every_ms=200).collect()
+    }
+    assert sorted(map(tuple, rows.values())) == sorted(map(tuple, again.values()))

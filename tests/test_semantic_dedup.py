@@ -241,9 +241,9 @@ def test_max_cell_pairs_subdivides_and_keeps_tight_clusters(spark):
 
 
 def test_subdivide_executor_matches_driver_reference(spark):
-    """VERDICT r12 next #1: the executor-side _subdivide_cells (no
-    sub-centroid collect, no driver dict) must be BYTE-IDENTICAL to the
-    retained driver-side reference — same sub-cell ids, same member
+    """VERDICT r12 next #1: the executor-side sub-quantization strategy
+    (no sub-centroid collect, no driver dict) must be BYTE-IDENTICAL to
+    the driver-collect strategy — same sub-cell ids, same member
     assignments — on a fixture that forces multiple recursion levels,
     multiple over-budget cells, and non-trivial id offsets across cells."""
     import random
@@ -251,10 +251,7 @@ def test_subdivide_executor_matches_driver_reference(spark):
     from pyspark.sql import functions as F
 
     from mover_spark.operators.dedup import quantized_vec
-    from mover_spark.operators.similarity import (
-        _subdivide_cells,
-        _subdivide_cells_driver,
-    )
+    from mover_spark.operators.similarity import _subdivide_cells
 
     rng = random.Random(13)
     dim = 8
@@ -278,10 +275,12 @@ def test_subdivide_executor_matches_driver_reference(spark):
     ).cast("double")))
     args = dict(s_max=16, start_id=1000, max_depth=3)
     prod = sorted(
-        (r.vid, r.cell) for r in _subdivide_cells(df, **args).collect()
+        (r.vid, r.cell)
+        for r in _subdivide_cells(df, **args, mode="executor").collect()
     )
     ref = sorted(
-        (r.vid, r.cell) for r in _subdivide_cells_driver(df, **args).collect()
+        (r.vid, r.cell)
+        for r in _subdivide_cells(df, **args, mode="driver").collect()
     )
     assert prod == ref
     # the split actually happened and allocated fresh ids
