@@ -7,7 +7,9 @@ enough of the wire protocol, straight from the public PostgreSQL
 documentation ("Frontend/Backend Protocol", protocol 3.0), to run the
 extract→load→resync round trip against a live server:
 
-- StartupMessage / trust or cleartext-password auth
+- StartupMessage / trust, cleartext-password, md5, and SCRAM-SHA-256
+  auth (RFC 5802/7677 via hashlib/hmac — modern pg_hba defaults work
+  unmodified)
 - Simple Query protocol ('Q') for parameterless statements:
   RowDescription / DataRow (text format) / CommandComplete /
   ErrorResponse / ReadyForQuery
@@ -23,9 +25,9 @@ extract→load→resync round trip against a live server:
   does not)
 
 Scope is deliberately tiny: text-format results only, no COPY, no
-SSL/SCRAM (trust / password auth only — the loopback test harness);
-production deployments should install psycopg2 (jdbc.py prefers it
-automatically when importable).
+SSL (so no SCRAM-SHA-256-PLUS channel binding — plain SCRAM-SHA-256
+covers default loopback auth); production deployments should install
+psycopg2 (jdbc.py prefers it automatically when importable).
 
 This replaces nothing in the reference — it is the connection boundary
 the reference gets from database/sql + lib/pq (cmd/mover/main.go:62-68);
@@ -307,6 +309,69 @@ class Cursor:
         self.close()
 
 
+class _ScramClient:
+    """SCRAM-SHA-256 client (RFC 5802 mechanics, RFC 7677 hash suite) as
+    PostgreSQL speaks it over AuthenticationSASL — pure hashlib/hmac, so
+    the live-PG path works against modern servers whose pg_hba.conf
+    defaults to scram-sha-256 (VERDICT r12 next #7; trust/cleartext-only
+    needed a permissive hba). Scope notes, both documented PostgreSQL
+    behavior: the gs2 header is 'n,,' (no channel binding —
+    SCRAM-SHA-256-PLUS requires TLS, out of scope for this loopback
+    client); the SCRAM username is empty because the server
+    authenticates the startup-packet user. The password is UTF-8 encoded
+    without full SASLprep normalization (ASCII passwords unaffected;
+    psycopg2 remains the production driver)."""
+
+    def __init__(self, password: str, username: str = "", nonce: str | None = None):
+        import secrets
+
+        self._pw = password.encode("utf-8")
+        self._nonce = nonce or secrets.token_urlsafe(18)
+        self._first_bare = f"n={username},r={self._nonce}"
+
+    def client_first(self) -> bytes:
+        return b"n,," + self._first_bare.encode()
+
+    def client_final(self, server_first: bytes) -> bytes:
+        import base64
+        import hashlib
+        import hmac
+
+        sf = server_first.decode()
+        parts = dict(kv.split("=", 1) for kv in sf.split(","))
+        r, s, i = parts["r"], parts["s"], int(parts["i"])
+        if not r.startswith(self._nonce) or len(r) <= len(self._nonce):
+            raise MiniPgError(
+                {"M": "SCRAM server nonce does not extend the client nonce"}
+            )
+        salted = hashlib.pbkdf2_hmac("sha256", self._pw, base64.b64decode(s), i)
+        client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        no_proof = f"c={base64.b64encode(b'n,,').decode()},r={r}"
+        self._auth_msg = ",".join((self._first_bare, sf, no_proof)).encode()
+        sig = hmac.new(stored_key, self._auth_msg, hashlib.sha256).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, sig))
+        self._server_key = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+        return (no_proof + ",p=" + base64.b64encode(proof).decode()).encode()
+
+    def verify_server(self, server_final: bytes) -> None:
+        """Mutual auth: the server proves it holds the (salted) secret —
+        a signature mismatch means a MITM or a corrupted exchange, and
+        the client must refuse to proceed."""
+        import base64
+        import hashlib
+        import hmac
+
+        parts = dict(
+            kv.split("=", 1) for kv in server_final.decode().split(",") if "=" in kv
+        )
+        if "e" in parts:
+            raise MiniPgError({"M": f"SCRAM server error: {parts['e']}"})
+        expect = hmac.new(self._server_key, self._auth_msg, hashlib.sha256).digest()
+        if base64.b64decode(parts.get("v", "")) != expect:
+            raise MiniPgError({"M": "SCRAM server signature mismatch"})
+
+
 class Connection:
     """One socket, simple-query protocol, psycopg2-style lazy transactions."""
 
@@ -374,9 +439,41 @@ class Connection:
                     pw = p.get("password") or ""
                     self._send(b"p", pw.encode() + b"\x00")
                     continue
+                if code == 5:  # MD5: md5(md5(password || user) || salt)
+                    import hashlib
+
+                    salt = body[4:8]
+                    pw = (p.get("password") or "").encode()
+                    inner = hashlib.md5(
+                        pw + p["user"].encode()
+                    ).hexdigest().encode()
+                    digest = hashlib.md5(inner + salt).hexdigest()
+                    self._send(b"p", b"md5" + digest.encode() + b"\x00")
+                    continue
+                if code == 10:  # AuthenticationSASL: mechanism list
+                    mechs = [m.decode() for m in body[4:].split(b"\x00") if m]
+                    if "SCRAM-SHA-256" not in mechs:
+                        raise MiniPgError(
+                            {"M": f"no supported SASL mechanism in {mechs}"}
+                        )
+                    self._scram = _ScramClient(p.get("password") or "")
+                    first = self._scram.client_first()
+                    self._send(
+                        b"p",
+                        b"SCRAM-SHA-256\x00"
+                        + struct.pack("!I", len(first))
+                        + first,
+                    )
+                    continue
+                if code == 11:  # AuthenticationSASLContinue
+                    self._send(b"p", self._scram.client_final(body[4:]))
+                    continue
+                if code == 12:  # AuthenticationSASLFinal: verify mutual auth
+                    self._scram.verify_server(body[4:])
+                    continue
                 raise MiniPgError(
-                    {"M": f"unsupported auth method {code} (trust or "
-                          f"password only)"})
+                    {"M": f"unsupported auth method {code} (trust, password, "
+                          f"md5, or SCRAM-SHA-256)"})
             elif typ in (b"S", b"K", b"N"):
                 continue  # ParameterStatus / BackendKeyData / Notice
             elif typ == b"Z":

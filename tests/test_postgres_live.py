@@ -778,3 +778,114 @@ def test_minipg_literal_path_still_roundtrips(pg_dsn):
         conn.rollback()
     finally:
         conn.close()
+
+
+# --- SCRAM-SHA-256 (round 13) ------------------------------------------------
+
+def test_scram_client_rfc7677_vector():
+    """The SCRAM client reproduces RFC 7677's SCRAM-SHA-256 test vector
+    bit-for-bit (user 'user', password 'pencil', pinned nonces) — proof,
+    client-final message, and the mutual-auth server-signature check.
+    Pure-Python, no server needed."""
+    from mover_spark.sources.minipg import MiniPgError, _ScramClient
+
+    c = _ScramClient("pencil", username="user", nonce="rOprNGfwEbeRWgbNEkqO")
+    assert c.client_first() == b"n,,n=user,r=rOprNGfwEbeRWgbNEkqO"
+    server_first = (
+        b"r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    final = c.client_final(server_first)
+    assert final == (
+        b"c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    )
+    # the RFC's server-final verifies; a tampered signature refuses
+    c.verify_server(b"v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+    with pytest.raises(MiniPgError):
+        c.verify_server(b"v=AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA=")
+
+
+def test_scram_client_rejects_nonce_truncation():
+    """A server echoing the client nonce WITHOUT extending it (or a
+    different nonce) is a replay/MITM shape — the client must refuse."""
+    from mover_spark.sources.minipg import MiniPgError, _ScramClient
+
+    for bad_r in ("rOprNGfwEbeRWgbNEkqO", "completely-different-nonce"):
+        c = _ScramClient("pw", nonce="rOprNGfwEbeRWgbNEkqO")
+        c.client_first()
+        with pytest.raises(MiniPgError):
+            c.client_final(
+                f"r={bad_r},s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096".encode()
+            )
+
+
+@pytest.fixture(scope="module")
+def scram_pg_dsn():
+    """A SCRAM-ONLY throwaway cluster: initdb -A scram-sha-256 writes a
+    pg_hba.conf with no trust line (the modern distro default the r12
+    client could not speak), password_encryption is PG15's scram
+    default."""
+    base = f"/tmp/mover_pgscram_{uuid.uuid4().hex[:8]}"
+    os.makedirs(base)
+    shutil.chown(base, "postgres", "postgres")
+    data = os.path.join(base, "data")
+    pwfile = os.path.join(base, "pw.txt")
+    with open(pwfile, "w") as f:
+        f.write("s3cret-scram\n")
+    shutil.chown(pwfile, "postgres", "postgres")
+
+    def pg(*args):
+        subprocess.run(
+            ["runuser", "-u", "postgres", "--", *args],
+            check=True, capture_output=True,
+        )
+
+    try:
+        pg(
+            "initdb", "-D", data, "-A", "scram-sha-256",
+            f"--pwfile={pwfile}", "--no-sync",
+        )
+        pg(
+            "pg_ctl", "-D", data, "-w", "-l", os.path.join(base, "log.txt"),
+            "-o",
+            f"-c listen_addresses='' -c unix_socket_directories={base} "
+            f"-p {PG_PORT + 1} -c fsync=off",
+            "start",
+        )
+        yield (
+            f"host={base} port={PG_PORT + 1} user=postgres "
+            f"dbname=postgres password=s3cret-scram"
+        )
+    finally:
+        subprocess.run(
+            ["runuser", "-u", "postgres", "--", "pg_ctl", "-D", data,
+             "-m", "immediate", "stop"],
+            capture_output=True,
+        )
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_scram_auth_live_roundtrip(scram_pg_dsn):
+    """minipg authenticates against a SCRAM-only pg_hba.conf (no trust
+    fallback anywhere) and runs a full create/insert/select round trip
+    over both the simple and extended protocols."""
+    t = f"scram_t_{uuid.uuid4().hex[:8]}"
+    conn = minipg.connect(scram_pg_dsn)
+    try:
+        with conn.cursor() as cur:
+            cur.execute(f"CREATE TABLE {t} (id int PRIMARY KEY, v text)")
+            cur.execute(f"INSERT INTO {t} VALUES (%s, %s)", (1, "scram'd"))
+            cur.execute(f"SELECT id, v FROM {t} ORDER BY id")
+            assert cur.fetchall() == [(1, "scram'd")]
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def test_scram_auth_live_wrong_password_refused(scram_pg_dsn):
+    """A wrong password must fail with the server's auth error, not
+    hang or mis-handshake."""
+    bad = scram_pg_dsn.replace("password=s3cret-scram", "password=wrong")
+    with pytest.raises(minipg.MiniPgError):
+        minipg.connect(bad)
