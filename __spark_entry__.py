@@ -2105,74 +2105,73 @@ def _q_semantic_dedup(spark, sf_dir):
 
 #: ORDER MATTERS for the first 50 queries() entries: the grading driver's
 #: correctness file caps at 50 rows, so this list is the round's
-#: externally-audited surface. The rotation obligation was discharged in
-#: round 11 (every entry has carried a driver-signed green row in some
-#: round), so the round-12 window is: the two entries fixed per VERDICT
-#: r11 next #1 (array_funcs reshaped; winnowing_fast_invariants replacing
-#: the oracle-less winnowing_profile_fast), then fresh signatures for
-#: every operator whose code changed this round (#2-#5 + advice fixes),
-#: then the flagship heavy paths so every expensive plan carries a
-#: current-round signature.
-_R12_WINDOW = [
-    # -- the two entries VERDICT r11 next #1 demanded green --
-    "array_funcs",
-    "winnowing_fast_invariants",
-    # -- operators touched in round 12 --
-    "winnowing_profile",         # w=1 window-min branch (ADVICE)
-    "winnowing_overlap",
-    "containment_lsh",           # tok_df lifecycle + broadcast-volume gate
-    "containment_lsh_pruned",
-    "containment_pairs",
-    "data_quality_report",       # backslash escaping (ADVICE)
-    "semantic_dedup",            # max_cell_pairs sub-blocking (opt-in)
-    "multimodal_manifest",       # jpeg-stdlib arm added to the chain
-    "multimodal_frame_plan",
-    "multimodal_image_features",
-    "multimodal_audio_features",
-    "streaming_ann_probe",       # recall-monitor n_queries fix (ADVICE)
-    "streaming_ann_probe_pruned",
+#: externally-audited surface. Round-13 window per VERDICT r12 next #2:
+#: the 40 STALEST signatures (every entry whose latest driver-green row
+#: is r<=8 — the r1/r4 analytics block, the 30-query r7 TPC-H/window/
+#: stat family, the r8 events block), plus fresh signatures for the 10
+#: entries this round's code touches (tok_df release, shared winnowing
+#: builder, decimal-stable array rendering, sub-quantization dispatcher,
+#: JPEG non-interleaved fix, and the new video arm). After this window
+#: no entry's latest green row is older than r9.
+_R13_WINDOW = [
+    # -- operators touched in round 13 --
+    "array_funcs",               # decimal-stable element rendering (ADVICE)
     "string_funcs",              # same file as array_funcs
-    "date_funcs",
-    # -- flagship heavy paths: fresh signatures on the expensive plans --
-    "dedup_minhash_lsh",
-    "dedup_exact",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_keep_best",
-    "dedup_incremental",
-    "dedup_incremental_persisted",
-    "dedup_incremental_appended",
-    "substring_dedup_stats",
-    "substring_dedup_clean",
-    "embedding_dup_clusters",
-    "embedding_cosine_pairs",
-    "ann_topk_brute_force",
-    "ann_topk_ivf",
-    "ann_topk_pq",
-    "ann_topk_lsh",
-    "ann_topk_pq_filtered",
-    "bm25_topk",
-    "hybrid_retrieval_rrf",
-    "token_packing",
-    "redact_pii",
-    "decontaminate_ngram",
-    "leakage_safe_split",
-    "doc_fingerprint",
-    "q1_pricing_summary",
-    "snapshot_time_travel",
-    "snapshot_diff",
-    "streaming_running_totals",
-    "streaming_tumbling",
-    "events_json_props",
-    "curation_pipeline",
-    "user_value_trend_pandas",
+    "winnowing_fast_invariants", # arms_match now validates the shared builder
+    "winnowing_profile",         # shared _win_min_expr
+    "winnowing_overlap",
+    "containment_lsh",           # unconditional candidate materialization
+    "containment_lsh_pruned",
+    "semantic_dedup",            # sub-quantization strategy dispatcher
+    "multimodal_image_features", # JPEG single-component non-interleaved fix
+    "multimodal_video_features", # NEW: MJPEG-in-AVI real-bytes arm
+    # -- the 40 stalest signatures (last green r<=8) --
+    "events_gapfill",
+    "events_sliding",
+    "events_tumbling",
+    "user_value_trend",
+    "full_outer_spend",
+    "grouping_sets_agg",
+    "trailing_spend_range_window",
+    "corr_stats",
+    "cube_agg",
+    "distinct_count_agg",
+    "having_filter",
+    "intersect_set_op",
+    "percentile_agg",
+    "price_histogram",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_nation_year_profit",
+    "q10_returned_items",
+    "q11_part_value_share",
+    "q12_late_lines",
+    "q13_cust_order_dist",
+    "q14_promo_ratio",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_qty",
+    "q18_large_volume",
+    "q19_disjunctive",
+    "q21_waiting_suppliers",
+    "rank_functions",
+    "rich_idle_customers",
+    "running_window",
+    "scalar_subquery_min",
+    "stddev_stats",
+    "unpivot_events",
+    "value_window_funcs",
+    "events_funnel",
+    "events_sessionize",
+    "scd2_intervals",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    window = {k: q[k] for k in _R12_WINDOW}
+    window = {k: q[k] for k in _R13_WINDOW}
     window.update({k: v for k, v in q.items() if k not in window})
     return window
 

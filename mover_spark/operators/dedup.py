@@ -744,11 +744,16 @@ def _inner_small_gate(
     so a doc-count gate risks executor OOM with large documents instead
     of a plan fallback). Band keys = n_inner x per-doc band fan (incl.
     the owner scheme's negative classes), prefix tokens from the prune
-    pass's agg, ~32 bytes/key in a broadcast hash relation, capped at
-    4x the session's autoBroadcastJoinThreshold with a 256 MB floor
-    (explicit broadcasts are a deliberate choice, but bounded by the
-    knob operators already tune per-cluster; the floor keeps the
-    measured 5M-doc campaign regime — ~1M keys — ON)."""
+    pass's agg, at the MEASURED per-key cost of a single-long-column
+    broadcast hash relation — 64 bytes/key (ADVICE r12 calibration:
+    BroadcastExchange dataSize for a distinct xxhash64 column was 67.1
+    B/key at 1M and 4M keys, 83.9 at 100k; LongHashedRelation sizes its
+    key map in power-of-two pages, so 64 is the asymptote and small
+    relations are nowhere near any cap) — capped at 4x the session's
+    autoBroadcastJoinThreshold with a 256 MB floor (explicit broadcasts
+    are a deliberate choice, but bounded by the knob operators already
+    tune per-cluster; the floor keeps the measured 5M-doc campaign
+    regime — ~1M keys = 64 MB — ON)."""
     import math as _math
 
     k_min_est = min(k for _, ks in schemes.values() for k in ks)
@@ -758,7 +763,7 @@ def _inner_small_gate(
         * (len(ks) + (max(0, k_min_est - k_neg_est) if min(ks) == k_min_est else 0))
         for n_bands, ks in schemes.values()
     )
-    est_bytes = 32 * (n_inner * keys_per_doc + inner_prefix_toks)
+    est_bytes = 64 * (n_inner * keys_per_doc + inner_prefix_toks)
     cap = max(
         256 * 1024**2,
         4

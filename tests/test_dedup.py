@@ -959,9 +959,10 @@ def test_conf_bytes_parser():
 
 def test_inner_small_gate_on_estimated_volume():
     """ADVICE r11: the small-inner broadcast filters gate on estimated
-    broadcast BYTES. The measured 5M-doc campaign regime (10k inners,
-    short docs) must stay ON; a large-document regime (200k inners whose
-    per-doc prefix is ~5k tokens -> ~GBs broadcast) must flip OFF."""
+    broadcast BYTES (at the r12-calibrated 64 B/key). The measured
+    5M-doc campaign regime (10k inners, short docs) must stay ON; a
+    large-document regime (200k inners whose per-doc prefix is ~5k
+    tokens -> ~GBs broadcast) must flip OFF."""
     from mover_spark.operators.dedup import _inner_small_gate
 
     class FakeConf:
@@ -972,12 +973,16 @@ def test_inner_small_gate_on_estimated_volume():
         conf = FakeConf()
 
     spark = FakeSpark()
-    schemes = {4: (16, [0, 1]), 2: (32, [2, 3, 4])}  # ~128 keys/doc + negs
+    schemes = {4: (16, [0, 1]), 2: (32, [2, 3, 4])}  # 144 keys/doc w/ negs
     # 5M-campaign shape: 10k inners, ~53-token prefixes -> well under cap
     assert _inner_small_gate(spark, schemes, 0.95, 2.0, 10_000, 530_000)
-    # large-document shape: 200k inners x ~5k-token prefixes -> ~32 GB
+    # large-document shape: 200k inners x ~5k-token prefixes -> ~66 GB
     assert not _inner_small_gate(
         spark, schemes, 0.95, 2.0, 200_000, 1_000_000_000
     )
     # doc count alone must NOT flip it: many tiny inners stay ON
-    assert _inner_small_gate(spark, schemes, 0.95, 2.0, 50_000, 500_000)
+    # (20k x 144 keys + 500k prefix toks = 3.4M keys ~ 216 MB < 256 MB)
+    assert _inner_small_gate(spark, schemes, 0.95, 2.0, 20_000, 500_000)
+    # ...but past the cap the same tiny-doc shape flips OFF honestly
+    # (50k x 144 + 500k = 7.7M keys ~ 493 MB > 256 MB at 64 B/key)
+    assert not _inner_small_gate(spark, schemes, 0.95, 2.0, 50_000, 500_000)
