@@ -1095,6 +1095,39 @@ def test_jpeg_progressive_refinement_paths():
     assert abs(prog[2] - base[2]) < 1e-9
 
 
+def test_jpeg_progressive_random_planes_match_baseline():
+    """Property: for ANY plane, the progressive encoding reconstructs
+    the same coefficients as the baseline encoding (quant 1s, lossless
+    successive-approximation ladder), so the decoded luma agrees to
+    float round-off. Random planes + random dims sweep symbol mixes the
+    hand-picked fixtures may miss (long runs, dense spectra, every
+    (run,size) pair)."""
+    import random
+
+    from mover_spark.operators.multimodal import _jpeg_decode
+
+    rng = random.Random(1307)
+    for trial in range(6):
+        w = rng.randrange(8, 40)
+        h = rng.randrange(8, 40)
+        style = trial % 3
+        if style == 0:  # white noise: dense spectra, big symbols
+            plane = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        elif style == 1:  # mostly flat + impulses: long zero runs, EOBs
+            plane = [[128] * w for _ in range(h)]
+            for _ in range(rng.randrange(1, 6)):
+                plane[rng.randrange(h)][rng.randrange(w)] = rng.choice([0, 255])
+        else:  # smooth gradient: low-frequency energy only
+            plane = [
+                [(x * 5 + y * 3) % 256 for x in range(w)] for y in range(h)
+            ]
+        color = bool(trial % 2)
+        base = _jpeg_decode(_encode_baseline_jpeg(plane, w, h, color=color))
+        prog = _jpeg_decode(_encode_progressive_jpeg(plane, w, h, color=color))
+        assert prog[:2] == (w, h), (trial, w, h)
+        assert abs(prog[2] - base[2]) < 1e-9, (trial, w, h, prog[2], base[2])
+
+
 def test_jpeg_progressive_arm_in_image_features(spark):
     """Real progressive-JPEG bytes decode through the 'jpeg-stdlib' arm
     in the mapInPandas chain (VERDICT r12 missing #2: progressive is
