@@ -76,8 +76,14 @@ def main() -> None:
         except Exception:
             pass
 
+    # SPARK_GRAFT_BENCH_COLD=1 (see below) keeps its own detail series:
+    # a cold capture must never overwrite (or be diffed against) the
+    # committed warm series — the two disagree by exactly the session-memo
+    # price the knob exists to isolate (VERDICT r12 next #4)
+    cold = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") == "1"
+    detail_default = "BENCH_DETAIL_COLD.json" if cold else "BENCH_DETAIL.json"
     detail_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(REPO_DIR, "BENCH_DETAIL.json")
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(REPO_DIR, detail_default)
     )
     # previous committed medians, read BEFORE this run overwrites the file:
     # the mover flags below make per-query regressions vs the last capture
@@ -108,7 +114,6 @@ def main() -> None:
     # round-12 close showed a window rotation alone re-deals ~20 s of
     # medians among cache-consumer queries, which is what this knob
     # isolates.
-    cold = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") == "1"
 
     def clear_session_caches():
         from mover_spark.operators.dedup import clear_dedup_caches
@@ -171,6 +176,19 @@ def main() -> None:
             sort_keys=True,
         )
 
+    # a warm run reports the committed cold companion's total alongside,
+    # so the per-round capture line carries BOTH series (VERDICT r12 #4)
+    companion = {}
+    if not cold:
+        try:
+            with open(os.path.join(REPO_DIR, "BENCH_DETAIL_COLD.json")) as f:
+                cd = json.load(f)
+            companion = {
+                "cold_total_sec": cd["total_median_sec"],
+                "cold_detail": "BENCH_DETAIL_COLD.json",
+            }
+        except Exception:
+            pass
     line = json.dumps(
         {
             "metric": "suite_seconds",
@@ -179,11 +197,12 @@ def main() -> None:
             "n_queries": len(timings),
             "n_errors": sum(1 for t in timings.values() if t < 0),
             "sf": float(sf),
-            "detail": "BENCH_DETAIL.json",
+            "detail": os.path.basename(detail_path),
             "loadavg": loadavg(),
             "movers_gt_1.5x": sorted(movers),
             **({"movers_mode_mismatch": True} if mode_mismatch else {}),
             **({"cold": True} if cold else {}),
+            **companion,
         }
     )
     # the machine-parsable result is the LAST stdout line, flushed, with
