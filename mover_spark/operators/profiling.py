@@ -107,26 +107,45 @@ def profile_accuracy_check(
     reproduces Spark's HLL bits. Spark's HLL is hash-based and
     merge-commutative, so the boolean is deterministic per dataset.
 
-    This is the per-SF AUDIT of the sketch twin, so it runs both plans
-    (the exact one includes Catalyst's Expand); production first-profile
-    runs ``profile_table(exact=False)`` alone — the no-Expand shape
-    pinned by tests/test_profiling.py."""
-    exact = profile_table(df, columns, exact=True)
-    approx = profile_table(df, columns, exact=False, rsd=rsd).select(
-        "column_name", F.col("n_distinct").alias("n_approx")
-    )
-    return (
-        exact.join(approx, on=["column_name"])
-        .select(
-            "column_name",
-            "n_rows",
-            "n_nulls",
-            "n_distinct",
-            "min_val",
-            "max_val",
-            (
-                F.abs(F.col("n_approx") - F.col("n_distinct"))
-                <= F.col("n_distinct") * F.lit(tol)
-            ).alias("distinct_within_tol"),
+    This is the per-SF AUDIT of the sketch twin. ONE aggregation pass
+    (optimization r13, guide §2.4): exact count_distinct and the HLL++
+    estimate compute in the SAME agg — previously this ran
+    ``profile_table`` twice (two scans, two aggregate trees) and joined
+    on column_name. Catalyst's multi-distinct rewrite puts the
+    non-distinct aggregates (sum/min/max/approx_count_distinct) in the
+    Expand's gid-0 group where every row appears exactly once, so the
+    HLL sketch sees the identical row stream the standalone approx
+    profile does; HLL merge is commutative, so the estimate — and the
+    boolean — is bit-identical to the two-pass form. Production
+    first-profile still runs ``profile_table(exact=False)`` alone — the
+    no-Expand shape pinned by tests/test_profiling.py."""
+    dtypes = dict(df.dtypes)
+    if columns is None:
+        columns = [c for c in df.columns if not dtypes[c].startswith("map<")]
+    profiles = []
+    for c in columns:
+        r = _render(dtypes[c])
+        col = F.col("`" + c.replace("`", "``") + "`")
+        profiles.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.sum(F.when(col.isNull(), 1).otherwise(0)).alias("n_nulls"),
+                F.count_distinct(col).alias("n_distinct"),
+                F.approx_count_distinct(col, rsd=rsd).alias("n_approx"),
+                r(F.min(col)).alias("min_val"),
+                r(F.max(col)).alias("max_val"),
+            )
         )
+    wide = df.agg(F.count(F.lit(1)).alias("n_rows"), F.array(*profiles).alias("p"))
+    return wide.select("n_rows", F.explode("p").alias("p")).select(
+        F.col("p.column_name").alias("column_name"),
+        "n_rows",
+        F.col("p.n_nulls").alias("n_nulls"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.col("p.min_val").alias("min_val"),
+        F.col("p.max_val").alias("max_val"),
+        (
+            F.abs(F.col("p.n_approx") - F.col("p.n_distinct"))
+            <= F.col("p.n_distinct") * F.lit(tol)
+        ).alias("distinct_within_tol"),
     )

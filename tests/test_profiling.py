@@ -98,3 +98,19 @@ def test_profile_accuracy_check_contract(catalog):
         assert (r.n_rows, r.n_nulls, r.n_distinct, r.min_val, r.max_val) == (
             e.n_rows, e.n_nulls, e.n_distinct, e.min_val, e.max_val
         )
+
+
+def test_profile_accuracy_check_single_scan(catalog):
+    """Optimization r13: the accuracy contract computes the exact metrics
+    and the HLL++ estimate in ONE aggregation over ONE scan — previously
+    two profile_table passes (two scans) joined on column_name."""
+    from mover_spark.operators.profiling import profile_accuracy_check
+
+    plan = (
+        profile_accuracy_check(catalog.df("orders"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.lower().count("filescan") == 1
+    assert "Join" not in plan
