@@ -56,6 +56,28 @@ def _conf_bytes(spark, key: str, default: int) -> int:
     return n if n > 0 else default
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df`` (file-size sum for scans) — the
+    cheap, driver-side input-scale signal the small-corpus fast paths gate
+    on. Falls back to "huge" on any introspection failure so the gates
+    fail toward the scale-safe (sequential / gc'd) shape."""
+    try:
+        # py4j converts the scala BigInt to a Python int
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
+#: Inputs below this estimate take containment_lsh's one-DAG band stage
+#: (no per-scheme eager checkpoint, no forced full GC): peak scratch for
+#: the band shuffles is bounded by a few x input bytes (~2.5 KB of band
+#: rows per KB-sized doc), so the sf100 disk-reclaim discipline the
+#: sequential form exists for buys nothing and costs two driver-blocking
+#: System.gc() pauses plus two extra jobs per call. Conf-overridable per
+#: cluster (spark.mover.contain.sequentialMinInputBytes).
+_CONTAIN_SEQ_MIN_INPUT = 1 << 30
+
+
 # ---------------------------------------------------------------------------
 # shingling
 # ---------------------------------------------------------------------------
@@ -1084,8 +1106,34 @@ def containment_lsh(
     class-specific band scheme can serve. Shares _hashed_shingles with
     the exact operator (one corpus pass, memoized)."""
     import math as _math
+    import time as _time
 
+    # dev-only stage timer (MOVER_SPARK_CONTAIN_DEBUG=1): wall-clock per
+    # materialization boundary, for the optimization-round profiling work
+    _dbg = os.environ.get("MOVER_SPARK_CONTAIN_DEBUG") == "1"
+    _t0 = _time.time()
+
+    def _mark(label: str) -> None:
+        nonlocal _t0
+        if _dbg:
+            now = _time.time()
+            print(f"[contain {label}] +{now - _t0:.2f}s", flush=True)
+            _t0 = now
+
+    # THE PER-SCHEME FORCED GC IS SCALE-GATED (optimization r13): the
+    # System.gc() nudge exists to reclaim the sf100 regime's 60+ GB of
+    # band-shuffle files between schemes; band-row volume is a small
+    # multiple of input bytes, so below ~1 GiB of input there is nothing
+    # worth reclaiming and each full GC is a pure driver-blocking pause.
+    # (The per-scheme eager checkpoints themselves stay unconditional —
+    # an r13 one-DAG variant measured 2.5x worse at sf0.1, see the loop.)
+    sequential_schemes = _plan_size_bytes(df) >= _conf_bytes(
+        df.sparkSession,
+        "spark.mover.contain.sequentialMinInputBytes",
+        _CONTAIN_SEQ_MIN_INPUT,
+    )
     reps, members = _containment_reps(df, text_col, id_col)
+    _mark("reps-built(lazy)")
     schemes = _containment_band_schemes(
         threshold,
         slice_base,
@@ -1152,21 +1200,30 @@ def containment_lsh(
         # against a leaf, not the whole df pipeline. __n rides along so
         # the broadcast-volume estimate below is one agg on this leaf,
         # not another corpus pass.
+        # LEFT join from reps (optimization r13): keeps zero-shared docs in
+        # the frame so n_reps folds into the stats agg below (the separate
+        # reps.count() job is gone). Filter sets are unchanged: __shared=0
+        # docs fail __inner for any threshold > 0 (ceil(t*n) >= 1) and are
+        # excluded from outer_ok by the __shared >= 1 predicate — exactly
+        # the docs the old inner join dropped.
+        sh0 = F.coalesce(F.col("__shared"), F.lit(0))
         both = (
-            shared_n.join(reps.select("doc", F.size("hs").alias("__n")), "doc")
+            reps.select("doc", F.size("hs").alias("__n"))
+            .join(shared_n, "doc", "left")
             .select(
                 "doc",
                 "__n",
+                sh0.alias("__shared"),
                 (
-                    F.col("__shared")
+                    sh0
                     >= F.ceil(F.col("__n") * F.lit(threshold) - F.lit(1e-9))
                 ).alias("__inner"),
             )
             .localCheckpoint(eager=True)
         )
-        n_reps = reps.count()
         stats = both.agg(
-            F.count(F.lit(1)).alias("n_outer"),
+            F.count(F.lit(1)).alias("n_reps"),
+            F.sum((F.col("__shared") >= 1).cast("long")).alias("n_outer"),
             F.sum(F.col("__inner").cast("long")).alias("n_inner"),
             # per-inner deep-arm prefix length: n - ceil(t*n) + q tokens
             # (the rare-first branch's explode/broadcast volume)
@@ -1182,9 +1239,11 @@ def containment_lsh(
                 ).otherwise(F.lit(0))
             ).alias("inner_prefix_toks"),
         ).collect()[0]
+        n_reps = int(stats["n_reps"] or 0)
         n_outer = int(stats["n_outer"] or 0)
         n_inner = int(stats["n_inner"] or 0)
         inner_prefix_toks = int(stats["inner_prefix_toks"] or 0)
+        _mark("prune-pass")
         # ADAPTIVE VACUITY DROP: a filter that keeps (almost) everything
         # buys nothing and still costs one semi-join shuffle per consumer
         # — on the 30-word standard fixture BOTH filters keep ~100% and
@@ -1193,7 +1252,7 @@ def containment_lsh(
         if n_inner < 0.95 * n_reps:
             inner_ok = both.where("__inner").select("doc")
         if n_outer < 0.95 * n_reps:
-            outer_ok = both.select("doc")
+            outer_ok = both.where(F.col("__shared") >= 1).select("doc")
     # SMALL-INNER REGIME: few docs can possibly be contained (the
     # realistic-corpus shape — most documents are mostly-unique). The
     # a-side band-key set and prefix-token set are then broadcast-sized,
@@ -1301,14 +1360,28 @@ def containment_lsh(
             .where(F.col("doc_inner") != F.col("doc_outer"))
             .select("doc_inner", "doc_outer")
             .distinct()
-            .localCheckpoint(eager=True)  # candidate-sized; frees the join
+            # candidate-sized eager checkpoint frees the band join before
+            # the next scheme plans its own (peak scratch = ONE scheme).
+            # UNCONDITIONAL: an r13 one-DAG small-corpus variant was
+            # measured 2.5x WORSE at sf0.1 (34.0 vs 13.3 s median — the
+            # un-truncated band-join lineage re-plans into every
+            # downstream consumer), matching the sf100 646-vs-535 s row;
+            # sequential materialization wins at every measured size.
+            .localCheckpoint(eager=True)
         )
         cand_parts.append(part)
-        # the big shuffle's files are reclaimed once its ShuffleDependency
-        # is unreachable; the ContextCleaner reacts to driver GC, so give
-        # it one — a no-op everywhere but exactly here, where the next
-        # scheme is about to need the disk the last one is still holding
-        sig.sparkSession._jvm.System.gc()
+        _mark(f"scheme-r{r}")
+        if sequential_schemes:
+            # the big shuffle's files are reclaimed once its
+            # ShuffleDependency is unreachable; the ContextCleaner reacts
+            # to driver GC, so give it one — a no-op everywhere but
+            # exactly here, where the next scheme is about to need the
+            # disk the last one is still holding. SCALE-GATED
+            # (optimization r13): below ~1 GiB of input the shuffles it
+            # would reclaim are input-bytes-scale (MBs), and each forced
+            # full GC is a measured driver-blocking pause per scheme.
+            sig.sparkSession._jvm.System.gc()
+            _mark(f"scheme-r{r}-gc")
     cands = cand_parts[0]
     for part in cand_parts[1:]:
         cands = cands.unionByName(part)
@@ -1343,6 +1416,7 @@ def containment_lsh(
         # verify join consumes the set twice (sha + shb joins) anyway.
         candidates = candidates.localCheckpoint(eager=True)
         tok_df.unpersist()
+    _mark("candidates(deep+union)")
 
     sha = reps.select(F.col("doc").alias("doc_inner"), F.col("hs").alias("hs_a"))
     shb = reps.select(F.col("doc").alias("doc_outer"), F.col("hs").alias("hs_b"))
@@ -2311,21 +2385,22 @@ def _propagate(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
             .groupBy("src")
             .agg(F.min("dst_label").alias("nbr_label"))
         )
+        # carry the previous label through the checkpoint so the
+        # convergence check is a scan of the checkpointed leaf, not an
+        # extra node-keyed join per round (optimization r13: the old
+        # nxt-join-labels changed-check was one full join + shuffle per
+        # iteration, ~40% of each round's jobs on clique-shaped graphs)
         nxt = (
             labels.join(nbr_min, labels.node == nbr_min.src, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+                F.col("label").alias("__old"),
             )
             .localCheckpoint()
         )
-        changed = (
-            nxt.join(labels.select("node", F.col("label").alias("old")), on=["node"])
-            .where(F.col("label") < F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = nxt
+        changed = nxt.where(F.col("label") < F.col("__old")).limit(1).count()
+        labels = nxt.select("node", "label")
         if changed == 0:
             break
     return labels

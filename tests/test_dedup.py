@@ -986,3 +986,33 @@ def test_inner_small_gate_on_estimated_volume():
     # ...but past the cap the same tiny-doc shape flips OFF honestly
     # (50k x 144 + 500k = 7.7M keys ~ 493 MB > 256 MB at 64 B/key)
     assert not _inner_small_gate(spark, schemes, 0.95, 2.0, 50_000, 500_000)
+
+
+def test_containment_sequential_gate_output_identical(spark, catalog):
+    """Optimization r13: the band stage's per-scheme sequential
+    materialization (eager checkpoint + forced GC per scheme) is gated on
+    estimated input bytes — the one-DAG small-corpus form must produce a
+    row-identical result (same union of per-scheme distinct candidate
+    sets feeding the same exact verification)."""
+    from mover_spark.operators.dedup import clear_dedup_caches, containment_lsh
+
+    docs = catalog.df("documents")
+    key = "spark.mover.contain.sequentialMinInputBytes"
+
+    def run():
+        return {
+            (r.doc_inner, r.doc_outer, r.containment)
+            for r in containment_lsh(docs, 0.95).collect()
+        }
+
+    # fixture is far below the default gate -> one-DAG path
+    one_dag = run()
+    clear_dedup_caches()
+    spark.conf.set(key, "1")  # force the sequential sf100 shape
+    try:
+        sequential = run()
+    finally:
+        spark.conf.unset(key)
+        clear_dedup_caches()
+    assert one_dag, "fixture should contain containment pairs"
+    assert sequential == one_dag
