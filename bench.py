@@ -117,9 +117,11 @@ def main() -> None:
 
     def clear_session_caches():
         from mover_spark.operators.dedup import clear_dedup_caches
+        from mover_spark.operators.similarity import clear_similarity_caches
         from mover_spark.operators.text import clear_text_caches
 
         clear_dedup_caches()
+        clear_similarity_caches()
         clear_text_caches()
 
     runs: dict[str, list[float]] = {}

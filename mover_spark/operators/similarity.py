@@ -15,6 +15,7 @@ per-query-partition window, k rows per query cross the wire.
 """
 
 import math
+import os
 import random
 
 import numpy as np
@@ -1015,6 +1016,82 @@ def read_ann_index(spark, path: str):
     return spark.read.parquet(f"{path}/codes"), cents, cb, meta
 
 
+#: Session registry of loaded ANN indexes keyed by (session, path) — the
+#: production probe-server shape (pq_topk_from_loaded's docstring:
+#: per-call re-reads cost meta/centroids/codebooks collect jobs plus
+#: directory listings + footer reads across hundreds of cell directories,
+#: measured dominant on a 435-cell index). Entries hold the LAZY loaded
+#: tuple — the codes relation is NOT persisted: a persist() here was
+#: measured to (a) replace the cell-partitioned parquet scan with an
+#: InMemoryRelation scan, losing PartitionFilters cell pruning — the
+#: index's whole scale story — and (b) leave a CacheManager entry that
+#: substitutes STALE data into fresh spark.read.parquet reads of the same
+#: path after compact_ann_index's out-of-band rename swap (Spark only
+#: refreshes path caches on its own writes). Entries are invalidated by
+#: an mtime signature over the index's artifact directories, so appends/
+#: compactions/rebuilds re-read; LRU-bounded like dedup._SIG_CACHE;
+#: released by clear_similarity_caches (bench cold mode calls it per
+#: query).
+_ANN_LOADED_CACHE: dict = {}
+_ANN_LOADED_CACHE_MAX = int(os.environ.get("MOVER_SPARK_ANN_CACHE_MAX", "4"))
+
+
+def _ann_index_stamp(path: str):
+    """Cheap change signature of a persisted index: names + mtimes of the
+    top-level entries of the index dir and each artifact dir (meta /
+    centroids / codebooks / codes). Every mutation path touches one of
+    these levels: write/rebuild rewrites the dirs, append rewrites
+    codes/_SUCCESS (and the _append_complete marker), compaction swaps the
+    codes dir, staging recovery renames at top level."""
+    stamp = []
+    for d in (
+        path,
+        os.path.join(path, "meta"),
+        os.path.join(path, "centroids"),
+        os.path.join(path, "codebooks"),
+        os.path.join(path, "codes"),
+    ):
+        try:
+            with os.scandir(d) as it:
+                stamp.append(
+                    (d, tuple(sorted((e.name, e.stat().st_mtime_ns) for e in it)))
+                )
+        except OSError:
+            stamp.append((d, None))
+    return tuple(stamp)
+
+
+def loaded_ann_index(spark, path: str):
+    """read_ann_index memoized per session — repeated queries against the
+    same persisted index skip the per-call meta/centroids/codebooks
+    collect jobs and the codes directory re-listing (the memoized codes
+    DataFrame carries its InMemoryFileIndex). The codes relation stays
+    LAZY and unpersisted so per-query-cell probes keep their
+    PartitionFilters pruning (see the registry comment). Raises exactly
+    like read_ann_index on version/scale mismatch (misses delegate to
+    it). Callers MAY persist/unpersist the codes relation around a
+    bounded drain (the streaming probe does); they must release it before
+    any index mutation."""
+    key = (id(spark), os.path.normpath(path))
+    stamp = _ann_index_stamp(path)
+    hit = _ANN_LOADED_CACHE.get(key)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
+    _ANN_LOADED_CACHE.pop(key, None)
+    loaded = read_ann_index(spark, path)
+    while len(_ANN_LOADED_CACHE) >= _ANN_LOADED_CACHE_MAX:
+        _ANN_LOADED_CACHE.pop(next(iter(_ANN_LOADED_CACHE)))
+    _ANN_LOADED_CACHE[key] = (stamp, loaded)
+    return loaded
+
+
+def clear_similarity_caches() -> None:
+    """Drop every memoized loaded index (bench cold mode / tests). Entries
+    are lazy (never persisted by the registry), so dropping the references
+    is the whole release."""
+    _ANN_LOADED_CACHE.clear()
+
+
 def pq_topk_from_index(
     spark,
     path: str,
@@ -1049,7 +1126,7 @@ def pq_topk_from_index(
     widening from batch-mates' cells, so this mode is the bench/production
     path while the union mode remains the oracle surface."""
     return pq_topk_from_loaded(
-        read_ann_index(spark, path),
+        loaded_ann_index(spark, path),
         queries,
         k=k,
         refine=refine,

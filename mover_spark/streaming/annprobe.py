@@ -124,13 +124,18 @@ def ann_probe_stream(
     cells), it does not fail the stream."""
     from mover_spark.operators.similarity import (
         _brute_force_topk_qc,
+        loaded_ann_index,
         pq_topk_from_loaded,
-        read_ann_index,
     )
 
-    loaded = read_ann_index(stream_emb.sparkSession, index_path)
+    # registry-memoized load (optimization r13): repeated drains against
+    # the same persisted index skip the per-call meta/centroids/codebooks
+    # collect jobs and the codes directory re-listing (mtime-invalidated
+    # on append/compact/rebuild). The persist is LOCAL to this drain —
+    # the registry holds the lazy relation only — and released in the
+    # finally below, exactly the pre-r13 lifecycle.
+    loaded = loaded_ann_index(stream_emb.sparkSession, index_path)
     codes = loaded[0].persist()
-    loaded = (codes, *loaded[1:])
     spark = stream_emb.sparkSession
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -604,3 +604,36 @@ def test_ann_index_per_query_cells_exactness_contracts(spark, catalog, tmp_path)
 
     with _pytest.raises(ValueError, match="per_query_cells"):
         pq_topk_from_index(spark, path, q, k=10, per_query_cells=True)
+
+
+def test_loaded_ann_index_memo_hit_and_mtime_invalidation(spark, catalog, tmp_path):
+    """Optimization r13: repeated queries against one persisted index must
+    reuse the session-pinned load (no per-call meta/centroids/codebooks
+    re-read), while any on-disk mutation (append) must invalidate the
+    memo so queries see the mutated index."""
+    from mover_spark.operators.similarity import (
+        append_to_ann_index,
+        clear_similarity_caches,
+        loaded_ann_index,
+        write_ann_index,
+    )
+
+    emb = catalog.df("embeddings")
+    path = str(tmp_path / "annidx_memo")
+    write_ann_index(emb.where(F.col("vec_id") % 3 != 0), path)
+    try:
+        first = loaded_ann_index(spark, path)
+        again = loaded_ann_index(spark, path)
+        assert again is first, "second load of an unchanged index must memo-hit"
+        # count BEFORE the append: a post-append count of the (by then
+        # unpersisted) first load would re-list the mutated directory and
+        # see the appended files too
+        n_before = first[0].count()
+
+        append_to_ann_index(emb.where(F.col("vec_id") % 3 == 0), path)
+        mutated = loaded_ann_index(spark, path)
+        assert mutated is not first, "append must invalidate the memo"
+        n_after = mutated[0].count()
+        assert n_after > n_before, "reloaded codes must include the appended rows"
+    finally:
+        clear_similarity_caches()
