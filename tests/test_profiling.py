@@ -100,17 +100,27 @@ def test_profile_accuracy_check_contract(catalog):
         )
 
 
-def test_profile_accuracy_check_single_scan(catalog):
-    """Optimization r13: the accuracy contract computes the exact metrics
-    and the HLL++ estimate in ONE aggregation over ONE scan — previously
-    two profile_table passes (two scans) joined on column_name."""
-    from mover_spark.operators.profiling import profile_accuracy_check
-
-    plan = (
-        profile_accuracy_check(catalog.df("orders"))
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+def test_profile_exact_plans_split_by_buffer_type(catalog):
+    """Optimization r13: the exact profile and the accuracy contract keep
+    the multi-distinct Expand aggregate on the HashAggregate codegen path
+    by folding every variable-width-buffer aggregate (string min/max, the
+    HLL sketch) in a separate un-expanded single-group pass. A merged
+    one-agg form demotes the whole Expand aggregate to SortAggregate
+    (measured 8.8 s vs 2.0 s solo at sf0.1 for the check). Pin: no
+    SortAggregate anywhere downstream of the Expand, and the join gluing
+    the two 1-row arms is a broadcast nested-loop, never a shuffle."""
+    from mover_spark.operators.profiling import (
+        profile_accuracy_check,
+        profile_table,
     )
-    assert plan.lower().count("filescan") == 1
-    assert "Join" not in plan
+
+    for frame in (
+        profile_accuracy_check(catalog.df("orders")),
+        profile_table(catalog.df("orders"), exact=True),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" in plan  # the exact multi-distinct is still one agg
+        # the Expand subtree must be hash-aggregated: a SortAggregate in
+        # this plan means wide buffers leaked back onto the expanded stream
+        assert "SortAggregate" not in plan.split("Expand")[0]
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
