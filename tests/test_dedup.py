@@ -931,6 +931,41 @@ def test_containment_prune_release_after_candidates_materialized(spark, monkeypa
     assert not leaked, f"{len(leaked)} persisted frame(s) outlived the call"
 
 
+def test_containment_releases_intermediate_checkpoints(spark):
+    """Optimization r13 (guide §5): the per-scheme candidate checkpoints
+    and the prune pass's doc frame are dead once the candidate union is
+    checkpointed — containment_lsh must drop their storage blocks itself
+    instead of leaving them to driver GC + ContextCleaner (back-to-back
+    calls in one session stacked them into measured GC thrash). After a
+    warm-registry call, the only NEW persistent RDD a call may leave
+    behind is the candidates checkpoint the returned plan still reads."""
+    from mover_spark.operators import dedup as D
+
+    D.clear_dedup_caches()
+    docs = [(i, " ".join(f"w{j}" for j in range(20 + (i % 3)))) for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # call 1 warms the session signature registry (its persists are
+    # owned/bounded there, not per-call)
+    D.containment_lsh(df, 0.8, prune_unique=True).collect()
+    jsc = spark.sparkContext._jsc
+
+    def rdd_ids():
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = rdd_ids()
+    out = D.containment_lsh(df, 0.8, prune_unique=True)
+    out.collect()
+    new = rdd_ids() - before
+    # without the release: prune frame + one checkpoint per band scheme
+    # + candidates all survive the call (4+). With it: candidates only.
+    assert len(new) <= 1, (
+        f"{len(new)} new persistent RDDs outlived the call — intermediate "
+        "checkpoints were not released"
+    )
+    out.collect()  # the surviving checkpoint still serves the plan
+    D.clear_dedup_caches()
+
+
 def test_conf_bytes_parser():
     """_conf_bytes: size suffixes, bare bytes, disabled (-1) -> default."""
     from mover_spark.operators.dedup import _conf_bytes
