@@ -238,22 +238,20 @@ def ngram_jaccard_pairs(
     and applying both bounds yields a small, skew-resistant candidate set
     that is then verified exactly. Lossless — output identical to brute
     force."""
-    # shingle projection memoized in the session registry (round-12 persist
-    # audit, VERDICT r11 next #3): the old per-invocation persist() had no
-    # owner and outlived the call — registry entries are LRU-bounded and
-    # released by clear_dedup_caches, same contract as _hashed_shingles
-    key = _dedup_cache_key(df, "ngram_sh", text_col, id_col)
-    sh = _cache_get(_SIG_CACHE, key)
-    if sh is None:
-        sh = (
-            df.select(
-                F.col(id_col).alias("doc"), shingles_udf()(F.col(text_col)).alias("sh")
-            )
-            .where(F.size("sh") > 0)
-            .persist()
-        )
-        sh = _cache_put(_SIG_CACHE, key, sh, _SIG_CACHE_MAX)
-    tok = sh.select("doc", F.explode("sh").alias("tok"))
+    # HASH ONCE, UP FRONT (optimization r13, guide §2.2: shuffle fewer
+    # bytes / narrower types): every downstream step — the frequency
+    # shuffle, the rare-first collect_list sort, the prefix explode and
+    # the candidate equi-join — used to carry bigram STRINGS; they now
+    # ride the xxhash64'd longs the verify step always used anyway. The
+    # prefix filter is lossless under ANY consistent global total order
+    # (the (freq, key) order merely has to be the SAME for both docs of a
+    # pair), so candidates can only differ in tie-breaks between
+    # equal-frequency shingles — and the exact verify discards the
+    # difference. Collision caveat unchanged (~n_sh^2/2^64, the hashed
+    # domain the verify already lived in). Shares the session-registry
+    # projection with the containment family: one cached copy per corpus.
+    sh = _hashed_shingles(df, text_col, id_col)
+    tok = sh.select("doc", F.explode("hs").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
 
     # global rare-first order materializes as struct sort keys — no global
@@ -295,12 +293,10 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verify on xxhash64'd shingle arrays — long intersects are several times
-    # cheaper than string intersects; a hash collision altering Jaccard has
-    # probability ~n_sh^2/2^64 per pair (negligible)
-    hsh = sh.select("doc", F.sort_array(F.transform("sh", lambda s: F.xxhash64(s))).alias("hs"))
-    sha = hsh.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
-    shb = hsh.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
+    # verify on the same hashed arrays — no second hashing pass, and
+    # array_intersect needs no sort
+    sha = sh.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
+    shb = sh.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
     return (
         candidates.join(sha, "doc_a")
         .join(shb, "doc_b")
@@ -1557,56 +1553,55 @@ def substring_dedup_clean(
     split/join is lossless), '' when the whole doc is duplicated text,
     NULL for NULL input text.
 
-    Plan shape: the shared marking pass (gram explode, min agg, long-keyed
-    join back), one bounded explode of marked spans into covered positions
-    (x min_len, then distinct — corpus-token scale, same asymptotics as
-    the gram stream), one anti-join of token positions against covered
-    ones, and one per-doc sort-and-rejoin aggregation. No UDFs; the only
-    per-doc materialization is the surviving token array a doc already
+    Plan shape (optimization r13, guide §2.2 — shuffle marked STARTS, not
+    tokens): the shared marking pass (gram explode, min agg, long-keyed
+    join back), then ONE doc-keyed aggregation of the marked start
+    positions, and everything else in-row on the doc's own token array.
+    The covered-position set expands from the starts inside the row
+    (flatten of per-start sequences + array_distinct), surviving
+    positions come from array_except(sequence(1, n), covered) — a
+    hash-set difference that preserves the left argument's order — and
+    tokens rebuild by O(1) element_at indexing. The prior form shuffled
+    corpus-TOKEN-scale rows three times (covered explode + distinct, a
+    (doc, pos) anti-join, and a collect_list + sort rebuild per doc); all
+    three are gone, and the one remaining shuffle carries ~n_marked_grams
+    rows, min_len x fewer than the exploded covered set alone. No UDFs;
+    per-row memory is bounded by the token array the doc already
     carried in its text."""
     dups = _dup_marked_positions(df, min_len, text_col, id_col)
-    covered = (
-        dups.select(
-            "doc",
-            F.explode(F.expr(f"sequence(pos, pos + {min_len - 1})")).alias("cpos"),
-        )
-        .distinct()
-    )
-    n_cov = covered.groupBy("doc").agg(F.count(F.lit(1)).alias("n_removed"))
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "tok"),
-    ).select("doc", (F.col("p0") + 1).alias("pos"), "tok")
-    kept = toks.join(
-        covered,
-        (toks["doc"] == covered["doc"]) & (toks["pos"] == covered["cpos"]),
-        "left_anti",
-    )
-    rebuilt = kept.groupBy("doc").agg(
-        F.array_join(
+    # one row per marked gram occurrence (distinct (doc, pos) by
+    # construction) — the only shuffle past the marking pass
+    starts = dups.groupBy("doc").agg(F.collect_list("pos").alias("__starts"))
+    covered = F.array_distinct(
+        F.flatten(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("__ct")
+                F.col("__starts"),
+                lambda s: F.sequence(s, s + F.lit(min_len - 1)),
+            )
+        )
     )
     base = df.select(
         F.col(id_col),
         F.col(text_col).alias("__text"),
-        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        F.split(F.col(text_col), " ").alias("__w"),
     )
+    kept_pos = F.array_except(F.sequence(F.lit(1), F.size("__w")), F.col("__cov"))
     return (
-        base.join(rebuilt, base[id_col] == rebuilt["doc"], "left")
-        .join(n_cov, base[id_col] == n_cov["doc"], "left")
+        base.join(starts, base[id_col] == starts["doc"], "left")
+        .withColumn("__cov", covered)
         .select(
             F.col(id_col),
             F.when(F.col("__text").isNull(), F.lit(None).cast("string"))
-            .when(F.col("n_removed").isNull(), F.col("__text"))
-            .otherwise(F.coalesce(F.col("__ct"), F.lit("")))
+            .when(F.col("__cov").isNull(), F.col("__text"))
+            .otherwise(
+                F.array_join(
+                    F.transform(kept_pos, lambda p: F.element_at(F.col("__w"), p)),
+                    " ",
+                )
+            )
             .alias("clean_text"),
-            "n_tokens",
-            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.size("__w").alias("n_tokens"),
+            F.coalesce(F.size("__cov"), F.lit(0)).cast("bigint").alias("n_removed"),
         )
     )
 
