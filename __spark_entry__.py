@@ -1013,16 +1013,33 @@ def _q_curation_pipeline(spark, sf_dir):
     pipeline, all existing operators chained."""
     from mover_spark.operators.dedup import exact_dedup
     from mover_spark.operators.sampling import hash_split
-    from mover_spark.operators.text import lang_id, text_stats
+    from mover_spark.operators.text import LANG_MARKERS, text_stats
 
     docs = _catalog(spark, sf_dir).df("documents")
-    ts = text_stats(docs).select("doc_id", "quality_score")
-    li = lang_id(docs).select("doc_id", "pred_lang")
-    keep = (
-        docs.join(ts, "doc_id")
-        .join(li, "doc_id")
-        .where((F.col("quality_score") >= 0.3) & (F.col("pred_lang") != "und"))
+    # text_stats is a per-row projection: carry its columns with
+    # passthrough instead of reattaching by doc_id join (optimization r13,
+    # guide §2.1 — the join-back form cost two corpus shuffles and three
+    # document scans for columns computable in-row; doc_id is the table
+    # PK, so join-back and passthrough are row-for-row identical). The
+    # language filter pred_lang != 'und' is by definition "at least one
+    # marker word of SOME language present" (lang_id: best > 0), so the
+    # filter needs only a short-circuiting EXISTS over the union marker
+    # set — not the full per-language argmax, whose five greatest()-
+    # referencing count expressions the collapsed projection+filter would
+    # inline ~30x per row (measured 3x slower than the join-back form it
+    # was meant to replace). Row set identical; the standalone lang_id
+    # query keeps the full argmax surface.
+    all_markers = F.array(
+        *[
+            F.lit(m)
+            for m in sorted({m for ms in LANG_MARKERS.values() for m in ms})
+        ]
     )
+    has_marker = F.exists(
+        F.split(F.col("text"), " "), lambda x: F.array_contains(all_markers, x)
+    )
+    enriched = text_stats(docs, passthrough=("text", "n_chars"))
+    keep = enriched.where((F.col("quality_score") >= 0.3) & has_marker)
     canon = keep.join(
         exact_dedup(keep).select("doc_id"), on=["doc_id"], how="left_semi"
     )

@@ -2502,13 +2502,20 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame
             .distinct()
         )
 
+    # edge count carried across rounds (optimization r13, guide §1.2:
+    # fewer actions per iteration) — e is checkpointed so re-counting it
+    # was cheap but still one scheduled job per round; the previous
+    # round's nxt.count() IS this round's e.count()
+    e_count = e.count()
     for _ in range(max_iter):
         nxt = small_star(large_star(e)).localCheckpoint()
-        same_size = nxt.count() == e.count()
+        nxt_count = nxt.count()
+        same_size = nxt_count == e_count
         if same_size and nxt.exceptAll(e).isEmpty():
             e = nxt
             break
         e = nxt
+        e_count = nxt_count
     else:
         raise RuntimeError(
             f"star connected-components did not converge in {max_iter} rounds"

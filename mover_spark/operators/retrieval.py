@@ -88,7 +88,13 @@ def bm25_topk(
     """
     tok = _tokens(docs, id_col, text_col, "doc_id")
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl from tf, not from a second pass over the raw token stream: the
+    # per-doc length is exactly sum(tf), and deriving it here re-uses
+    # tf's exchange (one corpus tokenize+explode total — the separate
+    # tok.groupBy("doc_id") form re-ran the scan+explode; optimization
+    # r13, guide §1.2). The regroup shuffles the aggregated (doc, term)
+    # set, distinct-terms-sized, not the raw token stream.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # one corpus-stats row: N and avgdl (integer sum / integer count so
     # both engines derive the identical double)
     stats = dl.agg(

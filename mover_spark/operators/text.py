@@ -80,12 +80,23 @@ def _marker_hits(w: Column, markers: list[str]) -> Column:
     return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Stopword-marker language ID: score = marker hits per language,
-    argmax with alphabetical tie-break, 'und' when no marker hits."""
+    argmax with alphabetical tie-break, 'und' when no marker hits.
+
+    ``passthrough`` names input columns carried verbatim into the output —
+    a per-row projection never needs a join-back on ``id_col`` to reattach
+    them (optimization r13: the curation pipeline reattached by doc_id
+    join, one corpus shuffle per enrichment stage)."""
     w = _words(text_col)
     scored = df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         *[_marker_hits(w, LANG_MARKERS[lang]).alias(f"s_{lang}") for lang in sorted(LANG_MARKERS)],
     )
     best = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_MARKERS)])
@@ -93,17 +104,30 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     for lang in sorted(LANG_MARKERS, reverse=True):  # earlier alphabetical wins
         pred = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-    return scored.select(F.col(id_col), pred.alias("pred_lang"), best.alias("score"))
+    return scored.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough],
+        pred.alias("pred_lang"),
+        best.alias("score"),
+    )
 
 
-def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Quality stats: word count, avg word length, punctuation ratio,
     stopword ratio, composite quality score in [0,1].
 
     Empty tokens from consecutive/leading/trailing spaces are filtered —
     counting them inflated n_words and deflated avg_word_len, and made
     this module disagree with its own siblings (word_freq_topk,
-    repetition_stats, tfidf all filter the empty token)."""
+    repetition_stats, tfidf all filter the empty token).
+
+    ``passthrough`` — see lang_id: verbatim input columns in the output,
+    so per-row enrichment chains never join back on ``id_col``."""
     w = F.filter(_words(text_col), lambda x: x != "")
     n_words = F.size(w)
     sum_len = F.aggregate(
@@ -115,6 +139,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     punct_ratio = F.when(text_len > 0, punct.cast("double") / text_len).otherwise(F.lit(0.0))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         n_words.alias("n_words"),
         # all-space text now yields n_words = 0: NULL ratios, not an ANSI
         # divide-by-zero (pre-filter, split('') gave [''] so n_words >= 1)
