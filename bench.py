@@ -106,6 +106,18 @@ def main() -> None:
         except OSError:
             return None
 
+    def steal_jiffies():
+        """Cumulative CPU steal jiffies (col 8 of /proc/stat's cpu line).
+        On shared tenancy (this sandbox is a Firecracker guest) co-tenant
+        steal moves in multi-minute epochs and can inflate every query in
+        a capture 2x+; recording the per-query delta makes host drift a
+        committed, inspectable column instead of a narrative claim."""
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except Exception:
+            return None
+
     # SPARK_GRAFT_BENCH_COLD=1: release the session-scoped operator memos
     # before each query so every query pays its own full cost — ORDER-
     # INDEPENDENT numbers for attribution work (solo A/Bs approximate
@@ -127,10 +139,12 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
     load: dict[str, list[float] | None] = {}
+    steal: dict[str, int | None] = {}
     for name, fn in qs.items():
         if cold:
             clear_session_caches()
         load[name] = loadavg()  # host noise sampled at each query's start
+        s0 = steal_jiffies()
         samples: list[float] = []
         for _ in range(reps):
             t0 = time.time()
@@ -140,6 +154,8 @@ def main() -> None:
             except Exception as exc:  # a broken query must not sink the suite
                 print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
                 break
+        s1 = steal_jiffies()
+        steal[name] = (s1 - s0) if (s0 is not None and s1 is not None) else None
         runs[name] = samples
         timings[name] = round(statistics.median(samples), 3) if len(samples) == reps else -1.0
 
@@ -169,6 +185,7 @@ def main() -> None:
                 "median": timings,
                 "runs": runs,
                 "loadavg_at_start": load,
+                "steal_jiffies": steal,
                 "movers_vs_prev": movers,
                 "movers_mode_mismatch": mode_mismatch,
                 "cold": cold,
