@@ -93,17 +93,37 @@ def lang_id(
     a per-row projection never needs a join-back on ``id_col`` to reattach
     them (optimization r13: the curation pipeline reattached by doc_id
     join, one corpus shuffle per enrichment stage)."""
+    # argmax as ONE array_max over (score, -index) structs (optimization
+    # r13): the per-language CASE form referenced greatest(s_de..s_zh)
+    # inside every WHEN arm, so projection collapse inlined each
+    # marker-hit HOF ~6x per row (and interpreted fallback on big
+    # combined projections pays that for real — measured on the curation
+    # chain). Here every marker count appears ONCE inside the array; max
+    # over (s, -i) picks the highest score and, on ties, the smallest
+    # index = earliest alphabetical — exactly the old loop's contract.
+    langs = sorted(LANG_MARKERS)
     w = _words(text_col)
+    top = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _marker_hits(w, LANG_MARKERS[lang]).alias("s"),
+                    F.lit(-i).alias("ni"),
+                )
+                for i, lang in enumerate(langs)
+            ]
+        )
+    )
     scored = df.select(
         F.col(id_col),
         *[F.col(c) for c in passthrough],
-        *[_marker_hits(w, LANG_MARKERS[lang]).alias(f"s_{lang}") for lang in sorted(LANG_MARKERS)],
+        top.alias("__top"),
     )
-    best = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_MARKERS)])
-    pred = F.lit("und")
-    for lang in sorted(LANG_MARKERS, reverse=True):  # earlier alphabetical wins
-        pred = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    best = F.col("__top")["s"]
+    pred = F.when(
+        best > 0,
+        F.element_at(F.array(*[F.lit(x) for x in langs]), -F.col("__top")["ni"] + 1),
+    ).otherwise(F.lit("und"))
     return scored.select(
         F.col(id_col),
         *[F.col(c) for c in passthrough],
