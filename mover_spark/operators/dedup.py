@@ -251,24 +251,16 @@ def ngram_jaccard_pairs(
     # domain the verify already lived in). Shares the session-registry
     # projection with the containment family: one cached copy per corpus.
     sh = _hashed_shingles(df, text_col, id_col)
-    tok = sh.select("doc", F.explode("hs").alias("tok"))
-    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
-
     # global rare-first order materializes as struct sort keys — no global
-    # row_number (which would single-partition at scale)
-    docs = (
-        tok.join(freq, "tok")
-        .groupBy("doc")
-        .agg(F.sort_array(F.collect_list(F.struct("freq", "tok"))).alias("sorted_sh"))
-        .withColumn("n", F.size("sorted_sh"))
-        .withColumn(
-            "prefix",
-            F.slice(
-                F.col("sorted_sh"),
-                1,
-                (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int"),
-            ),
-        )
+    # row_number (which would single-partition at scale); the sorted
+    # relation is the memoized _freq_sorted_docs shared with containment
+    docs = _freq_sorted_docs(df, text_col, id_col).withColumn(
+        "prefix",
+        F.slice(
+            F.col("sorted_sh"),
+            1,
+            (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int"),
+        ),
     )
     pref = docs.select(
         "doc", "n", F.posexplode("prefix").alias("pos", "p")
@@ -334,14 +326,7 @@ def containment_pairs(
     works on longs instead of bigram strings — the single biggest
     constant-factor cost on a shingle-heavy corpus)."""
     sh = _hashed_shingles(df, text_col, id_col)
-    tok = sh.select("doc", F.explode("hs").alias("tok"))
-    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
-    docs = (
-        tok.join(freq, "tok")
-        .groupBy("doc")
-        .agg(F.sort_array(F.collect_list(F.struct("freq", "tok"))).alias("sorted_sh"))
-        .withColumn("n", F.size("sorted_sh"))
-    )
+    docs = _freq_sorted_docs(df, text_col, id_col)
     # required overlap o = ceil(t * n_a), computed as ceil(t*n - 1e-9):
     # the epsilon guards the binary-float boundary (fl(0.9)*n can land one
     # ulp ABOVE the decimal product and ceil across an integer, demanding
@@ -1850,6 +1835,41 @@ def _hashed_shingles(
         .persist()
     )
     return _cache_put(_SIG_CACHE, key, sh, _SIG_CACHE_MAX)
+
+
+def _freq_sorted_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, sorted_sh, n) — each doc's hashed shingles as (freq, tok)
+    structs sorted rare-first by corpus frequency, the shared input of
+    every prefix-filter join (PPJoin Jaccard + asymmetric containment).
+    Persisted and memoized like _hashed_shingles: the relation is
+    threshold-independent, both exact pair operators derive their
+    prefixes/postings from it, and within one containment query the A
+    (prefix) and B (full postings) branches diverge ABOVE the final
+    aggregate — without the persist, ReusedExchange stops at the
+    pre-aggregate exchange and the collect_list merge + per-doc
+    sort_array runs once per branch."""
+    key = _dedup_cache_key(df, "freqsorted_sh", text_col, id_col)
+    hit = _cache_get(_SIG_CACHE, key)
+    if hit is not None:
+        return hit
+    tok = _hashed_shingles(df, text_col, id_col).select(
+        "doc", F.explode("hs").alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    docs = (
+        tok.join(freq, "tok")
+        .groupBy("doc")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("freq", "tok"))).alias(
+                "sorted_sh"
+            )
+        )
+        .withColumn("n", F.size("sorted_sh"))
+        .persist()
+    )
+    return _cache_put(_SIG_CACHE, key, docs, _SIG_CACHE_MAX)
 
 
 def signature_projection(

@@ -271,17 +271,19 @@ def approx_quantile_check(
     return (
         df.groupBy(group_col)
         .agg(
-            F.expr(f"percentile({value_col}, 0.49)").alias("p49"),
-            F.expr(f"percentile({value_col}, 0.5)").alias("p50"),
-            F.expr(f"percentile({value_col}, 0.51)").alias("p51"),
+            # one sorted buffer for all three exact quantiles (the scalar
+            # form buffers + sorts the group's values once per quantile)
+            F.expr(
+                f"percentile({value_col}, array(0.49, 0.5, 0.51))"
+            ).alias("px"),
             F.expr(
                 f"approx_percentile({value_col}, 0.5, {accuracy})"
             ).alias("ap50"),
         )
         .select(
             group_col,
-            F.round("p50", 6).alias("p50_exact"),
-            ((F.col("ap50") >= F.col("p49")) & (F.col("ap50") <= F.col("p51"))).alias(
+            F.round(F.col("px")[1], 6).alias("p50_exact"),
+            ((F.col("ap50") >= F.col("px")[0]) & (F.col("ap50") <= F.col("px")[2])).alias(
                 "sketch_in_bracket"
             ),
         )

@@ -233,14 +233,23 @@ def pivot_events(cat: Catalog) -> DataFrame:
 
 def percentile_agg(cat: Catalog) -> DataFrame:
     """Exact interpolated percentiles (median / p90 of order price per
-    status) — JVM-side `percentile`, one shuffle on the 3-value group key."""
+    status) — JVM-side `percentile`, one shuffle on the 3-value group key.
+    Both quantiles come from ONE percentile(..., array(...)) aggregate:
+    the scalar form buffers and sorts the group's full value list once
+    PER QUANTILE, the array form once per group (same interpolation math
+    on the same sorted buffer — bit-identical values)."""
     return (
         cat.df("orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50_price"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+            F.expr("percentile(o_totalprice, array(0.5, 0.9))").alias("__p"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            F.round(F.col("__p")[0], 6).alias("p50_price"),
+            F.round(F.col("__p")[1], 6).alias("p90_price"),
+            "n_orders",
         )
         .orderBy("o_orderstatus")
     )

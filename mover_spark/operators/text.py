@@ -903,35 +903,41 @@ def doc_novelty(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     templated/duplicated boilerplate even when no single pair crosses a
     dedup threshold. Integer ratio -> exactly portable.
 
-    Shape: one (doc, shingle)-distinct explode, one shingle-keyed df
-    count, one join back, one per-doc aggregate — all map-side
-    combinable. Shingles are xxhash64'd in-row so the df-count shuffle
-    and the join-back key are longs, never bigram strings (the key only
-    exists internally; same ~n²/2^64 collision caveat as the dedup
-    family — the string-keyed DuckDB oracle would catch one)."""
-    from .dedup import shingles_udf
+    Shape: the (doc, shingle)-distinct stream comes from the dedup
+    family's shared _hashed_shingles projection (one persisted hashed
+    copy per corpus, however many consumers in a session), aggregated
+    twice — NOT joined back: a shingle with corpus df == 1 names its
+    sole owner via min(doc), so n_unique per doc falls out of the
+    df-count aggregate itself and the second corpus-wide shuffle of the
+    (doc, shingle) stream that the join-back form paid is gone. The
+    per-doc total is a map-side-combinable count whose shuffle carries
+    one partial row per (partition, doc). Shingle keys are xxhash64
+    longs, never bigram strings (the key only exists internally; same
+    ~n²/2^64 collision caveat as the dedup family — the string-keyed
+    DuckDB oracle would catch one)."""
+    from .dedup import _hashed_shingles
 
-    sh = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                shingles_udf()(F.col(text_col)), lambda s: F.xxhash64(s)
-            )
-        ).alias("sh"),
+    sh = _hashed_shingles(df, text_col, id_col).select(
+        F.col("doc").alias(id_col), F.explode("hs").alias("sh")
     )
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # df == 1  ⟺  min(doc) over the shingle's group IS its only owner
+    uniq = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"), F.min(id_col).alias("d0"))
+        .where(F.col("df") == 1)
+        .groupBy(F.col("d0").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    tot = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     return (
-        sh.join(dfreq, "sh")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
-        )
+        tot.join(uniq, id_col, "left")
         .select(
             id_col,
             "n_shingles",
             F.round(
-                F.col("n_unique").cast("double") / F.col("n_shingles"), 6
+                F.coalesce(F.col("n_unique"), F.lit(0)).cast("double")
+                / F.col("n_shingles"),
+                6,
             ).alias("novelty"),
         )
     )

@@ -966,6 +966,41 @@ def test_containment_releases_intermediate_checkpoints(spark):
     D.clear_dedup_caches()
 
 
+def test_freq_sorted_docs_shared_and_memoized(spark):
+    """Optimization r13 (guide §5/§2.4): ngram_jaccard_pairs and
+    containment_pairs derive their prefix-filter inputs from ONE memoized
+    (doc, sorted_sh, n) relation — same cache entry, one persisted copy
+    per corpus — and the memo is output-neutral: results match a
+    cold-cache recomputation exactly."""
+    from mover_spark.operators import dedup as D
+
+    D.clear_dedup_caches()
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),
+        (3, "p q r s t u v w"),
+        (4, "p q r s t u v w"),
+        (5, "z z z z z z z z"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    jac_cold = sorted(map(tuple, D.ngram_jaccard_pairs(df, 0.6).collect()))
+    con_cold = sorted(map(tuple, D.containment_pairs(df, 0.6).collect()))
+    # both operators produced/consumed the SAME memo entry
+    fs_keys = [k for k in D._SIG_CACHE if "freqsorted_sh" in str(k)]
+    assert len(fs_keys) == 1, f"expected one shared memo entry, got {fs_keys}"
+    relation = D._SIG_CACHE[fs_keys[0]]
+    assert relation.storageLevel.useMemory or relation.storageLevel.useDisk
+    assert D._freq_sorted_docs(df) is relation  # hit, not a rebuild
+    # memoized warm pass returns identical rows
+    jac_warm = sorted(map(tuple, D.ngram_jaccard_pairs(df, 0.6).collect()))
+    con_warm = sorted(map(tuple, D.containment_pairs(df, 0.6).collect()))
+    assert jac_warm == jac_cold and con_warm == con_cold
+    assert jac_cold, "fixture must produce at least one jaccard pair"
+    assert con_cold, "fixture must produce at least one containment pair"
+    D.clear_dedup_caches()
+    assert not any("freqsorted_sh" in str(k) for k in D._SIG_CACHE)
+
+
 def test_conf_bytes_parser():
     """_conf_bytes: size suffixes, bare bytes, disabled (-1) -> default."""
     from mover_spark.operators.dedup import _conf_bytes
