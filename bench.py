@@ -42,6 +42,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("mover-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -129,10 +130,12 @@ def main() -> None:
 
     def clear_session_caches():
         from mover_spark.operators.dedup import clear_dedup_caches
+        from mover_spark.operators.retrieval import clear_retrieval_caches
         from mover_spark.operators.similarity import clear_similarity_caches
         from mover_spark.operators.text import clear_text_caches
 
         clear_dedup_caches()
+        clear_retrieval_caches()
         clear_similarity_caches()
         clear_text_caches()
 
@@ -181,6 +184,7 @@ def main() -> None:
             {
                 "sf": float(sf),
                 "reps": reps,
+                "cpus": cpus,
                 "total_median_sec": total,
                 "median": timings,
                 "runs": runs,
@@ -196,16 +200,30 @@ def main() -> None:
         )
 
     # a warm run reports the committed cold companion's total alongside,
-    # so the per-round capture line carries BOTH series (VERDICT r12 #4)
+    # so the per-round capture line carries BOTH series (VERDICT r12 #4).
+    # Only when the companion was captured at THIS run's core count: the
+    # committed cold series is a 32-core capture, and re-printing it next
+    # to an 8-core warm run labeled it as that run's cold measurement
+    # (VERDICT r13 wrong #2 — BENCH_r13_c8 carried a stale 32-core
+    # "cold_total_sec"). A mismatched capture is reported stale, with the
+    # cpus it was actually taken at.
     companion = {}
     if not cold:
         try:
             with open(os.path.join(REPO_DIR, "BENCH_DETAIL_COLD.json")) as f:
                 cd = json.load(f)
-            companion = {
-                "cold_total_sec": cd["total_median_sec"],
-                "cold_detail": "BENCH_DETAIL_COLD.json",
-            }
+            cold_cpus = cd.get("cpus")
+            if cold_cpus == cpus:
+                companion = {
+                    "cold_total_sec": cd["total_median_sec"],
+                    "cold_detail": "BENCH_DETAIL_COLD.json",
+                }
+            else:
+                companion = {
+                    "cold_total_stale": cd["total_median_sec"],
+                    "cold_stale_cpus": cold_cpus,
+                    "cold_detail": "BENCH_DETAIL_COLD.json",
+                }
         except Exception:
             pass
     line = json.dumps(
@@ -216,6 +234,13 @@ def main() -> None:
             "n_queries": len(timings),
             "n_errors": sum(1 for t in timings.values() if t < 0),
             "sf": float(sf),
+            "cpus": cpus,
+            # the driver's per-query perf/scaling contract (VERDICT r13
+            # next #1): compact name -> median-seconds map, ~4 KB at 171
+            # queries — far below the all-reps inline form that overflowed
+            # the capture in rounds 9-12. Reps/loadavg/steal stay in the
+            # detail file.
+            "per_query": timings,
             "detail": os.path.basename(detail_path),
             "loadavg": loadavg(),
             "movers_gt_1.5x": sorted(movers),

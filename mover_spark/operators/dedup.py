@@ -1115,6 +1115,103 @@ def containment_lsh(
     )
     reps, members = _containment_reps(df, text_col, id_col)
     _mark("reps-built(lazy)")
+    # SHARED CANDIDATE RELATION ACROSS ARMS (optimization r14, VERDICT
+    # r13 next #2; the _LSH_PAIR_CACHE / _freq_sorted_docs pattern): the
+    # checkpointed candidate pair set is memoized per (corpus, threshold,
+    # slice_base, max_miss) — deliberately NOT per prune_unique. The
+    # df>=2 prune is EXACT (see prune_unique below: it only removes docs
+    # that cannot appear in any verified pair), and banding is a
+    # deterministic function of the memoized signatures, so the pruned
+    # and unpruned candidate sets differ only by pairs the exact verify
+    # downstream rejects — verified output is row-identical whichever
+    # arm built the entry (pinned by test_containment_candidate_memo_*
+    # and both arms sharing one oracle hash). Cold mode / cache clears
+    # price the build; the verify + member expansion still run per call.
+    ckey = _dedup_cache_key(
+        df, "containment_cand", text_col, id_col, threshold, slice_base, max_miss
+    )
+    candidates = _cache_get(_CAND_CACHE, ckey)
+    if candidates is None:
+        candidates = _containment_candidates(
+            df, reps, threshold, text_col, id_col, slice_base, max_miss,
+            prune_unique, sequential_schemes, _mark,
+        )
+        candidates = _cand_cache_put(ckey, candidates)
+    else:
+        _mark("candidates(memo-hit)")
+
+    sha = reps.select(F.col("doc").alias("doc_inner"), F.col("hs").alias("hs_a"))
+    shb = reps.select(F.col("doc").alias("doc_outer"), F.col("hs").alias("hs_b"))
+    ratio = (
+        F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("double")
+        / F.size("hs_a")
+    )
+    rep_pairs = (
+        candidates.join(sha, "doc_inner")
+        .join(shb, "doc_outer")
+        .withColumn("__r", ratio)
+        .where(F.col("__r") >= threshold)
+        .select(
+            "doc_inner",
+            "doc_outer",
+            F.round(F.col("__r"), 6).alias("containment"),
+        )
+    )
+    # expand verified representative pairs to member pairs (distinct
+    # shingle sets have distinct reps, so member ids never collide), and
+    # emit intra-set pairs directly: identical sets have containment
+    # exactly 1. members is keyed by rep doc — two equi-joins, no
+    # digest indirection.
+    expanded = (
+        rep_pairs.join(
+            members.select(
+                F.col("rep").alias("doc_inner"), F.col("doc").alias("m_i")
+            ),
+            "doc_inner",
+        )
+        .join(
+            members.select(
+                F.col("rep").alias("doc_outer"), F.col("doc").alias("m_o")
+            ),
+            "doc_outer",
+        )
+        .select(
+            F.col("m_i").alias("doc_inner"),
+            F.col("m_o").alias("doc_outer"),
+            "containment",
+        )
+    )
+    intra = (
+        members.select("rep", F.col("doc").alias("doc_inner"))
+        .join(members.select("rep", F.col("doc").alias("doc_outer")), "rep")
+        .where(F.col("doc_inner") != F.col("doc_outer"))
+        .select(
+            "doc_inner", "doc_outer", F.lit(1.0).alias("containment")
+        )
+    )
+    return expanded.unionByName(intra)
+
+
+def _containment_candidates(
+    df: DataFrame,
+    reps: DataFrame,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    slice_base: float,
+    max_miss: float,
+    prune_unique: bool,
+    sequential_schemes: bool,
+    _mark,
+) -> DataFrame:
+    """Build containment_lsh's checkpointed candidate pair set (band
+    schemes + pair-free pruning + the exact deep arm) — the body
+    containment_lsh memoizes in _CAND_CACHE. Returns an eagerly
+    localCheckpoint'ed (doc_inner, doc_outer) relation with every
+    intermediate (per-scheme checkpoints, prune frame, tok_df) already
+    released."""
+    import math as _math
+
     schemes = _containment_band_schemes(
         threshold,
         slice_base,
@@ -1397,6 +1494,8 @@ def containment_lsh(
     candidates = cands.unionByName(deep).distinct().localCheckpoint(eager=True)
     if tok_df is not None:
         tok_df.unpersist()
+    # (releases continue below; the checkpointed candidate set is the
+    # only relation that survives this builder)
     # EAGER CHECKPOINT-BLOCK RELEASE (optimization r13, guide §5): the
     # per-scheme candidate checkpoints and the prune pass's doc frame are
     # consumed exactly once — into the candidate checkpoint above — but
@@ -1414,57 +1513,7 @@ def containment_lsh(
     if prune_frame is not None:
         _release_local_checkpoint(prune_frame)
     _mark("candidates(deep+union)")
-
-    sha = reps.select(F.col("doc").alias("doc_inner"), F.col("hs").alias("hs_a"))
-    shb = reps.select(F.col("doc").alias("doc_outer"), F.col("hs").alias("hs_b"))
-    ratio = (
-        F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("double")
-        / F.size("hs_a")
-    )
-    rep_pairs = (
-        candidates.join(sha, "doc_inner")
-        .join(shb, "doc_outer")
-        .withColumn("__r", ratio)
-        .where(F.col("__r") >= threshold)
-        .select(
-            "doc_inner",
-            "doc_outer",
-            F.round(F.col("__r"), 6).alias("containment"),
-        )
-    )
-    # expand verified representative pairs to member pairs (distinct
-    # shingle sets have distinct reps, so member ids never collide), and
-    # emit intra-set pairs directly: identical sets have containment
-    # exactly 1. members is keyed by rep doc — two equi-joins, no
-    # digest indirection.
-    expanded = (
-        rep_pairs.join(
-            members.select(
-                F.col("rep").alias("doc_inner"), F.col("doc").alias("m_i")
-            ),
-            "doc_inner",
-        )
-        .join(
-            members.select(
-                F.col("rep").alias("doc_outer"), F.col("doc").alias("m_o")
-            ),
-            "doc_outer",
-        )
-        .select(
-            F.col("m_i").alias("doc_inner"),
-            F.col("m_o").alias("doc_outer"),
-            "containment",
-        )
-    )
-    intra = (
-        members.select("rep", F.col("doc").alias("doc_inner"))
-        .join(members.select("rep", F.col("doc").alias("doc_outer")), "rep")
-        .where(F.col("doc_inner") != F.col("doc_outer"))
-        .select(
-            "doc_inner", "doc_outer", F.lit(1.0).alias("containment")
-        )
-    )
-    return expanded.unionByName(intra)
+    return candidates
 
 
 def _dup_marked_positions(
@@ -1476,7 +1525,20 @@ def _dup_marked_positions(
     (span excision). Gram keys are xxhash64'd in-row so the MIN aggregate
     and the join-back shuffle longs, never min_len-token strings;
     first-occurrence order is the scalar doc*2^20 + pos (LOUD failure
-    past 2^20 tokens — see substring_dup_spans docstring)."""
+    past 2^20 tokens — see substring_dup_spans docstring).
+
+    Persisted and memoized in _SIG_CACHE (optimization r14, guide §5):
+    the stats and clean operators run over the same corpus in one
+    session, and the marking pass — the gram explode, the corpus-gram-
+    scale min aggregate and the gram-keyed join back, the only corpus-
+    token-scale shuffles either operator pays — is byte-identical
+    between them. The memoized relation is marked-occurrence-sized
+    (duplicated grams only), far below corpus scale; released by
+    clear_dedup_caches() / bench cold mode like every other tag."""
+    key = _dedup_cache_key(df, "dup_marked", min_len, text_col, id_col)
+    hit = _cache_get(_SIG_CACHE, key)
+    if hit is not None:
+        return hit
     grams = (
         # the token array binds to a COLUMN before the lambda uses it: an
         # expression inside a higher-order-function body is re-evaluated
@@ -1513,11 +1575,13 @@ def _dup_marked_positions(
         ).cast("long")
     )
     first = grams.groupBy("gram").agg(F.min(okey).alias("first_key"))
-    return (
+    marked = (
         grams.join(first, "gram")
         .where(okey != F.col("first_key"))
         .select("doc", "pos")
+        .persist()
     )
+    return _cache_put(_SIG_CACHE, key, marked, _SIG_CACHE_MAX)
 
 
 def substring_dedup_clean(
@@ -1613,13 +1677,17 @@ def substring_dup_spans(
     doc.
 
     Plan shape: one in-row gram explode (no self-join), one map-side
-    combinable min aggregate per gram, one join back on the gram key, one
-    per-doc ordered window for the interval union, one left join to
-    re-attach zero-dup docs. Gram keys are xxhash64'd in-row — the MIN
-    aggregate and the join-back shuffle longs, never 8-token strings
-    (keys are internal only; same ~2^-64 collision caveat as
-    ngram_jaccard verification, and the string-keyed oracle would catch
-    one).
+    combinable min aggregate per gram, one join back on the gram key, ONE
+    doc-keyed aggregation of the marked start positions with the interval
+    union computed IN-ROW (optimization r14, the substring_dedup_clean
+    shape from r13: |union of [pos, pos+min_len)| ==
+    size(array_distinct(flatten(per-start sequences))) — the ordered
+    window + running-max contribution sum it replaces computed the same
+    integer, one per-doc sort slower), one left join to re-attach
+    zero-dup docs. Gram keys are xxhash64'd in-row — the MIN aggregate
+    and the join-back shuffle longs, never 8-token strings (keys are
+    internal only; same ~2^-64 collision caveat as ngram_jaccard
+    verification, and the string-keyed oracle would catch one).
 
     First-occurrence order is (doc_id, pos) encoded as doc_id*2^20 + pos
     — one scalar min instead of a struct min; valid while docs stay under
@@ -1630,24 +1698,29 @@ def substring_dup_spans(
     w = F.split(F.col(text_col), " ")
     n = F.size(w)
     dups = _dup_marked_positions(df, min_len, text_col, id_col)
-    wdoc = (
-        Window.partitionBy("doc")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # interval-union size in-row: the union of the marked [pos,
+    # pos+min_len) intervals is exactly the distinct covered-position
+    # set, so its size comes from one hash-aggregate + in-row array ops
+    # — no per-doc sort, no window (the prior running-max form computed
+    # the identical integer through an ordered window). Same covered-set
+    # expansion substring_dedup_clean ships; per-row memory is bounded
+    # by min_len x the doc's own marked starts.
     covered = (
-        dups.withColumn("prev_end", F.max(F.col("pos") + min_len).over(wdoc))
-        .withColumn(
-            "contrib",
-            F.greatest(
-                F.col("pos")
-                + F.lit(min_len)
-                - F.greatest(F.col("pos"), F.coalesce(F.col("prev_end"), F.lit(0))),
-                F.lit(0),
-            ),
+        dups.groupBy("doc")
+        .agg(F.collect_list("pos").alias("__starts"))
+        .select(
+            "doc",
+            F.size(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            F.col("__starts"),
+                            lambda s: F.sequence(s, s + F.lit(min_len - 1)),
+                        )
+                    )
+                )
+            ).alias("n_removed"),
         )
-        .groupBy("doc")
-        .agg(F.sum("contrib").alias("n_removed"))
     )
     docs = df.select(F.col(id_col).alias("doc"), n.cast("bigint").alias("n_tokens"))
     return (
@@ -1733,10 +1806,39 @@ def minhash_signature_udf(a_consts=None, b_consts=None):
 #: still releases everything eagerly.
 _SIG_CACHE: dict = {}
 _LSH_PAIR_CACHE: dict = {}
-#: max memoized corpora per cache: signatures are corpus-sized so the cap
-#: is tight; pair sets are small so several thresholds/corpora can coexist
-_SIG_CACHE_MAX = int(os.environ.get("MOVER_SPARK_SIG_CACHE_MAX", "4"))
+#: containment_lsh's checkpointed candidate pair set per (corpus,
+#: threshold, slice_base, max_miss) — shared by the pruned and unpruned
+#: arms (the prune is exact, so both verify to identical output from
+#: either candidate set; see containment_lsh). Entries are eager
+#: localCheckpoints: lineage-free, so eviction/clear RELEASES the blocks
+#: via _release_local_checkpoint and any stale un-materialized plan that
+#: still references one fails LOUDLY (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+#: instead of recomputing — never corrupts. Candidate-sized (pairs, two
+#: longs each), far below the signature relations the _SIG_CACHE holds.
+_CAND_CACHE: dict = {}
+#: max memoized entries: _SIG_CACHE entries are TAGGED per-corpus
+#: relations and one corpus now owns up to 7 tags (containment_sh,
+#: freqsorted_sh, containment_tagged, containment_sig256, signature
+#: projection, simhash_fp, dup_marked) — a cap of 4 LRU-churned persisted
+#: relations mid-suite, rebuilding the Arrow signature pass between the
+#: containment arms (ADVICE r13). 8 holds one corpus's working set; the
+#: cap still bounds a many-corpora session (the sf10 OOM the cap exists
+#: for came from unbounded CORPORA, not tags).
+_SIG_CACHE_MAX = int(os.environ.get("MOVER_SPARK_SIG_CACHE_MAX", "8"))
 _PAIR_CACHE_MAX = int(os.environ.get("MOVER_SPARK_PAIR_CACHE_MAX", "8"))
+_CAND_CACHE_MAX = int(os.environ.get("MOVER_SPARK_CAND_CACHE_MAX", "4"))
+
+
+def _cand_cache_put(key, df: DataFrame) -> DataFrame:
+    """_cache_put for checkpoint-backed entries: eviction must release
+    the checkpoint RDD's storage blocks (df.unpersist() is a no-op on a
+    checkpointed frame — there is no cache entry, only RDD blocks)."""
+    if _CAND_CACHE_MAX <= 0:
+        return df  # memoization off: caller's checkpoint lives until GC
+    while _CAND_CACHE and len(_CAND_CACHE) >= _CAND_CACHE_MAX:
+        _release_local_checkpoint(_CAND_CACHE.pop(next(iter(_CAND_CACHE))))
+    _CAND_CACHE[key] = df
+    return df
 
 
 def _release_local_checkpoint(df: DataFrame) -> None:
@@ -1797,6 +1899,9 @@ def clear_dedup_caches() -> None:
             except Exception:
                 pass  # session already stopped — entry is garbage either way
         cache.clear()
+    for cached in _CAND_CACHE.values():
+        _release_local_checkpoint(cached)  # checkpoint blocks, not a cache
+    _CAND_CACHE.clear()
 
 
 def _dedup_cache_key(df: DataFrame, *params):

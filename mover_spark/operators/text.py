@@ -914,11 +914,26 @@ def doc_novelty(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     one partial row per (partition, doc). Shingle keys are xxhash64
     longs, never bigram strings (the key only exists internally; same
     ~n²/2^64 collision caveat as the dedup family — the string-keyed
-    DuckDB oracle would catch one)."""
+    DuckDB oracle would catch one).
+
+    Doc ids are keys: rows with a NULL id are EXCLUDED (ADVICE r13).
+    Neither historical form ever computed them meaningfully — any
+    doc-keyed aggregate merges every null-id doc into one group — and
+    the min(doc) ownership rule would additionally read their novelty
+    as 0, so the operator now drops them explicitly instead of emitting
+    either wrong answer.
+
+    Lifecycle note: the corpus shingle projection is persisted into the
+    dedup family's session-scoped _SIG_CACHE as a side effect (one entry
+    per corpus, LRU-bounded). Call
+    mover_spark.operators.dedup.clear_dedup_caches() after mutating the
+    corpus in place or to release executor storage early."""
     from .dedup import _hashed_shingles
 
-    sh = _hashed_shingles(df, text_col, id_col).select(
-        F.col("doc").alias(id_col), F.explode("hs").alias("sh")
+    sh = (
+        _hashed_shingles(df, text_col, id_col)
+        .where(F.col("doc").isNotNull())
+        .select(F.col("doc").alias(id_col), F.explode("hs").alias("sh"))
     )
     # df == 1  ⟺  min(doc) over the shingle's group IS its only owner
     uniq = (

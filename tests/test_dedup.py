@@ -1086,3 +1086,116 @@ def test_containment_sequential_gate_output_identical(spark, catalog):
         clear_dedup_caches()
     assert one_dag, "fixture should contain containment pairs"
     assert sequential == one_dag
+
+
+def test_containment_candidate_memo_shared_across_arms(spark):
+    """Optimization r14 (VERDICT r13 next #2): the pruned and unpruned
+    containment_lsh arms share ONE checkpointed candidate relation per
+    (corpus, threshold, slice_base, max_miss) — the memo key carries no
+    prune flag because the df>=2 prune is exact — and the memo is
+    output-neutral: the arm that rides the other's candidates returns
+    exactly its own cold-cache rows."""
+    from mover_spark.operators import dedup as D
+
+    D.clear_dedup_caches()
+    # a true pair (A contained in B at 0.95) + unique-noise docs so the
+    # prune actually fires and the two arms' own candidate sets differ
+    a_text = " ".join(f"w{i}" for i in range(21))
+    b_text = (
+        " ".join(f"w{i}" for i in range(20))
+        + " "
+        + " ".join(f"b{i}" for i in range(10))
+    )
+    noise = [
+        (100 + i, " ".join(f"u{i}_{j}" for j in range(30))) for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text)] + noise, "doc_id long, text string"
+    )
+    cold_pruned = sorted(
+        map(tuple, D.containment_lsh(df, 0.9, prune_unique=True).collect())
+    )
+    assert len(D._CAND_CACHE) == 1, D._CAND_CACHE
+    entry = next(iter(D._CAND_CACHE.values()))
+    # the unpruned arm hits the pruned arm's entry (same key, no rebuild)
+    warm_plain = sorted(
+        map(tuple, D.containment_lsh(df, 0.9, prune_unique=False).collect())
+    )
+    assert len(D._CAND_CACHE) == 1
+    assert next(iter(D._CAND_CACHE.values())) is entry
+    D.clear_dedup_caches()
+    assert not D._CAND_CACHE
+    cold_plain = sorted(
+        map(tuple, D.containment_lsh(df, 0.9, prune_unique=False).collect())
+    )
+    assert cold_plain, "fixture must produce containment pairs"
+    assert warm_plain == cold_plain == cold_pruned
+    D.clear_dedup_caches()
+
+
+def test_dup_marked_memo_shared_and_spans_kernel_identical(spark):
+    """Optimization r14: (a) substring_dup_spans and substring_dedup_clean
+    share ONE memoized marked-positions relation per (corpus, min_len);
+    (b) the spans operator's in-row interval-union (array_distinct over
+    flattened per-start sequences) computes the same n_removed as the
+    r13 ordered-window running-max kernel it replaced, on a fixture with
+    overlapping, adjacent, disjoint and whole-doc marked spans."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mover_spark.operators import dedup as D
+
+    D.clear_dedup_caches()
+    min_len = 3
+    docs = [
+        (1, "a b c d e f g h"),                # first occurrences
+        (2, "x a b c d e y a b c z q"),        # overlapping + repeated spans
+        (3, "a b c d e f g h"),                # exact copy: fully covered
+        (4, "q r s t u v"),                    # zero dups
+        (5, "m n o p m n o p m n o p"),        # self-repetition chains
+        (6, "a b c x x q r s t"),              # two disjoint marked spans
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.pct_removed)
+        for r in D.substring_dup_spans(df, min_len=min_len).collect()
+    }
+    _ = D.substring_dedup_clean(df, min_len=min_len).collect()
+    marked_keys = [k for k in D._SIG_CACHE if "dup_marked" in str(k)]
+    assert len(marked_keys) == 1, f"expected one shared entry, got {marked_keys}"
+    # the r13 window kernel, verbatim, over the same marked positions
+    dups = D._dup_marked_positions(df, min_len, "text", "doc_id")
+    wdoc = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    old = {
+        r.doc: r.n_removed
+        for r in (
+            dups.withColumn(
+                "prev_end", F.max(F.col("pos") + min_len).over(wdoc)
+            )
+            .withColumn(
+                "contrib",
+                F.greatest(
+                    F.col("pos")
+                    + F.lit(min_len)
+                    - F.greatest(
+                        F.col("pos"), F.coalesce(F.col("prev_end"), F.lit(0))
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .groupBy("doc")
+            .agg(F.sum("contrib").alias("n_removed"))
+            .collect()
+        )
+    }
+    assert old, "fixture must mark duplicated spans"
+    for doc_id, n_removed in old.items():
+        assert got[doc_id][1] == n_removed, (doc_id, got[doc_id], n_removed)
+    assert got[3][1] == got[3][0]  # exact copy: every token covered
+    assert got[4][1] == 0  # zero-dup doc attached by the left join
+    D.clear_dedup_caches()
+    assert not any("dup_marked" in str(k) for k in D._SIG_CACHE)

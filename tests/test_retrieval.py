@@ -218,3 +218,32 @@ def test_bm25_plan_shape(spark, catalog):
     facts = audit_plan(bm25_topk(catalog.df("documents"), queries))
     assert facts["n_broadcast_joins"] >= 3  # qterms, dfc, stats
     assert not facts["has_python_eval"]
+
+
+def test_tf_relation_memoized_and_output_neutral(spark, corpus):
+    """Optimization r14 (VERDICT r13 next #6): bm25_topk's four tf
+    consumers (postings, dl, df, stats) read ONE persisted memoized
+    (doc_id, term, tf) relation — the before-plan tokenized the corpus
+    four times because column pruning defeats ReusedExchange — and the
+    memo is output-neutral: warm rows equal cold rows."""
+    from mover_spark.operators import retrieval as R
+
+    R.clear_retrieval_caches()
+    queries = spark.createDataFrame(
+        [(1, "spark join")], "query_id int, query_text string"
+    )
+    cold = sorted(map(tuple, bm25_topk(corpus, queries).collect()))
+    assert len(R._TF_CACHE) == 1
+    entry = next(iter(R._TF_CACHE.values()))
+    assert entry.storageLevel.useMemory or entry.storageLevel.useDisk
+    warm = sorted(map(tuple, bm25_topk(corpus, queries).collect()))
+    assert next(iter(R._TF_CACHE.values())) is entry  # hit, not a rebuild
+    assert cold, "fixture must retrieve at least one document"
+    assert warm == cold
+    # every tf consumer reads the persisted relation in the warm plan
+    plan = (
+        bm25_topk(corpus, queries)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    R.clear_retrieval_caches()
+    assert not R._TF_CACHE
