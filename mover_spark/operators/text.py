@@ -452,50 +452,66 @@ def _winnow_fps_arrays(
     the whole pass on one core; when the scan yields fewer splits than the
     cluster has slots, repartition first (a corpus-sized input already
     arrives in >= slots splits, making this a no-op exactly where the
-    shuffle would be expensive)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    # hash_fn="md5" is the engine-portable oracle surface (DuckDB can
-    # reproduce conv(substr(md5,..))); hash_fn="xxhash64" is the production
-    # arm — one JVM-intrinsic 64-bit hash per gram instead of a full MD5
-    # digest + hex parse, several x cheaper per byte on the operator whose
-    # entire cost is this per-character hash pass (VERDICT r10 perf-weak
-    # #1; same oracle-vs-production split as sketch_kmv_distinct). The
-    # winnowing guarantee only needs a deterministic well-mixed gram hash,
-    # so every downstream contract (window-min selection, profile digests,
-    # overlap detection) is hash-choice independent.
-    if hash_fn == "md5":
-        gram_hash = (
-            f"CAST(conv(substring(md5(substring({text_col}, i, {k})), 1, 15), 16, 10) AS BIGINT)"
+    shuffle would be expensive).
+
+    Persisted + memoized per (corpus, k, w, hash) in the text registry
+    (optimization r14, guide §5): winnowing_profile and winnowing_overlap
+    consume the identical fingerprint relation in one session, and the
+    per-character gram-hash pass is the whole cost of the family —
+    released by clear_text_caches() / bench cold mode."""
+
+    def build() -> DataFrame:
+        d = df
+        par = d.sparkSession.sparkContext.defaultParallelism
+        if d.rdd.getNumPartitions() < par:
+            d = d.repartition(par)
+        # hash_fn="md5" is the engine-portable oracle surface (DuckDB can
+        # reproduce conv(substr(md5,..))); hash_fn="xxhash64" is the
+        # production arm — one JVM-intrinsic 64-bit hash per gram instead
+        # of a full MD5 digest + hex parse, several x cheaper per byte on
+        # the operator whose entire cost is this per-character hash pass
+        # (VERDICT r10 perf-weak #1; same oracle-vs-production split as
+        # sketch_kmv_distinct). The winnowing guarantee only needs a
+        # deterministic well-mixed gram hash, so every downstream contract
+        # (window-min selection, profile digests, overlap detection) is
+        # hash-choice independent.
+        if hash_fn == "md5":
+            gram_hash = (
+                f"CAST(conv(substring(md5(substring({text_col}, i, {k})), 1, 15), 16, 10) AS BIGINT)"
+            )
+        elif hash_fn == "xxhash64":
+            gram_hash = f"xxhash64(substring({text_col}, i, {k}))"
+        else:
+            raise ValueError(
+                f"winnowing hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}"
+            )
+        grams = (
+            f"transform(sequence(1, length({text_col}) - {k - 1}), "
+            f"i -> {gram_hash})"
         )
-    elif hash_fn == "xxhash64":
-        gram_hash = f"xxhash64(substring({text_col}, i, {k}))"
-    else:
-        raise ValueError(f"winnowing hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    grams = (
-        f"transform(sequence(1, length({text_col}) - {k - 1}), "
-        f"i -> {gram_hash})"
-    )
-    guarded_grams = (
-        f"IF(length({text_col}) >= {k + w - 1}, {grams}, "
-        f"CAST(array() AS ARRAY<BIGINT>))"
-    )
-    win_min = _win_min_expr(w)
-    return (
-        df.where(F.length(text_col) >= k + w - 1)
-        .select(F.col(id_col), F.expr(guarded_grams).alias("__h"))
-        .select(
-            id_col,
-            F.array_distinct(
-                F.expr(
-                    f"IF(size(__h) >= {w}, "
-                    f"transform(sequence({w}, size(__h)), "
-                    f"j -> {win_min}), "
-                    f"CAST(array() AS ARRAY<BIGINT>))"
-                )
-            ).alias("__fps"),
+        guarded_grams = (
+            f"IF(length({text_col}) >= {k + w - 1}, {grams}, "
+            f"CAST(array() AS ARRAY<BIGINT>))"
         )
+        win_min = _win_min_expr(w)
+        return (
+            d.where(F.length(text_col) >= k + w - 1)
+            .select(F.col(id_col), F.expr(guarded_grams).alias("__h"))
+            .select(
+                id_col,
+                F.array_distinct(
+                    F.expr(
+                        f"IF(size(__h) >= {w}, "
+                        f"transform(sequence({w}, size(__h)), "
+                        f"j -> {win_min}), "
+                        f"CAST(array() AS ARRAY<BIGINT>))"
+                    )
+                ).alias("__fps"),
+            )
+        )
+
+    return _memo_persist(
+        ("winnow_fps", k, w, text_col, id_col, hash_fn), df, build
     )
 
 
