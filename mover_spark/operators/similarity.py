@@ -1694,10 +1694,25 @@ def semantic_dedup(
     reps = base.groupBy("qv").agg(
         F.min("vid").alias("vid"), F.first("norm").alias("norm")
     )
+    # materialize the assignment ONCE for EVERY arm (optimization r14;
+    # the budget arm has done this since r12 for its per-level scans —
+    # its measured 419-vs-128 s recompute gap, noted below): without it
+    # the default arm's THREE downstream consumers (the per-cell size
+    # agg, the tile builder, and the final rep_out join) plus the member
+    # map each re-executed the corpus scan + quantize + reps groupBy (a
+    # wide shuffle keyed on the 64-dim array) + the cell-assignment
+    # Arrow UDF. The checkpoint is reps-sized (one row per distinct
+    # quantized vector).
+    assigned = reps.withColumn(
+        "cell", _ranked_cells_udf(cents)(F.col("qv"))[0]
+    ).localCheckpoint(eager=True)
+    # members rides the checkpointed relation too (assigned carries
+    # exactly reps' rows, plus cell): the rep side of the qv join no
+    # longer re-runs the groupBy. Built from the PRE-subdivision frame —
+    # membership is cell-independent.
     members = base.select("vid", "qv").join(
-        reps.select(F.col("vid").alias("rep"), "qv"), on="qv"
+        assigned.select(F.col("vid").alias("rep"), "qv"), on="qv"
     ).select("vid", "rep")
-    assigned = reps.withColumn("cell", _ranked_cells_udf(cents)(F.col("qv"))[0])
     if max_cell_pairs is not None:
         # bound the alpha-1.49 within-cell pair term (VERDICT r11 next
         # #4): cap any cell's pair work at ~max_cell_pairs by recursive
@@ -1706,15 +1721,10 @@ def semantic_dedup(
         # exact-within-cell contract and the oracle-checked surface
         # byte-identical; production/bench arms enable it and the bench
         # prices the extra blocking via the full-merge-rate column.
+        # (Per-level recompute cost without the eager checkpoint above
+        # was measured as the whole 500k overhead gap: 419 s vs 128 s
+        # baseline; the pair-work cut itself is real.)
         s_max = max(int((2 * max_cell_pairs) ** 0.5), 64)
-        # materialize the assignment ONCE before subdividing: the loop's
-        # per-level size scans, the sub-centroid window, the kernel input
-        # and the downstream sizes/g consumers would otherwise each
-        # re-execute the reps groupBy (a wide shuffle keyed on the 64-dim
-        # array) plus the cell-assignment UDF — measured as the whole
-        # 500k overhead gap (419 s vs 128 s baseline with recomputes;
-        # the pair-work cut itself is real)
-        assigned = assigned.localCheckpoint(eager=True)
         assigned = _subdivide_cells(
             assigned, s_max, start_id=max(cid for cid, _ in cents) + 1
         )
