@@ -2122,73 +2122,72 @@ def _q_semantic_dedup(spark, sf_dir):
 
 #: ORDER MATTERS for the first 50 queries() entries: the grading driver's
 #: correctness file caps at 50 rows, so this list is the round's
-#: externally-audited surface. Round-13 window per VERDICT r12 next #2:
-#: the 40 STALEST signatures (every entry whose latest driver-green row
-#: is r<=8 — the r1/r4 analytics block, the 30-query r7 TPC-H/window/
-#: stat family, the r8 events block), plus fresh signatures for the 10
-#: entries this round's code touches (tok_df release, shared winnowing
-#: builder, decimal-stable array rendering, sub-quantization dispatcher,
-#: JPEG non-interleaved fix, and the new video arm). After this window
-#: no entry's latest green row is older than r9.
-_R13_WINDOW = [
-    # -- operators touched in round 13 --
-    "array_funcs",               # decimal-stable element rendering (ADVICE)
-    "string_funcs",              # same file as array_funcs
-    "winnowing_fast_invariants", # arms_match now validates the shared builder
-    "winnowing_profile",         # shared _win_min_expr
-    "winnowing_overlap",
-    "containment_lsh",           # unconditional candidate materialization
+#: externally-audited surface. Round-14 window per VERDICT r13 next #7:
+#: every query path this optimization round touched (containment family,
+#: retrieval tf memo, substring pair, winnowing pair, semantic_dedup
+#: checkpoint, doc_novelty null guard), plus the r13-touched set the r13
+#: driver sample happened to miss (profiling split, trend kernel,
+#: percentile fold, persisted-ANN registry consumers), then the stalest
+#: remaining signatures (last driver-green r9).
+_R14_WINDOW = [
+    # -- query paths touched in optimization round 14 --
+    "containment_lsh",
     "containment_lsh_pruned",
-    "semantic_dedup",            # sub-quantization strategy dispatcher
-    "multimodal_image_features", # JPEG single-component non-interleaved fix
-    "multimodal_video_features", # NEW: MJPEG-in-AVI real-bytes arm
-    # -- the 40 stalest signatures (last green r<=8) --
-    "events_gapfill",
-    "events_sliding",
-    "events_tumbling",
-    "user_value_trend",
-    "full_outer_spend",
-    "grouping_sets_agg",
-    "trailing_spend_range_window",
-    "corr_stats",
-    "cube_agg",
-    "distinct_count_agg",
-    "having_filter",
-    "intersect_set_op",
+    "containment_pairs",
+    "bm25_topk",
+    "bm25_topk_persisted",
+    "bm25_topk_appended",
+    "hybrid_retrieval_rrf",
+    "substring_dedup_stats",
+    "substring_dedup_clean",
+    "winnowing_profile",
+    "winnowing_overlap",
+    "semantic_dedup",
+    "doc_novelty",
+    "profile_orders",
+    "profile_orders_approx",
+    "user_value_trend_pandas",
+    "dedup_ngram_jaccard",
+    "curation_pipeline",
     "percentile_agg",
-    "price_histogram",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_nation_year_profit",
-    "q10_returned_items",
-    "q11_part_value_share",
-    "q12_late_lines",
-    "q13_cust_order_dist",
-    "q14_promo_ratio",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_qty",
-    "q18_large_volume",
-    "q19_disjunctive",
-    "q21_waiting_suppliers",
-    "rank_functions",
-    "rich_idle_customers",
-    "running_window",
-    "scalar_subquery_min",
-    "stddev_stats",
-    "unpivot_events",
-    "value_window_funcs",
-    "events_funnel",
-    "events_sessionize",
-    "scd2_intervals",
+    "approx_quantile_users",
+    "ann_topk_pq_persisted",
+    "ann_topk_ivfpq_persisted",
+    "ann_topk_pq_appended",
+    "streaming_ann_probe",
+    "streaming_ann_probe_pruned",
+    # -- r13-missed + stalest signatures (last driver-green r9) --
+    "anti_join_not_exists",
+    "asof_join",
+    "cdc_latest_snapshot",
+    "closure_allowlist",
+    "closure_config_query",
+    "closure_default",
+    "describe_catalog",
+    "except_set_op",
+    "exists_semijoin",
+    "fk_semijoin",
+    "full_scan_extra",
+    "lang_id",
+    "numeric_strict",
+    "pivot_events",
+    "pk_dedup",
+    "q3_shipping_priority",
+    "quota_sample_per_source",
+    "reverse_fk_fanout",
+    "rollup_agg",
+    "sanitize_fake_unique",
+    "sanitize_template",
+    "seed_query_scan",
+    "stratified_sample_exact",
+    "text_stats",
+    "tfidf_top_terms",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    window = {k: q[k] for k in _R13_WINDOW}
+    window = {k: q[k] for k in _R14_WINDOW}
     window.update({k: v for k, v in q.items() if k not in window})
     return window
 
